@@ -1,0 +1,529 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.analytics._
+import graft.ext._
+
+/** Driver-facing query registry: one entry per SURVEY §2 operator (plus
+  * the training-pipeline extensions), each with a DuckDB oracle where the
+  * semantics are SQL-expressible.
+  *
+  * Conventions shared by the Spark plan and the oracle SQL so the
+  * driver's column-sorted value-hash comparison is stable:
+  *  - identical output column names on both sides;
+  *  - DOUBLE outputs rounded (4-6 decimals) to absorb summation-order
+  *    float noise (ties at the rounding boundary are non-dyadic, so both
+  *    engines' tie rules are unreachable);
+  *  - timestamps exported as BIGINT epoch seconds of a date_trunc
+  *    (engine timestamp precision — ns vs µs — never leaks);
+  *  - every ranking gets a deterministic tiebreak;
+  *  - DuckDB integer SUMs cast back to BIGINT (DuckDB widens to HUGEINT).
+  */
+object Queries {
+
+  case class Q(name: String,
+               run: (SparkSession, String) => DataFrame,
+               oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  val all: Seq[Q] = Seq(
+
+    // ── TPC-H-shaped core ─────────────────────────────────────────────
+
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q17_dim_join_rollup",
+      (s, dir) => {
+        // Small dims are broadcast explicitly: at 100 TB the fact side
+        // streams map-side with zero shuffle for the joins.
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val rg = broadcast(t(s, dir, "region"))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(rg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS cnt,
+             |  round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q18_fact_dim_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = broadcast(t(s, dir, "customer"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+          .orderBy("c_mktsegment", "o_orderpriority")
+      },
+      Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment, o_orderpriority
+             |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)),
+
+    Q("q19_unpivot_union",
+      (s, dir) => {
+        // U1 — wide→long fan-out + append union (hpc_transformers.py:330).
+        val li = t(s, dir, "lineitem")
+        val a = li.select(lit("price").as("metric"), col("l_extendedprice").as("val"))
+        val b = li.select(lit("discount").as("metric"), col("l_discount").as("val"))
+        a.unionByName(b)
+          .groupBy("metric")
+          .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 2).as("total"))
+          .orderBy("metric")
+      },
+      Some("""SELECT metric, count(*) AS cnt, round(sum(val), 2) AS total
+             |FROM (
+             |  SELECT 'price' AS metric, l_extendedprice AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT 'discount' AS metric, l_discount AS val FROM lineitem
+             |)
+             |GROUP BY metric ORDER BY metric""".stripMargin)),
+
+    // ── Stats probes (A1/A2/A12) ──────────────────────────────────────
+
+    Q("q02_column_stats",
+      (s, dir) => StatsOps.columnStats(t(s, dir, "events"), col("value"))
+        .select(r4(col("min_value")).as("min_value"),
+          r4(col("max_value")).as("max_value"),
+          col("cnt"), col("null_cnt")),
+      Some("""SELECT round(min(value), 4) AS min_value,
+             |  round(max(value), 4) AS max_value,
+             |  count(*) AS cnt,
+             |  count(CASE WHEN value IS NULL THEN 1 END) AS null_cnt
+             |FROM events WHERE value IS NOT NULL""".stripMargin)),
+
+    Q("q03_availability",
+      (s, dir) => StatsOps.availabilityCount(t(s, dir, "events"), col("value"), col("ts")),
+      Some("SELECT count(*) AS cnt FROM events " +
+        "WHERE value IS NOT NULL AND value != 0 AND ts IS NOT NULL")),
+
+    Q("q12_time_range_probe",
+      (s, dir) => StatsOps.timeRangeProbe(t(s, dir, "events"), col("ts")),
+      Some("""SELECT
+             |  CAST(EXTRACT(EPOCH FROM date_trunc('second', min(ts))) AS BIGINT) AS min_epoch,
+             |  CAST(EXTRACT(EPOCH FROM date_trunc('second', max(ts))) AS BIGINT) AS max_epoch,
+             |  count(*) AS cnt
+             |FROM events""".stripMargin)),
+
+    // ── Time-bucket aggregation (A3/A4/A5/A6) ────────────────────────
+
+    Q("q04_hourly_profile",
+      (s, dir) => TimeSeriesOps.timeBucketAgg(t(s, dir, "events"), col("ts"), col("value"))
+        .select(col("bucket_epoch"), r4(col("avg_value")).as("avg_value"),
+          r4(col("min_value")).as("min_value"), r4(col("max_value")).as("max_value"),
+          col("cnt")),
+      Some("""SELECT
+             |  CAST(EXTRACT(EPOCH FROM date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+             |  round(avg(value), 4) AS avg_value,
+             |  round(min(value), 4) AS min_value,
+             |  round(max(value), 4) AS max_value,
+             |  count(*) AS cnt
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q05_percentile_hourly",
+      (s, dir) => TimeSeriesOps.percentileFilteredHourly(
+          t(s, dir, "events"), col("ts"), col("value"), 0.01, 0.99)
+        .select(col("bucket_epoch"), r4(col("avg_value")).as("avg_value"),
+          r4(col("min_value")).as("min_value"), r4(col("max_value")).as("max_value"),
+          col("cnt")),
+      Some("""WITH p AS (
+             |  SELECT percentile_cont(0.01) WITHIN GROUP (ORDER BY value) AS p_low,
+             |         percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p_high
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT
+             |  CAST(EXTRACT(EPOCH FROM date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
+             |  round(avg(value), 4) AS avg_value,
+             |  round(min(value), 4) AS min_value,
+             |  round(max(value), 4) AS max_value,
+             |  count(*) AS cnt
+             |FROM events, p
+             |WHERE value IS NOT NULL AND value BETWEEN p_low AND p_high
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q06_iqr_filtered",
+      (s, dir) => TimeSeriesOps.iqrFiltered(t(s, dir, "events"), col("value"))
+        .agg(count(lit(1)).as("cnt"), r4(avg(col("value"))).as("avg_value")),
+      Some("""WITH q AS (
+             |  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+             |         percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value
+             |FROM events, q
+             |WHERE value IS NOT NULL
+             |  AND value BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)""".stripMargin)),
+
+    Q("q15_granular_profile",
+      (s, dir) => TimeSeriesOps.granularProfile(t(s, dir, "events"), col("ts"), col("value"), "day")
+        .select(col("bucket_epoch"), r4(col("avg_value")).as("avg_value"),
+          r4(col("stddev_value")).as("stddev_value"), col("cnt"),
+          r4(col("q1")).as("q1"), r4(col("median")).as("median"), r4(col("q3")).as("q3")),
+      Some("""SELECT
+             |  CAST(EXTRACT(EPOCH FROM date_trunc('day', ts)) AS BIGINT) AS bucket_epoch,
+             |  round(avg(value), 4) AS avg_value,
+             |  round(stddev_samp(value), 4) AS stddev_value,
+             |  count(*) AS cnt,
+             |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 4) AS q1,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS median,
+             |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 4) AS q3
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Histograms (A7/A8) ────────────────────────────────────────────
+
+    Q("q07_smart_histogram",
+      (s, dir) => HistogramOps.smartHistogram(t(s, dir, "events"), col("value"), 20)
+        .select(col("bin_index"), col("cnt"), r4(col("avg_value")).as("avg_value"),
+          r4(col("bin_start")).as("bin_start")),
+      Some("""WITH r AS (
+             |  SELECT min(value) AS mn, max(value) AS mx FROM events WHERE value IS NOT NULL),
+             |w AS (SELECT mn, mx, (mx - mn) / 20.0 AS bw FROM r),
+             |b AS (
+             |  SELECT CAST(CASE WHEN bw = 0 THEN 0
+             |              ELSE least(19, floor((value - mn) / bw)) END AS BIGINT) AS bin_index,
+             |         value, mn, bw
+             |  FROM events, w WHERE value IS NOT NULL)
+             |SELECT bin_index, count(*) AS cnt, round(avg(value), 4) AS avg_value,
+             |  round(min(mn + bin_index * bw), 4) AS bin_start
+             |FROM b GROUP BY bin_index ORDER BY bin_index""".stripMargin)),
+
+    Q("q08_series_histogram",
+      (s, dir) => HistogramOps.seriesHistogram(t(s, dir, "events"), col("value"), 20),
+      Some("""WITH r AS (
+             |  SELECT min(value) AS mn, max(value) AS mx FROM events WHERE value IS NOT NULL),
+             |c AS (
+             |  SELECT CAST(floor((value - mn) / ((mx - mn) / 20.0)) AS BIGINT) AS bin_index,
+             |         count(*) AS cnt
+             |  FROM events, r
+             |  WHERE value IS NOT NULL AND value >= mn AND value < mx
+             |  GROUP BY 1)
+             |SELECT bin_index, cnt FROM c WHERE bin_index <> 19
+             |UNION ALL
+             |SELECT 19 AS bin_index, COALESCE((SELECT cnt FROM c WHERE bin_index = 19), 0) AS cnt
+             |ORDER BY bin_index""".stripMargin)),
+
+    // ── Category counts / ranking / top-N (A9/W1/O3/O4) ───────────────
+
+    Q("q09_category_counts",
+      (s, dir) => TopNOps.categoryCounts(t(s, dir, "events"), col("event_type")),
+      Some("""SELECT event_type AS category, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY cnt DESC, category""".stripMargin)),
+
+    Q("q10_ranked_counts",
+      (s, dir) => TopNOps.rankedCounts(t(s, dir, "events"), col("event_type")),
+      Some("""SELECT event_type AS category, count(*) AS cnt,
+             |  CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS INT) AS rnk
+             |FROM events GROUP BY event_type ORDER BY rnk""".stripMargin)),
+
+    Q("q11_topn_others",
+      (s, dir) => TopNOps.topNWithOthers(t(s, dir, "events"), col("event_type"), 3),
+      Some("""WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+             |ranked AS (
+             |  SELECT event_type, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, event_type) AS rnk
+             |  FROM c)
+             |SELECT CASE WHEN rnk <= 3 THEN event_type ELSE 'Others' END AS category,
+             |  CAST(sum(cnt) AS BIGINT) AS total
+             |FROM ranked GROUP BY 1
+             |ORDER BY CASE WHEN category = 'Others' THEN 1 ELSE 0 END, total DESC, category""".stripMargin)),
+
+    // ── Filters and derived columns (P2/P6/P7/F*) ─────────────────────
+
+    Q("q13_time_filter",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts").between(lit("2024-01-02 00:00:00"), lit("2024-01-05 00:00:00")))
+        .agg(count(lit(1)).as("cnt"), r4(avg(col("value"))).as("avg_value")),
+      Some("""SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value
+             |FROM events
+             |WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+             |             AND TIMESTAMP '2024-01-05 00:00:00'""".stripMargin)),
+
+    Q("q14_user_durations",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_seconds"),
+          count(lit(1)).as("cnt"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  CAST(EXTRACT(EPOCH FROM date_trunc('second', max(ts)))
+             |     - EXTRACT(EPOCH FROM date_trunc('second', min(ts))) AS BIGINT) AS duration_seconds,
+             |  count(*) AS cnt
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q16_ratio_guarded",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          r4(DerivedOps.clip(
+            coalesce(
+              sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)) /
+                nullif(sum(col("value")), lit(0.0)) * 100.0,
+              lit(0.0)),
+            0.0, 100.0)).as("purchase_pct"),
+          count(lit(1)).as("cnt"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  round(least(greatest(coalesce(
+             |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+             |      / nullif(sum(value), 0) * 100, 0), 0), 100), 4) AS purchase_pct,
+             |  count(*) AS cnt
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── Window lag/diff rates (W2/W3 + A10 rollup) ────────────────────
+
+    Q("q20_lag_rates",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tss"), col("event_id"))
+        val d = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+          .withColumn("prev_v", lag(col("value"), 1).over(w))
+          .withColumn("prev_t", lag(col("tss"), 1).over(w))
+          .withColumn("dt", (col("tss") - col("prev_t")).cast(DoubleType))
+          .withColumn("rate",
+            when(col("prev_v").isNull, lit(0.0))
+              .otherwise(when(col("dt") >= 0.1 && (col("value") - col("prev_v")) >= 0,
+                (col("value") - col("prev_v")) / col("dt")).otherwise(lit(0.0))))
+        d.select(col("event_id"), col("user_id"), r4(col("rate")).as("rate"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_id, user_id, value,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |lagged AS (
+             |  SELECT event_id, user_id, value, tss,
+             |    lag(value) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev_v,
+             |    lag(tss)   OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev_t
+             |  FROM s)
+             |SELECT event_id, user_id,
+             |  round(CASE WHEN prev_v IS NULL THEN 0
+             |             WHEN (tss - prev_t) >= 0.1 AND (value - prev_v) >= 0
+             |             THEN (value - prev_v) / (tss - prev_t)
+             |             ELSE 0 END, 4) AS rate
+             |FROM lagged ORDER BY event_id""".stripMargin)),
+
+    // ── Scalar-function suite (F6-F14) + clamp chain (§7.4.7) ─────────
+
+    Q("q21_scalar_suite",
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(lit("doc-"), col("lang"), lit("-"), col("doc_id").cast("string")).as("tag"),
+          regexp_replace(col("source"), "src", "SOURCE").as("src_norm"),
+          when(col("n_chars") > 300, "long").otherwise("short").as("size_class"),
+          r4(DerivedOps.clip(col("n_chars").cast(DoubleType) / nullif(lit(100.0), lit(0.0)), 0.0, 100.0)).as("clipped"),
+          floor(col("n_chars") / 100.0).cast(LongType).as("bucket"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  concat('doc-', lang, '-', CAST(doc_id AS VARCHAR)) AS tag,
+             |  regexp_replace(source, 'src', 'SOURCE', 'g') AS src_norm,
+             |  CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class,
+             |  round(least(greatest(CAST(n_chars AS DOUBLE) / nullif(100.0, 0), 0), 100), 4) AS clipped,
+             |  CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q22_clamp_chain",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("total"),
+          (col("l_extendedprice") * col("l_discount")).as("free"),
+          (col("l_extendedprice") * col("l_tax")).as("pages"))
+        .withColumn("free2", least(col("free"), col("total")))
+        .withColumn("used", greatest(col("total") - col("free2"), lit(0.0)))
+        .withColumn("pages2", least(col("pages"), least(col("total"), col("used"))))
+        .withColumn("minus_cache", greatest(col("used") - col("pages2"), lit(0.0)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("used")).as("used"), r4(col("minus_cache")).as("minus_cache"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    l_extendedprice AS total,
+             |    l_extendedprice * l_discount AS free,
+             |    l_extendedprice * l_tax AS pages
+             |  FROM lineitem),
+             |step AS (
+             |  SELECT l_orderkey, l_linenumber, total, pages,
+             |    greatest(total - least(free, total), 0) AS used
+             |  FROM base)
+             |SELECT l_orderkey, l_linenumber,
+             |  round(used, 4) AS used,
+             |  round(greatest(used - least(pages, least(total, used)), 0), 4) AS minus_cache
+             |FROM step ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ── Text analysis (training-pipeline ext) ─────────────────────────
+
+    Q("q30_text_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+          r4(avg(col("n_chars").cast(DoubleType))).as("avg_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS docs,
+             |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("q31_quality_scores",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(list_filter(string_split_regex(trim(text), '\s+'),
+             |        t -> t IN ('the','a','of','and','to','in','is','that'))) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(least(n_tokens / 64.0, 1.0) * 0.4
+             |    + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |    + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3, 6) AS quality,
+             |  CAST(n_tokens AS INT) AS n_tokens
+             |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    Q("q32_lang_id",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(TextOps.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("pred_lang"),
+      None),
+
+    Q("q33_fingerprints",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // ── Deduplication (training-pipeline ext) ─────────────────────────
+
+    Q("q34_exact_dup_classes",
+      (s, dir) => DedupOps.exactDupClasses(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .groupBy(col("copies"))
+        .agg(count(lit(1)).as("n_classes"))
+        .orderBy("copies"),
+      Some("""SELECT copies, count(*) AS n_classes FROM (
+             |  SELECT md5(text) AS digest, count(*) AS copies
+             |  FROM documents GROUP BY 1)
+             |GROUP BY copies ORDER BY copies""".stripMargin)),
+
+    Q("q35_minhash_neardup",
+      (s, dir) => DedupOps.minhashCandidatePairs(
+          t(s, dir, "documents"), col("doc_id"), col("text"))
+        .filter(col("est_jaccard") >= 0.5)
+        .agg(count(lit(1)).as("candidate_pairs")),
+      None),
+
+    Q("q36_simhash_classes",
+      (s, dir) => t(s, dir, "documents")
+        .select(DedupOps.simhash64(col("text")).as("simhash"))
+        .groupBy(col("simhash")).agg(count(lit(1)).as("copies"))
+        .groupBy(col("copies")).agg(count(lit(1)).as("n_classes"))
+        .orderBy("copies"),
+      None),
+
+    Q("q37_ngram_jaccard",
+      (s, dir) => {
+        // Exact 3-gram Jaccard over LSH candidate pairs (verify stage).
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val cands = DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"))
+          .filter(col("est_jaccard") >= 0.5)
+        val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        cands.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            r4(DedupOps.ngramJaccard(col("text_a"), col("text_b"), 3)).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .agg(count(lit(1)).as("dup_pairs"))
+      },
+      None),
+
+    // ── Similarity search (training-pipeline ext) ─────────────────────
+
+    Q("q38_knn_bruteforce",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.bruteForceTopK(queries, corpus, 10)
+          .select(col("qid"), col("cid"), r4(col("cosine")).as("cosine"), col("rank"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id AS cid,
+             |    list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+             |  FROM embeddings c, q WHERE c.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT qid, cid, cos_raw,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+             |  FROM scored)
+             |SELECT qid, cid, round(cos_raw, 4) AS cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    Q("q39_knn_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.lshTopK(queries, corpus, 10, bits = 6)
+          .select(col("qid"), col("cid"), r4(col("cosine")).as("cosine"), col("rank"))
+      },
+      None),
+
+    Q("q40_embedding_neardup",
+      (s, dir) => DedupOps.embeddingNearDupPairs(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          threshold = 0.4, signBits = 6)
+        .agg(count(lit(1)).as("neardup_pairs")),
+      None)
+  )
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

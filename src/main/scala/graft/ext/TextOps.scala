@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text analysis for large-scale training-data pipelines: tokenization
+  * stats, language ID, quality scoring, document fingerprinting.
+  *
+  * Everything here is per-document column arithmetic over higher-order
+  * array functions — narrow transformations, fully codegen-eligible, no
+  * shuffle, no UDFs. At 100 TB these run at parquet-scan speed and the
+  * only shuffles are in the final (small) aggregations a caller adds.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (trim + split on runs of whitespace). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count — whitespace tokenizer. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word proxy: counts word pieces produced by splitting
+    * on non-alphanumerics AND on letter/digit boundaries; approximates
+    * sub-word token counts with pure column arithmetic. */
+  def approxBpeTokenCount(text: Column): Column =
+    size(filter(
+      split(regexp_replace(trim(text), "([a-zA-Z])(\\d)|(\\d)([a-zA-Z])", "$1$3 $2$4"), "[^a-zA-Z0-9]+"),
+      t => length(t) > 0))
+
+  /** Tiny per-language function-word profiles for the n-gram/stopword
+    * language-ID heuristic. Public-knowledge word lists. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "en"))
+
+  /** Count of tokens belonging to a fixed word set. */
+  def wordSetHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language ID: score = hits of each language's function words; argmax
+    * with deterministic tiebreak on language code; 'und' when no
+    * profile matches at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (code, words) =>
+      struct(wordSetHits(toks, words).as("hits"), lit(code).as("code"))
+    }
+    // array_max on struct orders by (hits, code); ties broken by the
+    // lexicographically LARGEST code — deterministic either way.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Stopword ratio (English stopword profile). */
+  def stopwordRatio(text: Column): Column =
+    wordSetHits(tokens(text), langProfiles("en")).cast(DoubleType) /
+      greatest(tokenCount(text).cast(DoubleType), lit(1.0))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast(DoubleType) /
+      greatest(tokenCount(text).cast(DoubleType), lit(1.0))
+
+  /** Composite quality score in [0,1]: rewards mid-range length, low
+    * punctuation density and a healthy stopword ratio — the standard
+    * C4-style heuristic trio, as pure arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(tokenCount(text).cast(DoubleType) / lit(64.0), lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctPen * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** k-token shingles joined with single spaces. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Document fingerprint: minimum md5 over k-token shingles (a
+    * winnowing-style rolling fingerprint; md5 is the rolling hash so the
+    * same fingerprint is reproducible in any engine). */
+  def fingerprint(text: Column, k: Int = 5): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+}
