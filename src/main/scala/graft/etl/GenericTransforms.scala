@@ -44,7 +44,8 @@ object GenericTransforms {
 
   /** Timestamp normalization with format auto-detection
     * (generic_transformers.py:164): try the configured formats in order,
-    * first non-null parse wins; unparseable → null. */
+    * first non-null parse wins; unparseable → null (try_to_timestamp, so
+    * the semantics hold under ANSI mode too). */
   def parseTimestamp(c: Column, formats: Seq[String]): Column =
-    coalesce(formats.map(f => to_timestamp(c, f)): _*)
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
 }

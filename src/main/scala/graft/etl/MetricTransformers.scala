@@ -43,14 +43,17 @@ object MetricTransformers {
     * `MM/dd/yyyy HH:mm:ss` with invalid → null (non-strict, :54), then
     * drop rows whose timestamp failed to parse. */
   private def prep(df: DataFrame, numericCols: Seq[String], hasDevice: Boolean): DataFrame = {
+    // try_cast: unparseable → null like Polars strict=False, independent
+    // of the session's ANSI setting (Spark 4 defaults ANSI on).
     val numeric = numericCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, col(c).cast(DoubleType)))
+      d.withColumn(c, expr(s"try_cast(`$c` AS DOUBLE)")))
     val idCols = if (hasDevice) Seq("jobID", "node", "device") else Seq("jobID", "node")
     val filled = idCols.foldLeft(numeric)((d, c) =>
       d.withColumn(c, coalesce(col(c), lit("unknown"))))
     filled
       .withColumn("jobID", regexp_replace(regexp_replace(col("jobID"), "^jobID", "JOB"), "^job", "JOB"))
-      .withColumn("Timestamp", to_timestamp(col("timestamp"), "MM/dd/yyyy HH:mm:ss"))
+      .withColumn("Timestamp",
+        try_to_timestamp(col("timestamp"), lit("MM/dd/yyyy HH:mm:ss")))
       .filter(col("Timestamp").isNotNull)
       .filter(numericCols.map(c => col(c).isNotNull).reduce(_ && _))
   }

@@ -30,25 +30,29 @@ object DedupOps {
   def exactDedup(df: DataFrame, text: Column): DataFrame =
     df.withColumn("__digest", md5(text)).dropDuplicates("__digest").drop("__digest")
 
-  /** Deterministic universal-hash coefficients (seeded, so signatures
-    * are stable across runs and cluster sizes). */
-  private def hashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+  /** Deterministic per-function (xor-mask, rotation) pairs — seeded, so
+    * signatures are stable across runs and cluster sizes. XOR + rotate
+    * instead of multiply-add: bit ops never overflow, so the expression
+    * is safe under Spark 4's default ANSI mode. */
+  private def hashCoeffs(numHashes: Int): Seq[(Long, Int)] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+    Seq.tabulate(numHashes)(i => (rnd.nextLong(), i % 63 + 1))
   }
 
   /** MinHash signatures, one row per document: shingle→xxhash64 ONCE,
-    * explode, then `numHashes` cheap `min(a·h+b)` aggregates (map-side
-    * combined). This shape hashes each shingle exactly once — computing
-    * the signature as one nested array expression re-evaluates the
-    * shingle pipeline per hash function, which benchmarked 30× slower. */
+    * explode, then `numHashes` cheap `min(rot(h ⊕ b, r))` aggregates
+    * (map-side combined). This shape hashes each shingle exactly once —
+    * computing the signature as one nested array expression re-evaluates
+    * the shingle pipeline per hash function, which benchmarked 30×
+    * slower. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         shingleSize: Int, numHashes: Int): DataFrame = {
     val coeffs = hashCoeffs(numHashes)
     val exploded = df.select(id.as("doc_id"),
       explode(transform(TextOps.shingles(text, shingleSize), s => xxhash64(s))).as("h"))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(col("h") * lit(a) + lit(b)).as(s"m_$i")
+    val mins = coeffs.zipWithIndex.map { case ((b, r), i) =>
+      val x = col("h").bitwiseXOR(lit(b))
+      min(shiftleft(x, r).bitwiseOR(shiftrightunsigned(x, 64 - r))).as(s"m_$i")
     }
     exploded.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)

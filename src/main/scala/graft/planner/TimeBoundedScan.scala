@@ -47,18 +47,38 @@ object TimeBoundedScan {
       .filter(col("ts").between(s, e))
   }
 
-  /** Report what a scan would touch (B7 parity: expose plan metadata). */
+  /** Report what a scan will touch (B7 parity: expose plan metadata).
+    *
+    * Enumerates the hour keys covering [start, end] exactly like the
+    * reference's manifest lookup (get_required_hours,
+    * lambda_handler.py:298-373) and lists each existing
+    * `year=/month=/day=/hour=` directory. Driver-side work is O(hours in
+    * window), never O(data) — the same bound the reference engineered
+    * for. Note `DataFrame.inputFiles` can NOT be used here: it reports
+    * the unpruned listing. */
   def plan(spark: SparkSession, path: String,
            start: String, end: String): ScanPlan = {
-    val df = scan(spark, path, start, end)
-    val files = df.inputFiles
-    val bytes = {
-      val hconf = spark.sparkContext.hadoopConfiguration
-      files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(hconf).getFileStatus(p).getLen
-      }.sum
+    require(start.nonEmpty && end.nonEmpty, throw UnboundedQueryException())
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(hconf)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    var t = java.time.LocalDateTime.parse(start, fmt).truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+    val e = java.time.LocalDateTime.parse(end, fmt)
+    var files = 0L
+    var bytes = 0L
+    while (!t.isAfter(e)) {
+      val dir = new org.apache.hadoop.fs.Path(base,
+        s"year=${t.getYear}/month=${t.getMonthValue}/day=${t.getDayOfMonth}/hour=${t.getHour}")
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .foreach { s => files += 1; bytes += s.getLen }
+      }
+      t = t.plusHours(1)
     }
-    ScanPlan(files.length, bytes, df.rdd.getNumPartitions)
+    val maxPartitionBytes = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val tasks = math.max(1, math.ceil(bytes.toDouble / maxPartitionBytes).toInt)
+    ScanPlan(files, bytes, tasks)
   }
 }

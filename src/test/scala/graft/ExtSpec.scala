@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext._
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and distributed joins"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 0
+    (4L, "el gato y el perro en la casa es un animal que come y duerme")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the planted duplicate class") {
+    val classes = DedupOps.exactDupClasses(docs, col("doc_id"), col("text")).collect()
+    assert(classes.length == 4)
+    assert(classes.count(_.getLong(1) == 2L) == 1) // one class of 2 copies
+    val deduped = DedupOps.exactDedup(docs, col("text"))
+    assert(deduped.count() == 4)
+  }
+
+  test("minhash LSH surfaces near-dup and exact-dup pairs, not unrelated") {
+    val pairs = DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 16)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always caught
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc never paired
+  }
+
+  test("ngram jaccard: identity 1.0, near-dup high, disjoint 0") {
+    val row = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") === 0 && col("b.doc_id").isin(0, 1, 2))
+      .select(col("b.doc_id"),
+        DedupOps.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(row(0L) == 1.0)
+    assert(row(1L) > 0.5 && row(1L) < 1.0)
+    assert(row(2L) == 0.0)
+  }
+
+  test("simhash: identical texts collide; hamming to unrelated is large") {
+    val h = docs.select(col("doc_id"), DedupOps.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(3L))
+    val near = java.lang.Long.bitCount(h(0L) ^ h(1L))
+    val far = java.lang.Long.bitCount(h(0L) ^ h(2L))
+    assert(near < far)
+  }
+
+  test("cosine: orthogonal vectors 0, identical 1, zero-norm safe") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(SimilarityOps.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(out(2) == 0.0)
+  }
+
+  test("brute-force top-k: ranks ordered by cosine, no self-match, k respected") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val r = SimilarityOps.bruteForceTopK(q, c, 5).collect()
+    assert(r.length == 15)
+    assert(!r.exists(x => x.getLong(0) == x.getLong(1)))
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.sameElements(cos.sorted.reverse))
+    }
+  }
+
+  test("LSH top-k is a subset-quality approximation of brute force") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val lsh = SimilarityOps.lshTopK(q, c, 5, bits = 4).collect()
+    assert(lsh.nonEmpty && lsh.length <= 5)
+    // every LSH hit shares the query's sign bucket by construction
+    val bucketOfQ = emb.filter(col("vec_id") === 0)
+      .select(SimilarityOps.signBucket(col("embedding"), 4)).head().getLong(0)
+    val hitIds = lsh.map(_.getLong(1)).toSet
+    val buckets = emb.filter(col("vec_id").isin(hitIds.toSeq: _*))
+      .select(SimilarityOps.signBucket(col("embedding"), 4)).collect().map(_.getLong(0))
+    assert(buckets.forall(_ == bucketOfQ))
+  }
+
+  test("langId picks English for English text, und for no-hit text") {
+    val out = Seq("the cat is in the house and that is fine", "zzz qqq xxx")
+      .toDF("text").select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(out(0) == "en")
+    assert(out(1) == "und")
+  }
+
+  test("token count, quality score bounds, fingerprint determinism") {
+    val df = Seq("one two three four five").toDF("text")
+    assert(df.select(TextOps.tokenCount(col("text"))).head().getInt(0) == 5)
+    val q = docs.select(TextOps.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    val f1 = docs.select(TextOps.fingerprint(col("text"), 5)).collect().map(_.getString(0))
+    val f2 = docs.select(TextOps.fingerprint(col("text"), 5)).collect().map(_.getString(0))
+    assert(f1.sameElements(f2))
+    assert(f1(0) == f1(3)) // exact dups share a fingerprint
+  }
+
+  test("multimodal: payload-sized repartition, stub features, frame plan") {
+    import org.apache.spark.sql.Row
+    val mediaRows = java.util.Arrays.asList(
+      Row(1L, "image", Array.fill[Byte](64)(1), Row(640, 480, null, null)),
+      Row(2L, "video", Array.fill[Byte](128)(2), Row(1920, 1080, null, 1000L)),
+      Row(3L, "audio", null, Row(null, null, 44100, 2000L)))
+    val media = spark.createDataFrame(mediaRows, MultimodalOps.mediaSchema)
+    val feats = MultimodalOps.extractFeatures(spark, media)
+    val rows = feats.collect()
+    assert(rows.length == 3)
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(3)) // null payload -> null feature
+    assert(rows.find(_.getLong(0) == 1L).get.getInt(2) == 64)
+    val frames = MultimodalOps.frameSamplePlan(media, 250L)
+    assert(frames.count() == 4) // 1000ms / 250ms
+    assert(MultimodalOps.repartitionForPayloads(media).rdd.getNumPartitions >= 1)
+  }
+}

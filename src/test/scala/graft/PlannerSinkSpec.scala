@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.ParquetSink
+import graft.planner.TimeBoundedScan
+import graft.interactive.Crossfilter
+
+class PlannerSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hour-partitioned write + time-bounded scan prunes partitions") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    ParquetSink.writeHourPartitioned(events, "ts", tmp)
+
+    val all = spark.read.parquet(tmp)
+    val allFiles = all.inputFiles.length
+    assert(allFiles > 1)
+
+    val window = TimeBoundedScan.scan(spark, tmp,
+      "2024-01-01 02:00:00", "2024-01-01 04:00:00")
+    // row-level exactness
+    val expected = events.filter(col("ts").between(
+      lit("2024-01-01 02:00:00"), lit("2024-01-01 04:00:00"))).count()
+    assert(window.count() == expected && expected > 0)
+    // partition pruning actually reduced files touched: read the scan
+    // node's numFiles metric after executing this exact plan
+    val qe = window.queryExecution
+    qe.toRdd.count()
+    val scanned = qe.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+    assert(scanned > 0 && scanned < allFiles)
+
+    val plan = TimeBoundedScan.plan(spark, tmp,
+      "2024-01-01 02:00:00", "2024-01-01 04:00:00")
+    assert(plan.files == scanned)
+    assert(plan.estimatedBytes > 0 && plan.taskPartitions >= 1)
+  }
+
+  test("unbounded scan is rejected (reference contract B3)") {
+    intercept[IllegalArgumentException] {
+      TimeBoundedScan.scan(spark, "/nonexistent", "", "2024-01-01")
+    }
+  }
+
+  test("empty write refused (parquet_loader.py:31-33 parity)") {
+    val tmp = Files.createTempDirectory("graft_empty").toString
+    val empty = Seq.empty[(Long, String)].toDF("a", "b")
+    intercept[ParquetSink.EmptyWriteException] {
+      ParquetSink.write(empty, s"$tmp/out")
+    }
+  }
+
+  test("snappy write + maxRecordsPerFile splits files") {
+    val tmp = Files.createTempDirectory("graft_chunk").toString
+    val df = spark.range(10000).toDF("id").coalesce(1)
+    ParquetSink.write(df, s"$tmp/out", maxRecordsPerFile = 2500)
+    val files = spark.read.parquet(s"$tmp/out").inputFiles
+    assert(files.length == 4)
+  }
+
+  test("csv export: header, null as empty, ISO timestamps") {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    val df = Seq(
+      (1L, Some("a,b"), Some(java.sql.Timestamp.valueOf("2024-01-15 10:00:00"))),
+      (2L, None, None)).toDF("id", "s", "t")
+    ParquetSink.exportCsv(df, s"$tmp/out")
+    val lines = spark.read.textFile(s"$tmp/out").collect().sorted
+    assert(lines.exists(_.startsWith("id,")))
+    assert(lines.exists(l => l.contains("\"a,b\"") && l.contains("2024-01-15T10:00:00")))
+  }
+
+  test("path templating matches the reference pattern") {
+    val p = ParquetSink.templatedPath("/out", "conte", "2024-01", "1.0", "20240115")
+    assert(p == "/out/FRESCO_conte_ts_2024-01_v1.0_20240115.parquet")
+  }
+
+  test("crossfilter: each chart sees every other chart's predicate") {
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val cf = Crossfilter.empty
+      .withPredicate("hist", col("value") > 50)
+      .withPredicate("line", col("event_type") === "click")
+    // hist's view: only the line filter applies
+    val histView = cf(events, "hist")
+    assert(histView.filter(col("event_type") =!= "click").count() == 0)
+    assert(histView.filter(col("value") <= 50).count() > 0)
+    // menu backing query
+    val menu = Crossfilter.distinctMenu(events, "event_type").collect().map(_.getString(0))
+    assert(menu.length == 5 && menu.sameElements(menu.sorted))
+  }
+}
