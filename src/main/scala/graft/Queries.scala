@@ -32,6 +32,14 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Table load + repartition to cluster parallelism: the right plan
+    * when a narrow scan of few files feeds CPU-bound per-row work
+    * (regex/tokenize/hash) — a single parquet row group is one split, so
+    * without this the whole text pipeline runs on one core. The shuffled
+    * bytes are just the input rows, negligible next to the compute. */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   private def r4(c: Column): Column = round(c, 4)
 
   val all: Seq[Q] = Seq(
@@ -392,6 +400,70 @@ object Queries {
              |  round(greatest(used - least(pages, least(total, used)), 0), 4) AS minus_cache
              |FROM step ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // ── Projection suite (P1/P4/P5/O5) ───────────────────────────────
+
+    Q("q23_projection_suite",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          DerivedOps.castDouble(col("l_linenumber")).as("linenumber_double"),
+          r4(DerivedOps.scaleUp(col("l_discount"))).as("discount_scaled"),
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_linenumber AS DOUBLE) AS linenumber_double,
+             |  round(l_discount * 1000000.0, 4) AS discount_scaled,
+             |  l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // ── Interactive: distinct menu + crossfilter composition (V3/V5) ──
+
+    Q("q24_distinct_menu",
+      (s, dir) => graft.interactive.Crossfilter.distinctMenu(
+        t(s, dir, "events"), "event_type"),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type")),
+
+    Q("q25_crossfilter",
+      (s, dir) => {
+        val cf = graft.interactive.Crossfilter.empty
+          .withPredicate("hist", col("value") > 50)
+          .withPredicate("menu", col("event_type") === "click")
+          .withPredicate("brush", graft.interactive.Crossfilter.intervalBrush(
+            col("ts"), "2024-01-02 00:00:00", "2024-01-10 00:00:00"))
+        // the "line" chart sees all three other predicates
+        cf(t(s, dir, "events"), "line")
+          .agg(count(lit(1)).as("cnt"), r4(avg(col("value"))).as("avg_value"))
+      },
+      Some("""SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value
+             |FROM events
+             |WHERE value > 50 AND event_type = 'click'
+             |  AND ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+             |             AND TIMESTAMP '2024-01-10 00:00:00'""".stripMargin)),
+
+    // ── Demo-data generator (S9; deterministic hash-based "random") ───
+
+    Q("q26_demo_generator",
+      (s, dir) => {
+        // Mirrors schema.ts:271-310's generate_series + random() demo
+        // table, but partition-independent: pseudo-randoms derive from
+        // xxhash64(id, salt) so the output is identical on any cluster.
+        val n = 500
+        def u(salt: Int): Column =
+          (pmod(xxhash64(col("id"), lit(salt)), lit(1000000L)).cast(DoubleType) / 1e6)
+        s.range(n)
+          .select(
+            col("id").as("jid"),
+            timestamp_seconds(lit(1704067200L) + (u(1) * 86400 * 30).cast(LongType)).as("time"),
+            (u(2) * 9 + 1).cast(LongType).as("nhosts"),
+            (u(3) * 31 + 1).cast(LongType).as("ncores"),
+            concat(lit("demo-account-"), (u(4) * 100).cast(LongType).cast("string")).as("account"),
+            when(u(5) < 0.9, "0").otherwise("1").as("exitcode"),
+            round(u(6) * 100, 4).as("value_cpuuser"),
+            round(u(7) * 16000, 4).as("value_memused"))
+      },
+      None),
+
     // ── Text analysis (training-pipeline ext) ─────────────────────────
 
     Q("q30_text_stats",
@@ -408,15 +480,14 @@ object Queries {
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("q31_quality_scores",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => tp(s, dir, "documents")
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"),
           TextOps.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id"),
       Some("""WITH toks AS (
              |  SELECT doc_id, text,
              |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-             |    len(list_filter(string_split_regex(trim(text), '\s+'),
-             |        t -> t IN ('the','a','of','and','to','in','is','that'))) AS stop_hits,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
              |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
              |  FROM documents)
              |SELECT doc_id,
@@ -427,14 +498,33 @@ object Queries {
              |FROM toks ORDER BY doc_id""".stripMargin)),
 
     Q("q32_lang_id",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => tp(s, dir, "documents")
         .groupBy(TextOps.langId(col("text")).as("pred_lang"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("pred_lang"),
-      None),
+      // tiebreak parity: Spark takes array_max(struct(hits, code)) —
+      // larger code wins ties — mirrored here by hits*10 + code rank.
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS h_en,
+             |    len(regexp_extract_all(text, '\b(el|la|de|que|y|en|un|es)\b')) AS h_es,
+             |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|ein|zu)\b')) AS h_de,
+             |    len(regexp_extract_all(text, '\b(le|la|de|et|un|est|que|en)\b')) AS h_fr
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, unnest(['de','en','es','fr']) AS code,
+             |         unnest([h_de, h_en, h_es, h_fr]) AS hits,
+             |         unnest([0, 1, 2, 3]) AS rank
+             |  FROM h),
+             |best AS (
+             |  SELECT doc_id, arg_max(code, hits * 10 + rank) AS code, max(hits) AS mh
+             |  FROM u GROUP BY doc_id)
+             |SELECT CASE WHEN mh > 0 THEN code ELSE 'und' END AS pred_lang,
+             |       count(*) AS cnt
+             |FROM best GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("q33_fingerprints",
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => tp(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
         .orderBy("doc_id"),
       None),
@@ -453,14 +543,14 @@ object Queries {
 
     Q("q35_minhash_neardup",
       (s, dir) => DedupOps.minhashCandidatePairs(
-          t(s, dir, "documents"), col("doc_id"), col("text"))
+          tp(s, dir, "documents"), col("doc_id"), col("text"))
         .filter(col("est_jaccard") >= 0.5)
         .agg(count(lit(1)).as("candidate_pairs")),
       None),
 
     Q("q36_simhash_classes",
-      (s, dir) => t(s, dir, "documents")
-        .select(DedupOps.simhash64(col("text")).as("simhash"))
+      (s, dir) => DedupOps.simhashSignatures(
+          tp(s, dir, "documents"), col("doc_id"), col("text"))
         .groupBy(col("simhash")).agg(count(lit(1)).as("copies"))
         .groupBy(col("copies")).agg(count(lit(1)).as("n_classes"))
         .orderBy("copies"),
@@ -469,7 +559,7 @@ object Queries {
     Q("q37_ngram_jaccard",
       (s, dir) => {
         // Exact 3-gram Jaccard over LSH candidate pairs (verify stage).
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
         val cands = DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"))
           .filter(col("est_jaccard") >= 0.5)
         val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
@@ -486,7 +576,7 @@ object Queries {
 
     Q("q38_knn_bruteforce",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = tp(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -508,7 +598,7 @@ object Queries {
 
     Q("q39_knn_lsh",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = tp(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -519,7 +609,7 @@ object Queries {
 
     Q("q40_embedding_neardup",
       (s, dir) => DedupOps.embeddingNearDupPairs(
-          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          tp(s, dir, "embeddings"), col("vec_id"), col("embedding"),
           threshold = 0.4, signBits = 6)
         .agg(count(lit(1)).as("neardup_pairs")),
       None)

@@ -47,7 +47,7 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("simhash: identical texts collide; hamming to unrelated is large") {
-    val h = docs.select(col("doc_id"), DedupOps.simhash64(col("text")).as("s"))
+    val h = DedupOps.simhashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(0L) == h(3L))
     val near = java.lang.Long.bitCount(h(0L) ^ h(1L))
