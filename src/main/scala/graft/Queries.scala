@@ -441,6 +441,20 @@ object Queries {
              |  AND ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
              |             AND TIMESTAMP '2024-01-10 00:00:00'""".stripMargin)),
 
+    // ── Archive grouping (B10: monthly + quarterly rollups) ──────────
+
+    Q("q27_archive_grouping",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          quarter(col("ts")).as("qtr"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("month"),
+      Some("""SELECT strftime(ts, '%Y-%m') AS month,
+             |  CAST(quarter(ts) AS INT) AS qtr,
+             |  count(*) AS cnt, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY month""".stripMargin)),
+
     // ── Demo-data generator (S9; deterministic hash-based "random") ───
 
     Q("q26_demo_generator",

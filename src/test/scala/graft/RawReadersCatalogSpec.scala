@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.RawReaders
+import graft.planner.CatalogOps
+
+class RawReadersCatalogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("a", StringType), StructField("b", LongType)))
+
+  test("S3 csv encoding fallback: latin-1 bytes parse via fallback") {
+    val dir = Files.createTempDirectory("graft_enc")
+    // 0xE9 = é in latin-1; invalid as standalone UTF-8 byte
+    Files.write(dir.resolve("x.csv"),
+      ("a,b\n" + "café,1\n").getBytes("ISO-8859-1"))
+    val df = RawReaders.csvWithEncodingFallback(spark, dir.toString, schema)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 1L)
+  }
+
+  test("S4 parquet validated read: size bound and emptiness enforced") {
+    val dir = Files.createTempDirectory("graft_val").toString
+    Seq(("x", 1L)).toDF("a", "b").write.parquet(s"$dir/ok")
+    assert(RawReaders.parquetValidated(spark, s"$dir/ok").count() == 1)
+    intercept[IllegalArgumentException] {
+      RawReaders.parquetValidated(spark, s"$dir/ok", maxBytes = 1L)
+    }
+  }
+
+  test("S12/S13/S14/S2: existence, schema, drop, append lifecycle") {
+    assert(!CatalogOps.tableExists(spark, "lifecycle_t"))
+    CatalogOps.appendToView(spark, "lifecycle_t", Seq((1L, "a")).toDF("id", "s"))
+    assert(CatalogOps.tableExists(spark, "lifecycle_t"))
+    assert(CatalogOps.tableSchema(spark, "lifecycle_t").fieldNames.toSeq == Seq("id", "s"))
+    CatalogOps.appendToView(spark, "lifecycle_t", Seq((2L, "b")).toDF("id", "s"))
+    assert(spark.table("lifecycle_t").count() == 2)
+    assert(CatalogOps.dropViewIfExists(spark, "lifecycle_t"))
+    assert(!CatalogOps.tableExists(spark, "lifecycle_t"))
+  }
+
+  test("B8 cached time column returns the projection") {
+    Tables.load(spark, SparkTestSession.sfDir, "events")
+      .createOrReplaceTempView("events_b8")
+    val ts = CatalogOps.cachedTimeColumn(spark, "events_b8", "ts")
+    assert(ts.columns.toSeq == Seq("ts"))
+    assert(ts.count() > 0)
+    ts.unpersist()
+    spark.catalog.dropTempView("events_b8")
+  }
+}
