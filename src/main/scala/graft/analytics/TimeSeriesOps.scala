@@ -32,37 +32,51 @@ object TimeSeriesOps {
         count(lit(1)).as("cnt"))
       .orderBy("bucket_epoch")
 
+  /** Percentile aggregate selector. `exact = true` uses Spark's exact
+    * interpolating `percentile` (same linear interpolation as DuckDB's
+    * PERCENTILE_CONT — see SURVEY §7.4.1) — but it is a buffering
+    * aggregate: the final reduce materializes every distinct value, so
+    * an exact GLOBAL percentile over 100 TB concentrates the column on
+    * one reducer. `exact = false` switches to `percentile_approx`
+    * (t-digest-style constant-size sketch, mergeable map-side) — the
+    * right default at cluster scale; exact is kept for oracle parity and
+    * for small/grouped inputs where the group fits a reducer. */
+  private def pct(v: Column, p: Double, exact: Boolean): Column =
+    if (exact) percentile(v, lit(p))
+    else percentile_approx(v, lit(p), lit(10000))
+
   /** Global [lo, hi] percentile bounds of `v` as a 1-row frame
-    * (DatabaseQueries.ts:162-163). Uses Spark's exact interpolating
-    * `percentile` (same linear interpolation as DuckDB's
-    * PERCENTILE_CONT — see SURVEY §7.4.1). */
-  def percentileBounds(df: DataFrame, v: Column, lo: Double, hi: Double): DataFrame =
+    * (DatabaseQueries.ts:162-163). */
+  def percentileBounds(df: DataFrame, v: Column, lo: Double, hi: Double,
+                       exact: Boolean = true): DataFrame =
     df.filter(v.isNotNull)
       .agg(
-        percentile(v, lit(lo)).as("p_low"),
-        percentile(v, lit(hi)).as("p_high"))
+        pct(v, lo, exact).as("p_low"),
+        pct(v, hi, exact).as("p_high"))
 
   /** J1 — rows of `df` restricted to the global [lo, hi] percentile band
     * of `v` (the reference's scalar-broadcast cross join,
     * DatabaseQueries.ts:171-175). */
-  def percentileFiltered(df: DataFrame, v: Column, lo: Double, hi: Double): DataFrame =
+  def percentileFiltered(df: DataFrame, v: Column, lo: Double, hi: Double,
+                         exact: Boolean = true): DataFrame =
     df.filter(v.isNotNull)
-      .crossJoin(broadcast(percentileBounds(df, v, lo, hi)))
+      .crossJoin(broadcast(percentileBounds(df, v, lo, hi, exact)))
       .filter(v.between(col("p_low"), col("p_high")))
       .drop("p_low", "p_high")
 
   /** A4 — percentile-filtered hourly aggregation
     * (DatabaseQueries.ts:148-190). */
   def percentileFilteredHourly(df: DataFrame, ts: Column, v: Column,
-                               lo: Double, hi: Double): DataFrame =
-    timeBucketAgg(percentileFiltered(df, v, lo, hi), ts, v)
+                               lo: Double, hi: Double,
+                               exact: Boolean = true): DataFrame =
+    timeBucketAgg(percentileFiltered(df, v, lo, hi, exact), ts, v)
 
   /** A6 — IQR outlier removal: keep rows within
     * [q25 − 1.5·IQR, q75 + 1.5·IQR] (databaseOptimization.ts:196-220). */
-  def iqrFiltered(df: DataFrame, v: Column): DataFrame = {
+  def iqrFiltered(df: DataFrame, v: Column, exact: Boolean = true): DataFrame = {
     val q = df.filter(v.isNotNull).agg(
-      percentile(v, lit(0.25)).as("q1"),
-      percentile(v, lit(0.75)).as("q3"))
+      pct(v, 0.25, exact).as("q1"),
+      pct(v, 0.75, exact).as("q3"))
     df.filter(v.isNotNull)
       .crossJoin(broadcast(q))
       .filter(v.between(
@@ -77,7 +91,7 @@ object TimeSeriesOps {
     * Emits avg/min/max/stddev/count/quartiles per bucket
     * (databaseOptimization.ts:146-174). */
   def granularProfile(df: DataFrame, ts: Column, v: Column,
-                      granularity: String): DataFrame =
+                      granularity: String, exact: Boolean = true): DataFrame =
     df.filter(v.isNotNull)
       .groupBy(unix_timestamp(date_trunc(granularity, ts)).as("bucket_epoch"))
       .agg(
@@ -86,8 +100,8 @@ object TimeSeriesOps {
         max(v).as("max_value"),
         stddev(v).as("stddev_value"),
         count(lit(1)).as("cnt"),
-        percentile(v, lit(0.25)).as("q1"),
-        percentile(v, lit(0.5)).as("median"),
-        percentile(v, lit(0.75)).as("q3"))
+        pct(v, 0.25, exact).as("q1"),
+        pct(v, 0.5, exact).as("median"),
+        pct(v, 0.75, exact).as("q3"))
       .orderBy("bucket_epoch")
 }

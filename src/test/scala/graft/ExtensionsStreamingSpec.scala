@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.planner.{TimeBoundExtensions, UnboundedScanException}
+import graft.streaming.StreamingProfiles
+
+class ExtensionsStreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("time-bound check rule: unbounded scan of watched path rejected, bounded passes") {
+    val base = spark // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val guarded = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new TimeBoundExtensions)
+      .getOrCreate()
+    try {
+      guarded.conf.set("spark.graft.timeBound.paths", "events.parquet")
+      guarded.conf.set("spark.graft.timeBound.column", "ts")
+      val ev = Tables.load(guarded, SparkTestSession.sfDir, "events")
+
+      // unbounded scan → rejected at analysis
+      val ex = intercept[Exception] {
+        ev.groupBy("event_type").count().collect()
+      }
+      assert(ex.isInstanceOf[UnboundedScanException] ||
+        ex.getCause.isInstanceOf[UnboundedScanException] ||
+        ex.getMessage.contains("must be bounded"))
+
+      // time-bounded scan → allowed
+      val n = ev.filter(col("ts") >= "2024-01-01").count()
+      assert(n > 0)
+
+      // other tables unaffected
+      assert(Tables.load(guarded, SparkTestSession.sfDir, "nation").count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("streaming watermarked profile: closed windows emit once, late state bounded") {
+    val dir = Files.createTempDirectory("graft_sprof")
+    val in = dir.resolve("in"); Files.createDirectory(in)
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    import spark.implicits._
+
+    // file-source streams need a flat dir of files; write then move
+    def land(name: String, rows: Seq[(java.sql.Timestamp, Double)]): Unit = {
+      val tmp = dir.resolve(s"stage_$name")
+      rows.toDF("ts", "value").repartition(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(s"$name.parquet"))
+    }
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    land("b1", Seq(
+      (ts("2024-01-01 00:10:00"), 10.0),
+      (ts("2024-01-01 00:50:00"), 30.0),
+      (ts("2024-01-01 05:00:00"), 99.0))) // advances watermark past hour 0
+
+    val schema = "ts timestamp, value double"
+    def runPass(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in.toString)
+      val q = StreamingProfiles.timeBucketProfile(stream, "ts", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runPass()
+    // batch 2: watermark (from batch 1 max 05:00 - 2h lateness = 03:00)
+    // closes the 00:00 window → it emits in this pass
+    land("b2", Seq((ts("2024-01-01 06:00:00"), 5.0)))
+    runPass()
+
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(r.getDouble(1) == 20.0 && r.getLong(4) == 2L) // avg(10,30), cnt 2
+  }
+}
