@@ -541,7 +541,17 @@ object Queries {
       (s, dir) => tp(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 5
+             |      THEN list_transform(generate_series(0, len(toks) - 5),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh
+             |  FROM t)
+             |SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp
+             |FROM s ORDER BY doc_id""".stripMargin)),
 
     // ── Deduplication (training-pipeline ext) ─────────────────────────
 
@@ -619,14 +629,46 @@ object Queries {
         SimilarityOps.lshTopK(queries, corpus, 10, bits = 6)
           .select(col("qid"), col("cid"), r4(col("cosine")).as("cosine"), col("rank"))
       },
-      None),
+      Some("""WITH b AS (
+             |  SELECT vec_id, embedding,
+             |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+             |   + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+             |   + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+             |   + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+             |   + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 16),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id AS cid,
+             |    list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+             |  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT qid, cid, cos_raw,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+             |  FROM scored)
+             |SELECT qid, cid, round(cos_raw, 4) AS cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
     Q("q40_embedding_neardup",
       (s, dir) => DedupOps.embeddingNearDupPairs(
           tp(s, dir, "embeddings"), col("vec_id"), col("embedding"),
           threshold = 0.4, signBits = 6)
         .agg(count(lit(1)).as("neardup_pairs")),
-      None)
+      Some("""WITH b AS (
+             |  SELECT vec_id, embedding,
+             |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+             |   + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+             |   + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+             |   + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+             |   + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+             |   + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+             |  FROM embeddings)
+             |SELECT count(*) AS neardup_pairs
+             |FROM b a JOIN b c USING (bucket)
+             |WHERE a.vec_id < c.vec_id
+             |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |        CAST(c.embedding AS DOUBLE[])) >= 0.4""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

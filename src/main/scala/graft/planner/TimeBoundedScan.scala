@@ -34,7 +34,7 @@ object TimeBoundedScan {
     * the redundant-looking `ts BETWEEN` keeps row-level exactness at the
     * window edges. Timestamps are `yyyy-MM-dd HH:mm:ss` literals. */
   def scan(spark: SparkSession, path: String,
-           start: String, end: String): DataFrame = {
+           start: String, end: String, tsCol: String = "ts"): DataFrame = {
     require(start.nonEmpty && end.nonEmpty, throw UnboundedQueryException())
     val df = spark.read.parquet(path)
     val s = to_timestamp(lit(start))
@@ -44,7 +44,7 @@ object TimeBoundedScan {
     val partTs = make_timestamp(
       col("year"), col("month"), col("day"), col("hour"), lit(0), lit(0))
     df.filter(partTs >= date_trunc("hour", s) && partTs <= e)
-      .filter(col("ts").between(s, e))
+      .filter(col(tsCol).between(s, e))
   }
 
   /** Report what a scan will touch (B7 parity: expose plan metadata).
