@@ -79,6 +79,11 @@ object DedupOps {
                             bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, id, text, shingleSize, numHashes)
+    // NOTE: the two join branches re-derive the signature stage (their
+    // projections differ, so ReuseExchange does not apply). A measured
+    // attempt to share one pre-shuffled plan via a self-alias join was
+    // 8x SLOWER (forced repartition defeats AQE); two cheap signature
+    // passes win.
     val keyed = sigs
       .select(col("doc_id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bb"))
