@@ -16,8 +16,9 @@ import graft.ext._
   * driver's column-sorted value-hash comparison is stable:
   *  - identical output column names on both sides;
   *  - DOUBLE outputs rounded (4-6 decimals) to absorb summation-order
-  *    float noise (ties at the rounding boundary are non-dyadic, so both
-  *    engines' tie rules are unreachable);
+  *    float noise, via the engine-portable floor(x*10^n + 0.5)/10^n in
+  *    BOTH plans (engine round() primitives disagree on manufactured
+  *    fp ties — observed 1/100k rows at sf0.1);
   *  - timestamps exported as BIGINT epoch seconds of a date_trunc
   *    (engine timestamp precision — ns vs µs — never leaks);
   *  - every ranking gets a deterministic tiebreak;
@@ -40,7 +41,16 @@ object Queries {
   private def tp(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
-  private def r4(c: Column): Column = round(c, 4)
+  /** Engine-portable rounding: floor(x*10^n + 0.5)/10^n computed with
+    * the SAME fp ops the oracle SQL uses, so both engines produce
+    * bit-identical rounded values. Engine round() primitives disagree on
+    * manufactured ties (observed 1/100k rows at sf0.1: DuckDB's
+    * multiply-then-std::round vs Spark's BigDecimal HALF_UP). */
+  private def rnd(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * f + 0.5) / f
+  }
+  private def r4(c: Column): Column = rnd(c, 4)
 
   val all: Seq[Q] = Seq(
 
@@ -51,18 +61,18 @@ object Queries {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(avg(col("l_discount")), 6).as("avg_disc"),
+            rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+            rnd(sum(col("l_extendedprice")), 2).as("sum_price"),
+            rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            rnd(avg(col("l_discount")), 6).as("avg_disc"),
             count(lit(1)).as("cnt"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_price,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |  round(avg(l_discount), 6) AS avg_disc,
+             |  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+             |  floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+             |  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+             |  floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
              |  count(*) AS cnt
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
@@ -78,11 +88,11 @@ object Queries {
         c.join(n, col("c_nationkey") === col("n_nationkey"))
           .join(rg, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+          .agg(count(lit(1)).as("cnt"), rnd(sum(col("c_acctbal")), 2).as("total_bal"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name, count(*) AS cnt,
-             |  round(sum(c_acctbal), 2) AS total_bal
+             |  floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -95,11 +105,11 @@ object Queries {
         val c = broadcast(t(s, dir, "customer"))
         o.join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+          .agg(count(lit(1)).as("cnt"), rnd(sum(col("o_totalprice")), 2).as("revenue"))
           .orderBy("c_mktsegment", "o_orderpriority")
       },
       Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
-             |  round(sum(o_totalprice), 2) AS revenue
+             |  floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment, o_orderpriority
              |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)),
@@ -112,10 +122,10 @@ object Queries {
         val b = li.select(lit("discount").as("metric"), col("l_discount").as("val"))
         a.unionByName(b)
           .groupBy("metric")
-          .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 2).as("total"))
+          .agg(count(lit(1)).as("cnt"), rnd(sum(col("val")), 2).as("total"))
           .orderBy("metric")
       },
-      Some("""SELECT metric, count(*) AS cnt, round(sum(val), 2) AS total
+      Some("""SELECT metric, count(*) AS cnt, floor((sum(val)) * 100.0 + 0.5) / 100.0 AS total
              |FROM (
              |  SELECT 'price' AS metric, l_extendedprice AS val FROM lineitem
              |  UNION ALL
@@ -130,8 +140,8 @@ object Queries {
         .select(r4(col("min_value")).as("min_value"),
           r4(col("max_value")).as("max_value"),
           col("cnt"), col("null_cnt")),
-      Some("""SELECT round(min(value), 4) AS min_value,
-             |  round(max(value), 4) AS max_value,
+      Some("""SELECT floor((min(value)) * 10000.0 + 0.5) / 10000.0 AS min_value,
+             |  floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS max_value,
              |  count(*) AS cnt,
              |  count(CASE WHEN value IS NULL THEN 1 END) AS null_cnt
              |FROM events WHERE value IS NOT NULL""".stripMargin)),
@@ -158,9 +168,9 @@ object Queries {
           col("cnt")),
       Some("""SELECT
              |  CAST(EXTRACT(EPOCH FROM date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
-             |  round(avg(value), 4) AS avg_value,
-             |  round(min(value), 4) AS min_value,
-             |  round(max(value), 4) AS max_value,
+             |  floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+             |  floor((min(value)) * 10000.0 + 0.5) / 10000.0 AS min_value,
+             |  floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS max_value,
              |  count(*) AS cnt
              |FROM events WHERE value IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -177,9 +187,9 @@ object Queries {
              |  FROM events WHERE value IS NOT NULL)
              |SELECT
              |  CAST(EXTRACT(EPOCH FROM date_trunc('hour', ts)) AS BIGINT) AS bucket_epoch,
-             |  round(avg(value), 4) AS avg_value,
-             |  round(min(value), 4) AS min_value,
-             |  round(max(value), 4) AS max_value,
+             |  floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+             |  floor((min(value)) * 10000.0 + 0.5) / 10000.0 AS min_value,
+             |  floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS max_value,
              |  count(*) AS cnt
              |FROM events, p
              |WHERE value IS NOT NULL AND value BETWEEN p_low AND p_high
@@ -192,7 +202,7 @@ object Queries {
              |  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
              |         percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
              |  FROM events WHERE value IS NOT NULL)
-             |SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value
+             |SELECT count(*) AS cnt, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
              |FROM events, q
              |WHERE value IS NOT NULL
              |  AND value BETWEEN q1 - 1.5*(q3-q1) AND q3 + 1.5*(q3-q1)""".stripMargin)),
@@ -204,12 +214,12 @@ object Queries {
           r4(col("q1")).as("q1"), r4(col("median")).as("median"), r4(col("q3")).as("q3")),
       Some("""SELECT
              |  CAST(EXTRACT(EPOCH FROM date_trunc('day', ts)) AS BIGINT) AS bucket_epoch,
-             |  round(avg(value), 4) AS avg_value,
-             |  round(stddev_samp(value), 4) AS stddev_value,
+             |  floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+             |  floor((stddev_samp(value)) * 10000.0 + 0.5) / 10000.0 AS stddev_value,
              |  count(*) AS cnt,
-             |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 4) AS q1,
-             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS median,
-             |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 4) AS q3
+             |  floor((percentile_cont(0.25) WITHIN GROUP (ORDER BY value)) * 10000.0 + 0.5) / 10000.0 AS q1,
+             |  floor((percentile_cont(0.5) WITHIN GROUP (ORDER BY value)) * 10000.0 + 0.5) / 10000.0 AS median,
+             |  floor((percentile_cont(0.75) WITHIN GROUP (ORDER BY value)) * 10000.0 + 0.5) / 10000.0 AS q3
              |FROM events WHERE value IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -227,8 +237,8 @@ object Queries {
              |              ELSE least(19, floor((value - mn) / bw)) END AS BIGINT) AS bin_index,
              |         value, mn, bw
              |  FROM events, w WHERE value IS NOT NULL)
-             |SELECT bin_index, count(*) AS cnt, round(avg(value), 4) AS avg_value,
-             |  round(min(mn + bin_index * bw), 4) AS bin_start
+             |SELECT bin_index, count(*) AS cnt, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+             |  floor((min(mn + bin_index * bw)) * 10000.0 + 0.5) / 10000.0 AS bin_start
              |FROM b GROUP BY bin_index ORDER BY bin_index""".stripMargin)),
 
     Q("q08_series_histogram",
@@ -277,7 +287,7 @@ object Queries {
       (s, dir) => t(s, dir, "events")
         .filter(col("ts").between(lit("2024-01-02 00:00:00"), lit("2024-01-05 00:00:00")))
         .agg(count(lit(1)).as("cnt"), r4(avg(col("value"))).as("avg_value")),
-      Some("""SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value
+      Some("""SELECT count(*) AS cnt, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
              |FROM events
              |WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
              |             AND TIMESTAMP '2024-01-05 00:00:00'""".stripMargin)),
@@ -310,9 +320,9 @@ object Queries {
           count(lit(1)).as("cnt"))
         .orderBy("user_id"),
       Some("""SELECT user_id,
-             |  round(least(greatest(coalesce(
+             |  floor((least(greatest(coalesce(
              |    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
-             |      / nullif(sum(value), 0) * 100, 0), 0), 100), 4) AS purchase_pct,
+             |      / nullif(sum(value), 0) * 100, 0), 0), 100)) * 10000.0 + 0.5) / 10000.0 AS purchase_pct,
              |  count(*) AS cnt
              |FROM events WHERE value IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
@@ -345,10 +355,10 @@ object Queries {
              |    lag(tss)   OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev_t
              |  FROM s)
              |SELECT event_id, user_id,
-             |  round(CASE WHEN prev_v IS NULL THEN 0
+             |  floor((CASE WHEN prev_v IS NULL THEN 0
              |             WHEN (tss - prev_t) >= 0.1 AND (value - prev_v) >= 0
              |             THEN (value - prev_v) / (tss - prev_t)
-             |             ELSE 0 END, 4) AS rate
+             |             ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS rate
              |FROM lagged ORDER BY event_id""".stripMargin)),
 
     // ── Scalar-function suite (F6-F14) + clamp chain (§7.4.7) ─────────
@@ -367,7 +377,7 @@ object Queries {
              |  concat('doc-', lang, '-', CAST(doc_id AS VARCHAR)) AS tag,
              |  regexp_replace(source, 'src', 'SOURCE', 'g') AS src_norm,
              |  CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class,
-             |  round(least(greatest(CAST(n_chars AS DOUBLE) / nullif(100.0, 0), 0), 100), 4) AS clipped,
+             |  floor((least(greatest(CAST(n_chars AS DOUBLE) / nullif(100.0, 0), 0), 100)) * 10000.0 + 0.5) / 10000.0 AS clipped,
              |  CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -396,8 +406,8 @@ object Queries {
              |    greatest(total - least(free, total), 0) AS used
              |  FROM base)
              |SELECT l_orderkey, l_linenumber,
-             |  round(used, 4) AS used,
-             |  round(greatest(used - least(pages, least(total, used)), 0), 4) AS minus_cache
+             |  floor((used) * 10000.0 + 0.5) / 10000.0 AS used,
+             |  floor((greatest(used - least(pages, least(total, used)), 0)) * 10000.0 + 0.5) / 10000.0 AS minus_cache
              |FROM step ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ── Projection suite (P1/P4/P5/O5) ───────────────────────────────
@@ -413,7 +423,7 @@ object Queries {
         .limit(100),
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(l_linenumber AS DOUBLE) AS linenumber_double,
-             |  round(l_discount * 1000000.0, 4) AS discount_scaled,
+             |  floor((l_discount * 1000000.0) * 10000.0 + 0.5) / 10000.0 AS discount_scaled,
              |  l_returnflag
              |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
 
@@ -435,7 +445,7 @@ object Queries {
         cf(t(s, dir, "events"), "line")
           .agg(count(lit(1)).as("cnt"), r4(avg(col("value"))).as("avg_value"))
       },
-      Some("""SELECT count(*) AS cnt, round(avg(value), 4) AS avg_value
+      Some("""SELECT count(*) AS cnt, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
              |FROM events
              |WHERE value > 50 AND event_type = 'click'
              |  AND ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
@@ -448,11 +458,11 @@ object Queries {
         .groupBy(
           date_format(col("ts"), "yyyy-MM").as("month"),
           quarter(col("ts")).as("qtr"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("cnt"), rnd(sum(col("value")), 2).as("total_value"))
         .orderBy("month"),
       Some("""SELECT strftime(ts, '%Y-%m') AS month,
              |  CAST(quarter(ts) AS INT) AS qtr,
-             |  count(*) AS cnt, round(sum(value), 2) AS total_value
+             |  count(*) AS cnt, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY month""".stripMargin)),
 
     // ── Demo-data generator (S9; deterministic hash-based "random") ───
@@ -473,8 +483,8 @@ object Queries {
             (u(3) * 31 + 1).cast(LongType).as("ncores"),
             concat(lit("demo-account-"), (u(4) * 100).cast(LongType).cast("string")).as("account"),
             when(u(5) < 0.9, "0").otherwise("1").as("exitcode"),
-            round(u(6) * 100, 4).as("value_cpuuser"),
-            round(u(7) * 16000, 4).as("value_memused"))
+            rnd(u(6) * 100, 4).as("value_cpuuser"),
+            rnd(u(7) * 16000, 4).as("value_memused"))
       },
       None),
 
@@ -490,7 +500,7 @@ object Queries {
         .orderBy("lang"),
       Some("""SELECT lang, count(*) AS docs,
              |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-             |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+             |  floor((avg(CAST(n_chars AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS avg_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("q31_quality_scores",
@@ -505,9 +515,9 @@ object Queries {
              |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
              |  FROM documents)
              |SELECT doc_id,
-             |  round(least(n_tokens / 64.0, 1.0) * 0.4
+             |  floor((least(n_tokens / 64.0, 1.0) * 0.4
              |    + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
-             |    + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3, 6) AS quality,
+             |    + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS quality,
              |  CAST(n_tokens AS INT) AS n_tokens
              |FROM toks ORDER BY doc_id""".stripMargin)),
 
@@ -617,7 +627,7 @@ object Queries {
              |  SELECT qid, cid, cos_raw,
              |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
              |  FROM scored)
-             |SELECT qid, cid, round(cos_raw, 4) AS cosine, CAST(rank AS INT) AS rank
+             |SELECT qid, cid, floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
     Q("q39_knn_lsh",
@@ -647,7 +657,7 @@ object Queries {
              |  SELECT qid, cid, cos_raw,
              |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
              |  FROM scored)
-             |SELECT qid, cid, round(cos_raw, 4) AS cosine, CAST(rank AS INT) AS rank
+             |SELECT qid, cid, floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
     Q("q40_embedding_neardup",

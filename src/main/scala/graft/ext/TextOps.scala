@@ -78,7 +78,8 @@ object TextOps {
     val lenScore  = least(tokenCount(text).cast(DoubleType) / lit(64.0), lit(1.0))
     val punctPen  = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round(lenScore * 0.4 + punctPen * 0.3 + stopScore * 0.3, 6)
+    // floor-based rounding: engine-portable (see Queries.rnd)
+    floor((lenScore * 0.4 + punctPen * 0.3 + stopScore * 0.3) * 1e6 + 0.5) / 1e6
   }
 
   /** k-token shingles joined with single spaces. */

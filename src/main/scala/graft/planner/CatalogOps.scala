@@ -32,6 +32,15 @@ object CatalogOps {
     combined.createOrReplaceTempView(name)
   }
 
+  /** Table statistics for CBO — parity with the reference's
+    * `ANALYZE <table>` + `PRAGMA table_info`
+    * (databaseOptimization.ts:102-123). */
+  def analyzeTable(spark: SparkSession, name: String, columns: Seq[String] = Nil): Unit = {
+    val forCols =
+      if (columns.nonEmpty) s" FOR COLUMNS ${columns.mkString(", ")}" else ""
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS$forCols")
+  }
+
   /** B8 — the reference special-cases `SELECT TIME FROM JOB_DATA` with a
     * precomputed timestamps artifact (lambda_handler.py:493-531). Spark
     * form: cache the single-column projection. */
