@@ -660,6 +660,17 @@ object Queries {
              |SELECT qid, cid, floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
+    Q("q41_knn_ivf",
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.ivfTopK(queries, corpus, 10, nlist = 16, nprobe = 4)
+          .select(col("qid"), col("cid"), r4(col("cosine")).as("cosine"), col("rank"))
+      },
+      None),
+
     Q("q40_embedding_neardup",
       (s, dir) => DedupOps.embeddingNearDupPairs(
           tp(s, dir, "embeddings"), col("vec_id"), col("embedding"),

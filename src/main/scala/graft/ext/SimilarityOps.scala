@@ -61,6 +61,53 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-style index: `nlist` centroids picked deterministically from
+    * the corpus (hash-ordered sample — a real deployment would k-means;
+    * the plumbing is identical), plus the corpus with each vector
+    * assigned to its nearest centroid. Returns (centroids, assigned).
+    *
+    * Scale shape: centroids broadcast everywhere; assignment is ONE
+    * corpus scan (cross join with the tiny broadcast list + per-row
+    * argmax via max(struct)). The assigned table is the inverted file:
+    * searches touch only `nprobe/nlist` of it. */
+  def ivfIndex(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    val centroids = broadcast(
+      corpus.orderBy(xxhash64(col("cid")))
+        .limit(nlist)
+        .select(col("cvec").as("centvec"))
+        .withColumn("centroid_id",
+          row_number().over(Window.orderBy(xxhash64(col("centvec").cast("string"))))))
+    val assigned = corpus.crossJoin(centroids)
+      .groupBy("cid")
+      .agg(
+        first("cvec").as("cvec"),
+        max(struct(cosine(col("cvec"), col("centvec")).as("sim"),
+          col("centroid_id"))).getField("centroid_id").as("centroid_id"))
+    (centroids, assigned)
+  }
+
+  /** IVF top-k: each query probes its `nprobe` nearest centroids and
+    * scores only the inverted lists behind them — the classic
+    * recall-for-throughput trade at 100 TB corpus scale. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nlist)
+    val scoredProbes = queries.crossJoin(centroids)
+      .withColumn("sim_c", cosine(col("qvec"), col("centvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim_c"), asc("centroid_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    scoredProbes.join(assigned, Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Approximate top-k via sign-LSH bucket join: candidates must share
     * the query's sign bucket. Same output shape as `bruteForceTopK`. At
     * cluster scale both sides shuffle (or broadcast) on the bucket key,
