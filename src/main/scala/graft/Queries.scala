@@ -593,6 +593,9 @@ object Queries {
     Q("q37_ngram_jaccard",
       (s, dir) => {
         // Exact 3-gram Jaccard over LSH candidate pairs (verify stage).
+        // (Measured: localCheckpoint-ing the candidate set to avoid the
+        // re-derivation in the join back to texts does NOT help — the
+        // eager materialization costs what the re-derivation saves.)
         val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
         val cands = DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"))
           .filter(col("est_jaccard") >= 0.5)
