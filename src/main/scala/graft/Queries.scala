@@ -133,6 +133,69 @@ object Queries {
              |)
              |GROUP BY metric ORDER BY metric""".stripMargin)),
 
+    Q("q42_shipping_priority",
+      (s, dir) => {
+        // TPC-H Q3 shape: 3-way join, date band, top-10 revenue.
+        val c = broadcast(t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("orderdate_epoch"))
+          .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS orderdate_epoch,
+             |  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q43_regional_revenue",
+      (s, dir) => {
+        // TPC-H Q5 shape: 6-way join (3 broadcast dims), revenue by nation.
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val li = t(s, dir, "lineitem")
+        val sup = broadcast(t(s, dir, "supplier"))
+        val n = broadcast(t(s, dir, "nation"))
+        val rg = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(rg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // ── Stats probes (A1/A2/A12) ──────────────────────────────────────
 
     Q("q02_column_stats",
