@@ -27,18 +27,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // A failed query is recorded as -1 with its name in "failed" — NOT as
+    // its (fast) time-to-throw, which would make breakage look like a win.
     val results = selected.map { case (name, fn) =>
+      var ok = true
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, ok, times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, ok, v) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, false, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, true, v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  /** Per-query timezone knob (SURVEY §1.3: the reference pins sessions
+    * to America/New_York; here tz is a parameter, not session state).
+    * Buckets are truncated on the LOCAL wall clock of `tz` — day/week
+    * boundaries shift with DST — and `bucket_epoch` labels the bucket by
+    * its local wall time read as if UTC, the same convention DuckDB's
+    * `EXTRACT(EPOCH FROM date_trunc(g, timezone(tz, timezone('UTC',
+    * ts))))` produces, so oracles agree without session-TZ games. */
+  private def localTs(ts: Column, tz: String): Column =
+    if (tz == "UTC") ts else from_utc_timestamp(ts, tz)
+
   /** A3 — `GROUP BY date_trunc(granularity, ts)` → avg/min/max/count,
     * ordered by bucket (DatabaseQueries.ts:127-139). `bucket_epoch` is
-    * epoch seconds of the bucket start. */
+    * epoch seconds of the bucket start (in `tz`'s wall clock, see
+    * `localTs`). */
   def timeBucketAgg(df: DataFrame, ts: Column, v: Column,
-                    granularity: String = "hour"): DataFrame =
+                    granularity: String = "hour", tz: String = "UTC"): DataFrame =
     df.filter(v.isNotNull)
-      .groupBy(unix_timestamp(date_trunc(granularity, ts)).as("bucket_epoch"))
+      .groupBy(unix_timestamp(date_trunc(granularity, localTs(ts, tz))).as("bucket_epoch"))
       .agg(
         avg(v).as("avg_value"),
         min(v).as("min_value"),
@@ -91,9 +102,10 @@ object TimeSeriesOps {
     * Emits avg/min/max/stddev/count/quartiles per bucket
     * (databaseOptimization.ts:146-174). */
   def granularProfile(df: DataFrame, ts: Column, v: Column,
-                      granularity: String, exact: Boolean = true): DataFrame =
+                      granularity: String, exact: Boolean = true,
+                      tz: String = "UTC"): DataFrame =
     df.filter(v.isNotNull)
-      .groupBy(unix_timestamp(date_trunc(granularity, ts)).as("bucket_epoch"))
+      .groupBy(unix_timestamp(date_trunc(granularity, localTs(ts, tz))).as("bucket_epoch"))
       .agg(
         avg(v).as("avg_value"),
         min(v).as("min_value"),

@@ -10,29 +10,39 @@ object RawReaders {
 
   /** S3 — CSV read with multi-encoding fallback: try utf-8 → latin-1 →
     * cp1252, permissive parse (pipeline.py:223-240). A read "fails" for
-    * an encoding when every row of a sample is corrupt; Spark's
-    * PERMISSIVE mode nulls malformed columns instead of erroring, so the
-    * probe checks that the sample parsed at all. */
+    * an encoding when every sampled row is malformed; the probe looks at
+    * `_corrupt_record` (decode/parse corruption only), NOT at whether the
+    * row contains nulls — a source whose first rows carry legitimate null
+    * columns must still be accepted on the first working encoding. */
   def csvWithEncodingFallback(spark: SparkSession, path: String,
                               schema: StructType,
                               encodings: Seq[String] = Seq("UTF-8", "ISO-8859-1", "windows-1252"),
                               header: Boolean = true): DataFrame = {
-    val attempts = encodings.iterator.map { enc =>
-      val df = spark.read
-        .schema(schema)
-        .option("header", header.toString)
-        .option("encoding", enc)
-        .option("mode", "PERMISSIVE")
-        .csv(path)
-      enc -> df
-    }
-    attempts
-      .find { case (_, df) =>
-        // cheap probe: the 10-row sample has at least one fully-parsed row
-        val sample = df.limit(10).collect()
-        sample.nonEmpty && sample.exists(r => !r.anyNull)
+    val corruptCol = "_graft_corrupt"
+    val probeSchema = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    encodings.iterator
+      .find { enc =>
+        // full-row probe: Spark forbids projecting ONLY the corrupt
+        // column from a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        val probe = spark.read
+          .schema(probeSchema)
+          .option("header", header.toString)
+          .option("encoding", enc)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corruptCol)
+          .csv(path)
+          .limit(10).collect()
+        val idx = probeSchema.fieldIndex(corruptCol)
+        probe.nonEmpty && probe.exists(_.isNullAt(idx))
       }
-      .map(_._2)
+      .map { enc =>
+        spark.read
+          .schema(schema)
+          .option("header", header.toString)
+          .option("encoding", enc)
+          .option("mode", "PERMISSIVE")
+          .csv(path)
+      }
       .getOrElse(throw new IllegalArgumentException(
         s"no encoding in ${encodings.mkString(",")} could parse $path"))
   }

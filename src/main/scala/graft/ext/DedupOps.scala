@@ -101,14 +101,80 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity between two texts' shingle sets. */
-  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column = {
-    val sa = array_distinct(TextOps.shingles(textA, k))
-    val sb = array_distinct(TextOps.shingles(textB, k))
+  /** MinHash signatures with the document text carried through the
+    * aggregate (`first(text)` partial-aggregates map-side, so the
+    * shuffle carries one text per doc per map partition — the same bytes
+    * a join-back would move, without the extra join). */
+  private def minhashWithText(df: DataFrame, id: Column, text: Column,
+                              shingleSize: Int, numHashes: Int): DataFrame = {
+    val coeffs = hashCoeffs(numHashes)
+    // two projections: aliasing `text` and referencing the caller's
+    // `text` column in ONE select trips Spark's lateral-column-alias
+    // resolution (INTERNAL_ERROR LateralColumnAliasReference)
+    val base = df.select(id.as("doc_id"), text.as("text"))
+    val exploded = base.select(col("doc_id"), col("text"),
+      explode(transform(TextOps.shingles(col("text"), shingleSize), s => xxhash64(s))).as("h"))
+    val mins = coeffs.zipWithIndex.map { case ((b, r), i) =>
+      val x = col("h").bitwiseXOR(lit(b))
+      min(shiftleft(x, r).bitwiseOR(shiftrightunsigned(x, 64 - r))).as(s"m_$i")
+    }
+    val aggs = first(col("text")).as("text") +: mins
+    exploded.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("text"),
+        array((0 until numHashes).map(i => col(s"m_$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs + exact n-gram Jaccard verify in ONE pass: the
+    * signature frame is persisted (lazy cache — AQE-compatible, unlike
+    * an eager localCheckpoint) so the two band-join branches compute the
+    * MinHash stage once, and the text rides along through the band
+    * explode so no join-back to the corpus is needed. Returns
+    * (id_a, id_b, est_jaccard, jaccard). */
+  def minhashVerifiedPairs(df: DataFrame, id: Column, text: Column,
+                           shingleSize: Int = 3, numHashes: Int = 32,
+                           bands: Int = 8, estThreshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashWithText(df, id, text, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sigs
+      .select(col("doc_id"), col("text"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("text"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = keyed.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"), col("text").as("text_a"))
+    val b = keyed.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"), col("text").as("text_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("est_jaccard") >= estThreshold)
+      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingleSize))
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+  }
+
+  /** Jaccard similarity of two ALREADY-MATERIALIZED distinct shingle
+    * arrays. Callers computing similarity per candidate PAIR should
+    * materialize `array_distinct(TextOps.shingles(text, k))` per
+    * document BEFORE the pair join and use this — inlining the full
+    * shingle pipeline into a per-pair expression makes Catalyst
+    * re-derive it for every reference (no CSE for interpreted
+    * higher-order functions; measured ~8 copies in the q46 plan). */
+  def jaccardFromShingleSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast(DoubleType)
     val union = (size(sa) + size(sb)).cast(DoubleType) - inter
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
+
+  /** Exact n-gram Jaccard similarity between two texts' shingle sets. */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column =
+    jaccardFromShingleSets(
+      array_distinct(TextOps.shingles(textA, k)),
+      array_distinct(TextOps.shingles(textB, k)))
 
   /** SimHash-64 per document: each token's xxhash64 contributes +1/−1 to
     * 64 bit positions; positive positions set the output bit.
@@ -137,21 +203,102 @@ object DedupOps {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
-    * sign-LSH over the first `signBits` dimensions so only same-bucket
-    * pairs are compared (plus, for recall, callers can union several
-    * rotations; exactness is traded for the bucket join's scalability). */
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed
+    * by sign-LSH over `signBits` seeded random hyperplanes (see
+    * [[Hyperplanes]] — random projections keep buckets balanced where
+    * raw leading dimensions would skew them) so only same-bucket pairs
+    * are compared. For recall, callers can union several seeds;
+    * exactness is traded for the bucket join's scalability. */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
-                            threshold: Double, signBits: Int = 8): DataFrame = {
+                            threshold: Double, dim: Int,
+                            signBits: Int = 8, seed: Long = 7L): DataFrame = {
     val bucketed = df.select(
       id.as("vid"), vec.as("v"),
-      SimilarityOps.signBucket(vec, signBits).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("vb"))
+      SimilarityOps.signBucket(vec, dim, signBits, seed).as("bucket"),
+      SimilarityOps.l2Norm(vec).as("vn")) // norm once per doc, not per pair
+    val a = bucketed.select(col("bucket"), col("vid").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = bucketed.select(col("bucket"), col("vid").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", SimilarityOps.cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        SimilarityOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  // ── Cluster resolution: pairs → connected components → keep-one ────
+
+  /** Connected components over a candidate-pair edge list: returns
+    * (doc_id, cluster_id) for every id that appears in `pairs`, where
+    * cluster_id = the MINIMUM id in the component (so the canonical
+    * "keep" doc falls out as doc_id == cluster_id).
+    *
+    * Algorithm: iterative min-label propagation with one-hop pointer
+    * compression per round — each round is two shuffles on the id key
+    * (neighbor-min aggregate + parent lookup), and the compression step
+    * makes labels chase pointers so convergence is O(log component
+    * diameter), not O(diameter). Each round's label frame is
+    * checkpointed (localCheckpoint — on a cluster, reliable checkpoint)
+    * to truncate the logical plan: iterating raw DataFrames grows the
+    * Catalyst plan per round and analysis time explodes. Convergence is
+    * detected by a changed-row count. This is the standard way
+    * components survive a 100 TB edge list — no driver-side union-find,
+    * no collect. */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst"))
+      .union(pairs.select(col("id_b").cast(LongType).as("src"),
+        col("id_a").cast(LongType).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      iter += 1
+      // propagate: candidate label = min(own, min over neighbours)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // compress: follow the label pointer one hop (label ids are node
+      // ids, so the parent's label is defined for every label value)
+      val parent = prop.select(col("id").as("label"), col("label").as("plabel"))
+      val next = prop.join(parent, Seq("label"), "left")
+        .select(col("id"), coalesce(col("plabel"), col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      done = changed == 0
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end near-dedup of a corpus: MinHash-LSH candidates →
+    * exact-Jaccard verify → connected components → keep the minimum-id
+    * document of each duplicate cluster. Returns the surviving rows of
+    * `df` (anti-join against the non-keepers — the corpus itself never
+    * collects anywhere). */
+  def nearDedup(df: DataFrame, id: Column, text: Column,
+                shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                jaccardThreshold: Double = 0.8): DataFrame = {
+    val pairs = minhashVerifiedPairs(df, id, text, shingleSize, numHashes, bands,
+      estThreshold = 0.5)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    val losers = resolveClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__loser_id"))
+    df.join(losers, id === col("__loser_id"), "left_anti")
   }
 }

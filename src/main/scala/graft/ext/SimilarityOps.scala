@@ -5,18 +5,69 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+/** Deterministic random-hyperplane family for sign-LSH.
+  *
+  * Components are seeded Gaussians ROUNDED TO 6 DECIMALS so the exact
+  * same numbers are expressible as literals in oracle SQL: both engines
+  * then evaluate the identical left-associated double-precision sum, so
+  * the sign test agrees bit-for-bit.
+  *
+  * Why hyperplanes and not the signs of the leading raw dimensions:
+  * real embeddings have correlated leading dims, which piles most of the
+  * corpus into a few buckets — one reducer then owns the hot bucket at
+  * 100 TB. A random projection decorrelates the bits, so bucket sizes
+  * concentrate around n/2^bits.
+  */
+object Hyperplanes {
+
+  /** `bits` hyperplanes of `dim` 6-decimal components. Deterministic in
+    * (dim, bits, seed) — across runs, engines, cluster sizes. */
+  def planes(dim: Int, bits: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(math.floor(rnd.nextGaussian() * 1e6 + 0.5) / 1e6))
+  }
+
+  /** Codegen'd literal dot product: Σ vec[i]·w[i] expanded to a
+    * left-associated chain of multiply-adds (a higher-order `aggregate`
+    * over a literal array would run interpreted). */
+  def dotLit(vec: Column, w: Seq[Double]): Column =
+    w.zipWithIndex.map { case (c, i) =>
+      element_at(vec, i + 1).cast(DoubleType) * lit(c)
+    }.reduce(_ + _)
+
+  /** Sign-LSH bucket id in [0, 2^bits): bit i set iff dot(vec, plane_i)
+    * ≥ 0. Narrow, codegen'd, zero shuffle. */
+  def bucket(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
+    planes(dim, bits, seed).zipWithIndex.map { case (p, i) =>
+      when(dotLit(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** The SAME bucket computation as DuckDB SQL over `vecExpr` (a FLOAT[]
+    * column). Literals are ::DOUBLE-cast — DuckDB would otherwise parse
+    * them as DECIMAL and diverge from Spark's double arithmetic. */
+  def bucketSql(vecExpr: String, dim: Int, bits: Int, seed: Long = 7L): String =
+    planes(dim, bits, seed).zipWithIndex.map { case (p, i) =>
+      val dot = p.zipWithIndex
+        .map { case (c, j) => s"$vecExpr[${j + 1}]::DOUBLE * ($c)::DOUBLE" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Two paths, per the standard design:
+  * Three paths, per the standard design:
   *  - `bruteForceTopK` — exact baseline: broadcast the (small) query set
   *    against the corpus; one corpus scan, dot products via `zip_with` +
-  *    `aggregate` (codegen'd, no UDF), per-query top-k via window. Scales
-  *    linearly in corpus size; right answer, O(|Q|·|C|) work.
-  *  - `lshTopK` — scale path: sign-LSH bucket join. Corpus and queries
-  *    hash to sign-pattern buckets over the leading dimensions; only
-  *    same-bucket candidates are scored. Recall < 1 by construction;
-  *    `probeBits` trades recall for candidate volume.
+  *    `aggregate`, per-query top-k via window. Right answer, O(|Q|·|C|).
+  *  - `lshTopK` — sign-LSH bucket join over random hyperplanes; only
+  *    same-bucket candidates are scored. `tables` unions several
+  *    independent hyperplane families for recall.
+  *  - `ivfTopK` — IVF: spherical k-means centroids (broadcast literals,
+  *    shuffle-free assignment), searches probe only `nprobe/nlist` of
+  *    the corpus. The index is built once per (corpus, params) and
+  *    persisted — queries reuse it.
   */
 object SimilarityOps {
 
@@ -35,13 +86,20 @@ object SimilarityOps {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
-  /** Sign-LSH bucket id from the signs of the first `bits` dimensions:
-    * an integer in [0, 2^bits). Deterministic, engine-agnostic. */
-  def signBucket(vec: Column, bits: Int): Column =
-    aggregate(
-      zip_with(slice(vec, 1, bits), sequence(lit(0), lit(bits - 1)),
-        (x, i) => when(x.cast(DoubleType) >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  /** Cosine from PRE-COMPUTED norms: bit-identical to `cosine` (same op
+    * order: d / (na·nb)) but only ONE array traversal per pair. The
+    * candidate-scoring paths materialize each side's norm once per
+    * DOCUMENT before the pair join — per-pair norm recomputation was 3
+    * interpreted array traversals where one suffices. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val n = na * nb
+    when(n > 0, dot(a, b) / n).otherwise(lit(0.0))
+  }
+
+  /** Sign-LSH bucket id from `bits` seeded random hyperplanes (see
+    * [[Hyperplanes]]). `dim` is the embedding dimensionality. */
+  def signBucket(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
+    Hyperplanes.bucket(vec, dim, bits, seed)
 
   /** Exact brute-force cosine top-k.
     * `queries`: (qid, qvec); `corpus`: (cid, cvec). Returns
@@ -61,46 +119,143 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  /** IVF-style index: `nlist` centroids picked deterministically from
-    * the corpus (hash-ordered sample — a real deployment would k-means;
-    * the plumbing is identical), plus the corpus with each vector
-    * assigned to its nearest centroid. Returns (centroids, assigned).
-    *
-    * Scale shape: centroids broadcast everywhere; assignment is ONE
-    * corpus scan (cross join with the tiny broadcast list + per-row
-    * argmax via max(struct)). The assigned table is the inverted file:
-    * searches touch only `nprobe/nlist` of it. */
-  def ivfIndex(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
-    val centroids = broadcast(
-      corpus.orderBy(xxhash64(col("cid")))
-        .limit(nlist)
-        .select(col("cvec").as("centvec"))
-        .withColumn("centroid_id",
-          row_number().over(Window.orderBy(xxhash64(col("centvec").cast("string"))))))
-    val assigned = corpus.crossJoin(centroids)
-      .groupBy("cid")
-      .agg(
-        first("cvec").as("cvec"),
-        max(struct(cosine(col("cvec"), col("centvec")).as("sim"),
-          col("centroid_id"))).getField("centroid_id").as("centroid_id"))
-    (centroids, assigned)
+  /** Approximate top-k via sign-LSH bucket join: candidates must share
+    * the query's bucket in at least one of `tables` hyperplane families.
+    * Same output shape as `bruteForceTopK`. At cluster scale both sides
+    * shuffle (or broadcast) on the bucket key, so the pair space shrinks
+    * by ~2^bits per table for near-uniform data; extra tables buy recall
+    * at proportional candidate cost. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              dim: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
+    val candTables = (0 until tables).map { t =>
+      val seed = 7L + t
+      val qb = queries
+        .withColumn("bucket", signBucket(col("qvec"), dim, bits, seed))
+        .withColumn("qnorm", l2Norm(col("qvec")))
+      val cb = corpus
+        .withColumn("bucket", signBucket(col("cvec"), dim, bits, seed))
+        .withColumn("cnorm", l2Norm(col("cvec")))
+      cb.join(broadcast(qb), Seq("bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .select("qid", "qvec", "qnorm", "cid", "cvec", "cnorm")
+    }
+    val cands =
+      if (tables == 1) candTables.head
+      else candTables.reduce(_ unionByName _).dropDuplicates("qid", "cid")
+    cands
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cosine", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  // ── IVF ────────────────────────────────────────────────────────────
+
+  /** A fitted IVF index: unit-normalized centroid literals (index
+    * metadata, lives on the driver/broadcast — NOT data-path rows) plus
+    * the corpus with its per-row nearest-centroid assignment (the
+    * inverted file), persisted for reuse across query batches. */
+  case class IvfModel(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Dot of a vector column with an ARRAY-LITERAL centroid. Deliberately
+    * the compact zip_with form, not the unrolled multiply-add chain: 16
+    * centroids × 64 dims unrolled is a >64 KB codegen method — janino
+    * rejects it, the whole stage falls back to interpreted ANYWAY, and
+    * every run pays the failed-compile + huge-plan analysis in driver
+    * time (measured as inter-job gaps dominating q41). The small tree
+    * keeps analysis/codegen cheap; per-row eval is an array traversal. */
+  private def dotArr(vec: Column, c: Array[Double]): Column =
+    aggregate(zip_with(vec, lit(c), (x, w) => x.cast(DoubleType) * w),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Per-row argmax over the centroid literals: one narrow projection —
+    * zero shuffle, zero row amplification. Ties break to the larger
+    * centroid id (array_max on (sim, id) structs). */
+  private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotArr(vec, c).as("sim"), lit(i).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Fit an IVF index: deterministic hash-ordered sample init, then
+    * `iters` spherical-k-means (Lloyd) refinement steps. Each step is
+    * ONE narrow corpus scan (assignment = broadcast-literal argmax) plus
+    * a (nlist × dim)-row partial aggregate — no crossJoin, no
+    * full-corpus shuffle anywhere. Centroids are unit-normalized and
+    * rounded to 6 decimals so refits are bit-deterministic. */
+  def ivfFit(corpus: DataFrame, nlist: Int, iters: Int = 2): IvfModel = {
+    def normRound(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => if (n > 0) math.floor(x / n * 1e6 + 0.5) / 1e6 else 0.0)
+    }
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col("cid")))
+      .limit(nlist)
+      .select(col("cvec"))
+      .collect()
+      .map(r => normRound(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .sortBy(_.toSeq.toIndexedSeq.toString) // stable order independent of sample order
+    for (_ <- 1 to iters) {
+      val sums = corpus
+        .withColumn("centroid_id", nearestCentroid(col("cvec"), centroids))
+        .select(col("centroid_id"), posexplode(col("cvec")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .collect()
+      val byId = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byId.get(i) match {
+          case Some(rows) =>
+            normRound(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    val assigned = corpus
+      .withColumn("centroid_id", nearestCentroid(col("cvec"), centroids))
+      .withColumn("cnorm", l2Norm(col("cvec"))) // norm lives in the index
+    IvfModel(centroids, assigned)
+  }
+
+  /** Index cache: one fitted+persisted model per (session, caller key,
+    * nlist, iters) — the index is built once and reused across query
+    * batches, as a real deployment would persist it next to the corpus.
+    * Keyed on the session identity too, so a stale model never outlives
+    * the SparkSession that persisted it. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap[(Int, String, Int, Int), IvfModel]()
+
+  def ivfFitCached(cacheKey: String, corpus: DataFrame,
+                   nlist: Int, iters: Int = 2): IvfModel = {
+    val sessionId = System.identityHashCode(corpus.sparkSession)
+    modelCache.getOrElseUpdate((sessionId, cacheKey, nlist, iters), {
+      val m = ivfFit(corpus, nlist, iters)
+      IvfModel(m.centroids,
+        m.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
   }
 
   /** IVF top-k: each query probes its `nprobe` nearest centroids and
     * scores only the inverted lists behind them — the classic
-    * recall-for-throughput trade at 100 TB corpus scale. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val (centroids, assigned) = ivfIndex(corpus, nlist)
-    val scoredProbes = queries.crossJoin(centroids)
-      .withColumn("sim_c", cosine(col("qvec"), col("centvec")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim_c"), asc("centroid_id"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("qid"), col("qvec"), col("centroid_id"))
-    scoredProbes.join(assigned, Seq("centroid_id"))
+    * recall-for-throughput trade at 100 TB corpus scale. Query-side
+    * probe selection is a narrow projection over the same centroid
+    * literals; the candidate join broadcasts the (tiny) probe list, so
+    * the corpus side never shuffles before the per-query top-k. */
+  def ivfTopK(queries: DataFrame, model: IvfModel, k: Int, nprobe: Int): DataFrame = {
+    val probeStructs = array_sort(array(model.centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct((-dotArr(col("qvec"), c)).as("negsim"), lit(i).as("cid"))
+    }: _*))
+    val probes = queries
+      .select(col("qid"), col("qvec"), l2Norm(col("qvec")).as("qnorm"),
+        explode(slice(probeStructs, 1, nprobe)).as("probe"))
+      .select(col("qid"), col("qvec"), col("qnorm"), col("probe.cid").as("centroid_id"))
+    model.assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
       .filter(col("rank") <= k)
@@ -108,21 +263,14 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  /** Approximate top-k via sign-LSH bucket join: candidates must share
-    * the query's sign bucket. Same output shape as `bruteForceTopK`. At
-    * cluster scale both sides shuffle (or broadcast) on the bucket key,
-    * so the pair space shrinks by ~2^bits for near-uniform data. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 8): DataFrame = {
-    val qb = queries.withColumn("bucket", signBucket(col("qvec"), bits))
-    val cb = corpus.withColumn("bucket", signBucket(col("cvec"), bits))
-    cb.join(broadcast(qb), Seq("bucket"))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "cosine", "rank")
-      .orderBy("qid", "rank")
+  /** Convenience overload: fit (or reuse via `cacheKey`) then search. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              cacheKey: Option[String] = None): DataFrame = {
+    val model = cacheKey match {
+      case Some(key) => ivfFitCached(key, corpus, nlist)
+      case None => ivfFit(corpus, nlist)
+    }
+    ivfTopK(queries, model, k, nprobe)
   }
 }

@@ -83,15 +83,79 @@ class ExtSpec extends AnyFunSuite {
     val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val lsh = SimilarityOps.lshTopK(q, c, 5, bits = 4).collect()
+    val lsh = SimilarityOps.lshTopK(q, c, 5, dim = 64, bits = 4).collect()
     assert(lsh.nonEmpty && lsh.length <= 5)
     // every LSH hit shares the query's sign bucket by construction
     val bucketOfQ = emb.filter(col("vec_id") === 0)
-      .select(SimilarityOps.signBucket(col("embedding"), 4)).head().getLong(0)
+      .select(SimilarityOps.signBucket(col("embedding"), 64, 4)).head().getLong(0)
     val hitIds = lsh.map(_.getLong(1)).toSet
     val buckets = emb.filter(col("vec_id").isin(hitIds.toSeq: _*))
-      .select(SimilarityOps.signBucket(col("embedding"), 4)).collect().map(_.getLong(0))
+      .select(SimilarityOps.signBucket(col("embedding"), 64, 4)).collect().map(_.getLong(0))
     assert(buckets.forall(_ == bucketOfQ))
+  }
+
+  test("hyperplane buckets are balanced (no leading-dims hot bucket)") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val n = emb.count()
+    val bits = 4
+    val sizes = emb
+      .groupBy(SimilarityOps.signBucket(col("embedding"), 64, bits).as("b"))
+      .count().collect().map(_.getLong(1))
+    // random hyperplanes concentrate bucket sizes near n/2^bits: assert
+    // no bucket owns more than 4x its fair share
+    assert(sizes.max <= 4L * n / (1L << bits).max(1L))
+  }
+
+  test("multi-table LSH recall >= single-table recall") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(SimilarityOps.bruteForceTopK(q, c, 5))
+    val t1 = hits(SimilarityOps.lshTopK(q, c, 5, dim = 64, bits = 6, tables = 1))
+    val t2 = hits(SimilarityOps.lshTopK(q, c, 5, dim = 64, bits = 6, tables = 2))
+    val r1 = (t1 intersect exact).size.toDouble / exact.size
+    val r2 = (t2 intersect exact).size.toDouble / exact.size
+    assert(r2 >= r1)
+  }
+
+  test("resolveClusters: chains merge transitively, min id labels the cluster") {
+    // components: {1,2,3,4} via chain, {10,11}, isolated pairs only
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = DedupOps.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("resolveClusters: long path converges within the iteration cap") {
+    val n = 64 // path graph 0-1-2-...-63: worst-case diameter for propagation
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val out = DedupOps.resolveClusters(pairs).collect()
+    assert(out.length == n && out.forall(_.getLong(1) == 0L))
+  }
+
+  test("nearDedup end-to-end keeps one doc per planted near-dup cluster") {
+    val kept = DedupOps.nearDedup(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 0,1,3 are a near/exact-dup cluster -> keep only min id 0
+    assert(kept.contains(0L) && !kept.contains(1L) && !kept.contains(3L))
+    assert(kept.contains(2L) && kept.contains(4L))
+  }
+
+  test("minhashVerifiedPairs matches the two-pass candidates+verify result") {
+    val one = DedupOps.minhashVerifiedPairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 16, estThreshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 16)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == two)
   }
 
   test("langId picks English for English text, und for no-hit text") {

@@ -26,6 +26,17 @@ class RawReadersCatalogSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getLong(1) == 1L)
   }
 
+  test("S3 csv encoding probe: legit nulls in the first rows still accept UTF-8") {
+    val dir = Files.createTempDirectory("graft_encnull")
+    // every sampled row has a null column — the old anyNull probe would
+    // have rejected UTF-8 and fallen through the whole encoding list
+    Files.write(dir.resolve("x.csv"),
+      ("a,b\n" + (1 to 10).map(i => s"r$i,\n").mkString).getBytes("UTF-8"))
+    val df = RawReaders.csvWithEncodingFallback(spark, dir.toString, schema)
+    assert(df.count() == 10)
+    assert(df.filter(col("b").isNull).count() == 10)
+  }
+
   test("S4 parquet validated read: size bound and emptiness enforced") {
     val dir = Files.createTempDirectory("graft_val").toString
     Seq(("x", 1L)).toDF("a", "b").write.parquet(s"$dir/ok")
