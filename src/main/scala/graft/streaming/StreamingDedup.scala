@@ -34,4 +34,36 @@ object StreamingDedup {
     docs.groupByKey(_.digest)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(firstSeen)
   }
+
+  /** Dedup with a processing-time state TTL: a digest's state is
+    * dropped after `ttlMs` without new arrivals, bounding the store on
+    * unbounded streams. TRADEOFF (why this is not the default): once a
+    * digest's state expires, a later copy is re-admitted as "first
+    * seen" — TTL turns exact dedup into dedup-within-a-time-horizon.
+    * Size `ttlMs` to the window in which duplicates realistically
+    * recur; state stays one boolean per LIVE digest.
+    *
+    * Operational note: run this with a processing-time trigger. With
+    * ProcessingTimeTimeout the engine keeps scheduling (empty) batches
+    * so timeouts can fire — `Trigger.AvailableNow` never terminates
+    * and `processAllAvailable` never settles against such a query. */
+  def dedupWithTtl(docs: Dataset[Doc], ttlMs: Long): Dataset[Doc] = {
+    implicit val docEnc = Encoders.product[Doc]
+    implicit val boolEnc = Encoders.scalaBoolean
+    def firstSeenTtl(key: String, it: Iterator[Doc],
+                     state: GroupState[Boolean]): Iterator[Doc] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else if (state.exists) {
+        state.setTimeoutDuration(ttlMs) // refresh: duplicates keep it hot
+        Iterator.empty
+      } else {
+        state.update(true)
+        state.setTimeoutDuration(ttlMs)
+        it.take(1)
+      }
+    }
+    docs.groupByKey(_.digest)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(firstSeenTtl)
+  }
 }

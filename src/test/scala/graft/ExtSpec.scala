@@ -176,6 +176,29 @@ class ExtSpec extends AnyFunSuite {
     assert(f1(0) == f1(3)) // exact dups share a fingerprint
   }
 
+  test("multimodal: real PNG decode via javax.imageio — dimensions and channel means") {
+    import org.apache.spark.sql.Row
+    // 8x4 solid red PNG rendered in-test (no external fixture needed)
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val mediaRows = java.util.Arrays.asList(
+      Row(1L, "image", png, null),
+      Row(2L, "image", Array.fill[Byte](16)(42), null), // not an image
+      Row(3L, "audio", Array.fill[Byte](16)(1), null))  // not decoded
+    val media = spark.createDataFrame(mediaRows, MultimodalOps.mediaSchema)
+    val out = MultimodalOps.extractImageFeatures(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(3) == 8 && out(1L).getInt(4) == 4)
+    val feat = out(1L).getSeq[Float](5)
+    assert(feat.length == 3 && feat(0) > 0.99f && feat(1) < 0.01f && feat(2) < 0.01f)
+    assert(out(2L).isNullAt(3) && out(2L).isNullAt(5)) // garbage bytes -> nulls
+    assert(out(3L).isNullAt(3)) // non-image kind skipped
+    assert(out(2L).getInt(2) == 16) // byte count still reported
+  }
+
   test("multimodal: payload-sized repartition, stub features, frame plan") {
     import org.apache.spark.sql.Row
     val mediaRows = java.util.Arrays.asList(
