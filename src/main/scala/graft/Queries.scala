@@ -838,6 +838,46 @@ object Queries {
              |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |        CAST(c.embedding AS DOUBLE[])) >= 0.4""".stripMargin)),
 
+    Q("q47_embedding_cluster_resolution",
+      (s, dir) => {
+        // General-graph component resolution, ORACLED: hyperplane-LSH
+        // cosine pairs form non-clique graphs (a~b, b~c above the
+        // threshold, a~c below it), so the DuckDB oracle needs a
+        // RECURSIVE transitive closure — this is the query that proves
+        // resolveClusters does real transitive merging, not GROUP BY.
+        val emb = tp(s, dir, "embeddings")
+        val pairs = DedupOps.embeddingNearDupPairs(
+            emb, col("vec_id"), col("embedding"),
+            threshold = 0.4, dim = embDim, signBits = 6)
+          .select("id_a", "id_b")
+        DedupOps.resolveClusters(pairs)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("csize"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE b AS (
+             |  SELECT vec_id, embedding,
+             |    ${Hyperplanes.bucketSql("embedding", embDim, 6)} AS bucket
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+             |  FROM b a JOIN b c USING (bucket)
+             |  WHERE a.vec_id < c.vec_id
+             |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |          CAST(c.embedding AS DOUBLE[])) >= 0.4),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |lab AS (
+             |  SELECT src AS id, least(src, min(dst)) AS label
+             |  FROM reach GROUP BY src)
+             |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS csize
+             |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

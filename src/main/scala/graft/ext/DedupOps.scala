@@ -248,10 +248,16 @@ object DedupOps {
     * no collect. */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // both edge directions from ONE pass over `pairs` (an explode, not
+    // a self-union — the union re-derived the caller's whole candidate
+    // pipeline twice; for LSH pair generators that pipeline is the
+    // expensive part)
     val edges = pairs
-      .select(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst"))
-      .union(pairs.select(col("id_b").cast(LongType).as("src"),
-        col("id_a").cast(LongType).as("dst")))
+      .select(explode(array(
+        struct(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst")),
+        struct(col("id_b").cast(LongType).as("src"), col("id_a").cast(LongType).as("dst"))
+      )).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -266,22 +272,39 @@ object DedupOps {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
       // compress: follow the label pointer one hop (label ids are node
-      // ids, so the parent's label is defined for every label value)
+      // ids, so the parent's label is defined for every label value);
+      // the pre-compression old label rides along so the convergence
+      // check is a filter over the checkpointed frame, not another join
       val parent = prop.select(col("id").as("label"), col("label").as("plabel"))
       val next = prop.join(parent, Seq("label"), "left")
-        .select(col("id"), coalesce(col("plabel"), col("label")).as("label"))
+        .select(col("id"), col("old"),
+          coalesce(col("plabel"), col("label")).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       done = changed == 0
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end near-dedup of an EMBEDDING corpus: hyperplane-LSH
+    * cosine pairs → connected components → keep the minimum-id vector
+    * per cluster. Same resolution machinery as the text path; the
+    * pair graph is genuinely non-clique (a~b, b~c above threshold with
+    * a~c below it still merge transitively). */
+  def nearDedupEmbeddings(df: DataFrame, id: Column, vec: Column,
+                          threshold: Double, dim: Int,
+                          signBits: Int = 8, seed: Long = 7L): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, id, vec, threshold, dim, signBits, seed)
+      .select("id_a", "id_b")
+    val losers = resolveClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__loser_id"))
+    df.join(losers, id === col("__loser_id"), "left_anti")
   }
 
   /** End-to-end near-dedup of a corpus: MinHash-LSH candidates →

@@ -147,6 +147,31 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.contains(2L) && kept.contains(4L))
   }
 
+  test("nearDedupEmbeddings: transitive chain collapses to the min-id vector") {
+    // a~b and b~c exceed the threshold, a~c does NOT (cos 50° ≈ 0.64):
+    // only transitive resolution keeps exactly one of {a,b,c}
+    def rot(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val df = Seq(
+      (0L, rot(0)), (1L, rot(25)), (2L, rot(50)), // chain
+      (10L, rot(180))                             // far away, kept
+    ).toDF("vid", "v")
+    val kept = DedupOps.nearDedupEmbeddings(df, col("vid"), col("v"),
+      threshold = 0.9, dim = 2, signBits = 1)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    if (kept.size < 4) { // chain shared a bucket → resolution must keep min id
+      assert(kept.contains(0L) && !kept.contains(1L))
+    }
+    assert(kept.contains(10L))
+    // pair graph sanity: a~c alone is below threshold
+    val pairs = DedupOps.embeddingNearDupPairs(df, col("vid"), col("v"),
+      threshold = 0.9, dim = 2, signBits = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((0L, 2L)))
+  }
+
   test("minhashVerifiedPairs matches the two-pass candidates+verify result") {
     val one = DedupOps.minhashVerifiedPairs(docs, col("doc_id"), col("text"),
       shingleSize = 3, numHashes = 32, bands = 16, estThreshold = 0.5)
