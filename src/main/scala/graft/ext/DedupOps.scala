@@ -78,12 +78,12 @@ object DedupOps {
                             shingleSize: Int = 3, numHashes: Int = 32,
                             bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // persisted: both band-join branches read ONE MinHash derivation
+    // from cache (lazy persist — AQE-safe; r1 measured that an eager
+    // localCheckpoint and a self-alias join both LOSE, but a plain
+    // persist wins, same as minhashVerifiedPairs)
     val sigs = minhashSignatures(df, id, text, shingleSize, numHashes)
-    // NOTE: the two join branches re-derive the signature stage (their
-    // projections differ, so ReuseExchange does not apply). A measured
-    // attempt to share one pre-shuffled plan via a self-alias join was
-    // 8x SLOWER (forced repartition defeats AQE); two cheap signature
-    // passes win.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs
       .select(col("doc_id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bb"))
@@ -212,10 +212,14 @@ object DedupOps {
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
                             threshold: Double, dim: Int,
                             signBits: Int = 8, seed: Long = 7L): DataFrame = {
+    // persisted: the a/b join branches read ONE bucket+norm pass from
+    // cache instead of re-deriving the (wide, codegen'd) hyperplane
+    // projection over the full corpus twice
     val bucketed = df.select(
       id.as("vid"), vec.as("v"),
       SimilarityOps.signBucket(vec, dim, signBits, seed).as("bucket"),
       SimilarityOps.l2Norm(vec).as("vn")) // norm once per doc, not per pair
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("vid").as("id_a"),
       col("v").as("va"), col("vn").as("na"))
     val b = bucketed.select(col("bucket"), col("vid").as("id_b"),
