@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation: the composed pipeline a
+  * 100 TB pretraining-data run actually executes, built from the
+  * individually-verified stages —
+  *
+  *   language gate → quality gate → exact dedup (keep min id) →
+  *   fingerprint near-dup resolution (connected components, keep min)
+  *
+  * Every stage is a narrow filter or a key-shuffle; nothing collects.
+  * The near-dup stage here uses fingerprint collisions (deterministic
+  * and oracle-able); swap `DedupOps.nearDedup` in for MinHash-LSH
+  * recall when approximate coverage matters more than auditability.
+  */
+object CorpusPipeline {
+
+  /** Exact dedup keeping the MINIMUM id of each duplicate class —
+    * deterministic, unlike dropDuplicates' arbitrary survivor. One
+    * digest shuffle + a semi join. */
+  def exactDedupKeepMin(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val keep = df
+      .groupBy(md5(text).as("__digest"))
+      .agg(min(id).as("__keep_id"))
+      .select(col("__keep_id"))
+    df.join(keep, id === col("__keep_id"), "left_semi")
+  }
+
+  private def gate(df: DataFrame, text: Column,
+                   lang: String, minQuality: Double): DataFrame =
+    df.filter(TextOps.langId(text) === lang &&
+      TextOps.qualityScore(text) >= minQuality)
+
+  /** Fingerprint near-dup resolution over an (already exact-deduped)
+    * frame: fingerprint collisions → connected components → keep the
+    * min-id row. `exact` should be persisted by the caller (it feeds
+    * the fingerprint pass AND the final anti-join). */
+  private def fpResolve(exact: DataFrame, id: Column, text: Column): DataFrame = {
+    val fps = exact
+      .select(id.as("__cid"), TextOps.fingerprint(text, 5).as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = fps.select(col("__fp"), col("__cid").as("id_a"))
+      .join(fps.select(col("__fp"), col("__cid").as("id_b")), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val losers = DedupOps.resolveClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__loser_id"))
+    exact.join(losers, id === col("__loser_id"), "left_anti")
+  }
+
+  /** The cleaned corpus: rows of `df` that survive all four stages. */
+  def clean(df: DataFrame, id: Column, text: Column,
+            lang: String = "en", minQuality: Double = 0.5): DataFrame = {
+    val exact = exactDedupKeepMin(gate(df, text, lang, minQuality), id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fpResolve(exact, id, text)
+  }
+
+  /** One-row funnel summary (input → gated → exact-deduped → final):
+    * the per-stage attrition a pipeline owner monitors. Stage frames
+    * are persisted so the gates / dedup run ONCE, not once per count
+    * branch; 1-row counts attach via broadcast cross joins — no driver
+    * collect. */
+  def cleanSummary(df: DataFrame, id: Column, text: Column,
+                   lang: String = "en", minQuality: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val gated = gate(df, text, lang, minQuality)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = exactDedupKeepMin(gated, id, text)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cleaned = fpResolve(exact, id, text)
+    df.agg(count(lit(1)).as("n_input"))
+      .crossJoin(broadcast(gated.agg(count(lit(1)).as("n_gated"))))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(cleaned.agg(count(lit(1)).as("n_final"))))
+  }
+}

@@ -183,6 +183,28 @@ class ExtSpec extends AnyFunSuite {
     assert(one == two)
   }
 
+  test("corpus clean pipeline: gates, exact dedup, near-dup resolution compose") {
+    val good = "the cat is in the house and that is fine because the dog is of the " +
+      "same mind and the birds are in the garden near the house all day today"
+    val corpus = Seq(
+      (0L, good),                               // kept
+      (1L, good),                               // exact dup of 0 -> dropped
+      (2L, good + " tonight"),                  // near dup (shares min-5-gram fp w.h.p.)
+      (3L, "el gato y el perro en la casa es un animal que come y duerme bien"), // not en
+      (4L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))") // junk quality
+    ).toDF("doc_id", "text")
+    val summary = CorpusPipeline.cleanSummary(corpus, col("doc_id"), col("text"),
+      lang = "en", minQuality = 0.3).collect().head
+    assert(summary.getLong(0) == 5)        // n_input
+    assert(summary.getLong(1) == 3)        // n_gated: 0,1,2 survive gates
+    assert(summary.getLong(2) == 2)        // n_exact: {0|1}, 2
+    assert(summary.getLong(3) <= 2)        // n_final: near-dup may collapse 2 into 0
+    val kept = CorpusPipeline.clean(corpus, col("doc_id"), col("text"),
+      lang = "en", minQuality = 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(1L)) // min id survives its class
+    assert(!kept.contains(3L) && !kept.contains(4L))
+  }
+
   test("langId picks English for English text, und for no-hit text") {
     val out = Seq("the cat is in the house and that is fine", "zzz qqq xxx")
       .toDF("text").select(TextOps.langId(col("text"))).collect().map(_.getString(0))
