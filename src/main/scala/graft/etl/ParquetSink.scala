@@ -56,7 +56,10 @@ object ParquetSink {
     s"$baseDir/FRESCO_${dataset}_ts_${folder}_v${version}_$timestamp.parquet"
 
   /** S7 — CSV export sink with RFC-4180 quoting, ISO timestamps, empty
-    * string for null (export.ts:10-71). */
+    * string for null (export.ts:10-71). This is the SAFE superset of
+    * the reference's format (embedded quotes/newlines are escaped
+    * correctly); `exportCsvLiteral` reproduces the reference
+    * byte-for-byte, quirks included. */
   def exportCsv(df: DataFrame, path: String): Unit = {
     val tsCols = df.schema.fields.filter(_.dataType.typeName == "timestamp").map(_.name)
     val iso = tsCols.foldLeft(df)((d, c) =>
@@ -66,5 +69,38 @@ object ParquetSink {
       .option("header", "true")
       .option("emptyValue", "")
       .csv(path)
+  }
+
+  /** S7 (literal fidelity) — byte-level reproduction of the reference's
+    * hand-rolled CSV writer (export.ts:36-52), quirks preserved:
+    *  - STRING values are wrapped in plain double quotes ONLY when they
+    *    contain a comma; embedded quotes are NOT escaped (the
+    *    reference's own bug — kept for diff parity);
+    *  - timestamps render as JS `Date.toISOString()`:
+    *    `yyyy-MM-dd'T'HH:mm:ss.SSS'Z'` in UTC;
+    *  - null → empty string, everything else via default rendering.
+    * Output is a single part file (the reference builds the file in
+    * browser memory; an export is interactive-sized by contract —
+    * use `exportCsv` for bulk extracts). */
+  def exportCsvLiteral(df: DataFrame, path: String): Unit = {
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      f.dataType.typeName match {
+        case "timestamp" =>
+          coalesce(date_format(to_utc_timestamp(c,
+            df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), lit(""))
+        case "string" =>
+          coalesce(when(c.contains(","), concat(lit("\""), c, lit("\"")))
+            .otherwise(c), lit(""))
+        case _ => coalesce(c.cast("string"), lit(""))
+      }
+    }
+    val header = df.schema.fieldNames.mkString(",")
+    df.select(concat_ws(",", cols: _*).as("line"))
+      .coalesce(1)
+      .mapPartitions(it => Iterator(header) ++ it.map(_.getString(0)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(path)
   }
 }

@@ -76,6 +76,22 @@ class PlannerSinkSpec extends AnyFunSuite {
     assert(lines.exists(l => l.contains("\"a,b\"") && l.contains("2024-01-15T10:00:00")))
   }
 
+  test("csv export literal mode reproduces the reference bytes, quirks included") {
+    val tmp = Files.createTempDirectory("graft_csvlit").toString
+    val df = Seq(
+      (1L, Some("a,b"), Some(java.sql.Timestamp.valueOf("2024-01-15 10:00:00"))),
+      (2L, Some("""say "hi""""), None), // embedded quote: NOT escaped (reference bug kept)
+      (3L, None, Some(java.sql.Timestamp.valueOf("2024-06-01 23:59:59")))
+    ).toDF("id", "s", "t")
+    ParquetSink.exportCsvLiteral(df, s"$tmp/out")
+    val lines = spark.read.textFile(s"$tmp/out").collect()
+    assert(lines.head == "id,s,t") // single part: header is line 0
+    val body = lines.tail.sorted
+    assert(body(0) == "1,\"a,b\",2024-01-15T10:00:00.000Z") // quoted ONLY for comma
+    assert(body(1) == "2,say \"hi\",")                      // quote NOT escaped, null ts -> empty
+    assert(body(2) == "3,,2024-06-01T23:59:59.000Z")        // null string -> empty
+  }
+
   test("path templating matches the reference pattern") {
     val p = ParquetSink.templatedPath("/out", "conte", "2024-01", "1.0", "20240115")
     assert(p == "/out/FRESCO_conte_ts_2024-01_v1.0_20240115.parquet")
