@@ -27,9 +27,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Untimed warmup of the two dominant execution shapes (hash-agg
+    // scan + array/broadcast-join/window): JIT/codegen/parquet-reader/
+    // shuffle warm-up otherwise lands on whichever queries the map
+    // iterates first (measured: the same query's min-of-2 differs ~2x
+    // by position). SPARK_GRAFT_WARMUP=0 disables.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      Seq("q04_hourly_profile", "q38_knn_bruteforce")
+        .flatMap(SparkEntry.queries.get)
+        .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     // A failed query is recorded as -1 with its name in "failed" — NOT as
     // its (fast) time-to-throw, which would make breakage look like a win.
-    val results = selected.map { case (name, fn) =>
+    // Execution order is alphabetical — deterministic across runs/rounds
+    // (hash-map order made residual warm-up land on arbitrary queries,
+    // which skewed cross-query comparisons by ~0.1 s).
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
