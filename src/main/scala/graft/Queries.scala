@@ -804,6 +804,43 @@ object Queries {
              |SELECT qid, cid, floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
+    Q("q49_knn_lsh_multi",
+      (s, dir) => {
+        // Multi-table LSH: two independent hyperplane families (seeds
+        // 7, 8) unioned for recall — the standard way sign-LSH recall
+        // scales without inflating any single table's bucket size.
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.lshTopK(queries, corpus, 10, dim = embDim, bits = 6, tables = 2)
+          .select(col("qid"), col("cid"), r4(col("cosine")).as("cosine"), col("rank"))
+      },
+      Some(s"""WITH b1 AS (
+             |  SELECT vec_id, embedding,
+             |    ${Hyperplanes.bucketSql("embedding", embDim, 6, seed = 7)} AS bucket
+             |  FROM embeddings),
+             |b2 AS (
+             |  SELECT vec_id, embedding,
+             |    ${Hyperplanes.bucketSql("embedding", embDim, 6, seed = 8)} AS bucket
+             |  FROM embeddings),
+             |q1 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b1 WHERE vec_id < 16),
+             |q2 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b2 WHERE vec_id < 16),
+             |cand AS (
+             |  SELECT q1.qid, c.vec_id AS cid, q1.qvec, c.embedding AS cvec
+             |  FROM b1 c JOIN q1 USING (bucket) WHERE c.vec_id <> q1.qid
+             |  UNION
+             |  SELECT q2.qid, c.vec_id AS cid, q2.qvec, c.embedding AS cvec
+             |  FROM b2 c JOIN q2 USING (bucket) WHERE c.vec_id <> q2.qid),
+             |ranked AS (
+             |  SELECT qid, cid,
+             |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(cvec AS DOUBLE[])) AS cos_raw,
+             |    row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(cvec AS DOUBLE[])) DESC, cid) AS rank
+             |  FROM cand)
+             |SELECT qid, cid, floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
     Q("q41_knn_ivf",
       (s, dir) => {
         // IVF with the index fitted ONCE per (dir, params) and persisted

@@ -80,4 +80,36 @@ object OperatorProps extends Properties("graft.operators") {
       deduped == ts.distinct.length.toLong &&
         classes.agg(sum("copies")).head().getLong(0) == ts.length.toLong
     }
+
+  // arbitrary small graphs: up to 40 edges over up to 30 node ids
+  private val edgeLists: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+    for {
+      a <- Gen.chooseNum(0L, 29L)
+      b <- Gen.chooseNum(0L, 29L) if a != b
+    } yield (a, b)).map(_.take(40))
+
+  /** In-test reference union-find: ground truth for the distributed
+    * label propagation (test-side only — the engine never does this). */
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  property("resolveClusters equals union-find on arbitrary graphs") =
+    forAll(edgeLists) { edges =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = DedupOps.resolveClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      // same node set, and same MINIMUM label per component
+      got == want.map { case (k, _) => k -> want.filter(_._2 == want(k)).keys.min }
+    }
 }
