@@ -657,6 +657,13 @@ object Queries {
         .orderBy("copies"),
       None),
 
+    Q("q50_simhash_neardup",
+      (s, dir) => DedupOps.simhashNearDupPairs(
+          tp(s, dir, "documents"), col("doc_id"), col("text"),
+          maxHamming = 3, bands = 4)
+        .agg(count(lit(1)).as("neardup_pairs")),
+      None),
+
     Q("q37_ngram_jaccard",
       (s, dir) => {
         // Exact 3-gram Jaccard over LSH candidate pairs (verify stage).

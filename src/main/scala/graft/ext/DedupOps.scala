@@ -203,6 +203,39 @@ object DedupOps {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs with hamming distance ≤ `maxHamming`,
+    * found via the standard band trick: split the 64-bit hash into
+    * `bands` contiguous blocks — two hashes within hamming k < bands
+    * must agree EXACTLY on at least one block (pigeonhole), so
+    * candidates are a bucket join on (band, block-bits), never an
+    * all-pairs scan. Exact hamming verifies the survivors. Requires
+    * maxHamming < bands for completeness within the candidate set. */
+  def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming ($maxHamming) < bands ($bands)")
+    val bits = 64 / bands
+    val sigs = simhashSignatures(df, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("block"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.block"))
+    val a = keyed.select(col("band"), col("block"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = keyed.select(col("band"), col("block"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed
     * by sign-LSH over `signBits` seeded random hyperplanes (see
     * [[Hyperplanes]] — random projections keep buckets balanced where

@@ -55,6 +55,23 @@ class ExtSpec extends AnyFunSuite {
     assert(near < far)
   }
 
+  test("simhash near-dup pairs: band trick finds close hashes, hamming gate holds") {
+    val pairs = DedupOps.simhashNearDupPairs(docs, col("doc_id"), col("text"),
+      maxHamming = 3, bands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 0) // exact dup: hamming 0
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc excluded
+    assert(pairs.values.forall(_ <= 3))
+    // completeness vs brute force at this k (pigeonhole: k < bands)
+    val brute = DedupOps.simhashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bruteClose = for {
+      x <- brute.keys; y <- brute.keys if x < y
+      if java.lang.Long.bitCount(brute(x) ^ brute(y)) <= 3
+    } yield (x, y)
+    assert(bruteClose.toSet == pairs.keySet)
+  }
+
   test("cosine: orthogonal vectors 0, identical 1, zero-norm safe") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
