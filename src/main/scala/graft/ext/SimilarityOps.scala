@@ -127,15 +127,20 @@ object SimilarityOps {
     * at proportional candidate cost. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               dim: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
+    // ALL tables' bucket columns come from ONE pass over each side (a
+    // per-table re-derivation re-scanned the corpus and recomputed the
+    // norm `tables` times); with several tables the corpus frame is
+    // persisted so each table's bucket join reads the same cache.
+    def bucketed(df: DataFrame, vec: String, norm: String, prefix: String) =
+      (0 until tables).foldLeft(df.withColumn(norm, l2Norm(col(vec)))) {
+        (d, t) => d.withColumn(s"$prefix$t", signBucket(col(vec), dim, bits, 7L + t))
+      }
+    val qb = broadcast(bucketed(queries, "qvec", "qnorm", "qbucket_"))
+    val cb0 = bucketed(corpus, "cvec", "cnorm", "cbucket_")
+    val cb = if (tables == 1) cb0
+      else cb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candTables = (0 until tables).map { t =>
-      val seed = 7L + t
-      val qb = queries
-        .withColumn("bucket", signBucket(col("qvec"), dim, bits, seed))
-        .withColumn("qnorm", l2Norm(col("qvec")))
-      val cb = corpus
-        .withColumn("bucket", signBucket(col("cvec"), dim, bits, seed))
-        .withColumn("cnorm", l2Norm(col("cvec")))
-      cb.join(broadcast(qb), Seq("bucket"))
+      cb.join(qb, col(s"cbucket_$t") === col(s"qbucket_$t"))
         .filter(col("qid") =!= col("cid"))
         .select("qid", "qvec", "qnorm", "cid", "cvec", "cnorm")
     }
