@@ -297,8 +297,13 @@ object DedupOps {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init = the first propagate round fused into label creation:
+    // label₀(v) = min(v, min neighbour) comes straight out of the edge
+    // aggregate, so cliques/stars converge one full round (two joins +
+    // checkpoint + count) earlier than the label₀(v) = v start
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
       .localCheckpoint()
     var iter = 0
     var done = false
