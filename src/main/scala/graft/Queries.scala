@@ -647,7 +647,27 @@ object Queries {
           tp(s, dir, "documents"), col("doc_id"), col("text"))
         .filter(col("est_jaccard") >= 0.5)
         .agg(count(lit(1)).as("candidate_pairs")),
-      None),
+      // Fully oracled since the portable (md5-derived universal) hash
+      // family landed: DuckDB reproduces the exact signatures, band
+      // buckets and the est-jaccard filter.
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sig AS sig_a, c.sig AS sig_b
+             |  FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs FROM p
+             |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5""".stripMargin)),
 
     Q("q36_simhash_classes",
       (s, dir) => DedupOps.simhashSignatures(
@@ -655,14 +675,43 @@ object Queries {
         .groupBy(col("simhash")).agg(count(lit(1)).as("copies"))
         .groupBy(col("copies")).agg(count(lit(1)).as("n_classes"))
         .orderBy("copies"),
-      None),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+             |h AS (SELECT doc_id, ${PortableHash.int32Sql("t", 0)} AS h1,
+             |             ${PortableHash.int32Sql("t", 1)} AS h2 FROM tok),
+             |v AS (SELECT doc_id,
+             |      ${PortableHash.simhashSumsSql("h1", "h2")}
+             |      FROM h GROUP BY doc_id),
+             |sh AS (SELECT doc_id, ${PortableHash.simhashPackSql} AS simhash FROM v),
+             |c AS (SELECT simhash, CAST(count(*) AS BIGINT) AS copies FROM sh GROUP BY simhash)
+             |SELECT copies, CAST(count(*) AS BIGINT) AS n_classes
+             |FROM c GROUP BY copies ORDER BY copies""".stripMargin)),
 
     Q("q50_simhash_neardup",
       (s, dir) => DedupOps.simhashNearDupPairs(
           tp(s, dir, "documents"), col("doc_id"), col("text"),
           maxHamming = 3, bands = 4)
         .agg(count(lit(1)).as("neardup_pairs")),
-      None),
+      // The >> & mask band extraction is shift-semantics-proof: DuckDB's
+      // arithmetic shift sign-extends where Spark's shiftrightunsigned
+      // zero-fills, but the & 65535 mask keeps only bits both agree on.
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+             |h AS (SELECT doc_id, ${PortableHash.int32Sql("t", 0)} AS h1,
+             |             ${PortableHash.int32Sql("t", 1)} AS h2 FROM tok),
+             |v AS (SELECT doc_id,
+             |      ${PortableHash.simhashSumsSql("h1", "h2")}
+             |      FROM h GROUP BY doc_id),
+             |sh AS (SELECT doc_id, ${PortableHash.simhashPackSql} AS simhash FROM v),
+             |k AS (
+             |  SELECT doc_id, simhash, band, ((simhash >> (band * 16)) & 65535) AS block
+             |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |         a.simhash AS sh_a, c.simhash AS sh_b
+             |  FROM k a JOIN k c ON a.band = c.band AND a.block = c.block AND a.doc_id < c.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS neardup_pairs FROM p
+             |WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin)),
 
     Q("q37_ngram_jaccard",
       (s, dir) => {
@@ -677,7 +726,34 @@ object Queries {
           .filter(r4(col("jaccard")) >= 0.8)
           .agg(count(lit(1)).as("dup_pairs"))
       },
-      None),
+      // Oracled end to end (candidates AND verify) via the portable
+      // hash family — was rows-only while signatures were xxhash64.
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |d AS (SELECT doc_id, list_distinct(sh) AS sd,
+             |        list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, sd, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM d),
+             |bk AS (
+             |  SELECT doc_id, sig, sd, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |         a.sig AS sig_a, c.sig AS sig_b, a.sd AS sd_a, c.sd AS sd_b
+             |  FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |e AS (
+             |  SELECT id_a, id_b,
+             |    len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est,
+             |    floor((CAST(len(list_intersect(sd_a, sd_b)) AS DOUBLE)
+             |      / (len(sd_a) + len(sd_b) - len(list_intersect(sd_a, sd_b)))) * 10000.0 + 0.5) / 10000.0 AS j
+             |  FROM p)
+             |SELECT CAST(count(*) AS BIGINT) AS dup_pairs FROM e
+             |WHERE est >= 0.5 AND j >= 0.8""".stripMargin)),
 
     Q("q44_neardup_resolution",
       (s, dir) => {

@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    compares documents that collide in ≥1 band — the standard way this
   *    survives 100 TB. Candidate verification (exact Jaccard) runs only
   *    on the candidate pairs.
-  *  - All hashing uses xxhash64 with per-function seeds — deterministic
-  *    across runs and cluster sizes.
+  *  - Hashing is deterministic across runs and cluster sizes; the
+  *    default `portable = true` family ([[PortableHash]], md5-derived
+  *    universal hashing) is additionally reproducible in ANY engine
+  *    with md5 — so MinHash/SimHash pipelines are DuckDB-oracle-
+  *    verifiable end to end. `portable = false` switches to xxhash64
+  *    (engine-specific, ~2× cheaper per value) for pure-throughput use.
   */
 object DedupOps {
 
@@ -39,21 +43,40 @@ object DedupOps {
     Seq.tabulate(numHashes)(i => (rnd.nextLong(), i % 63 + 1))
   }
 
-  /** MinHash signatures, one row per document: shingle→xxhash64 ONCE,
-    * explode, then `numHashes` cheap `min(rot(h ⊕ b, r))` aggregates
+  /** The per-hash-function min aggregates for one exploded base-hash
+    * column `h`: portable = universal-hash mixes mod 2³¹−1 (the
+    * [[PortableHash]] family — oracle-expressible in DuckDB); fast =
+    * xor-rotate over xxhash64 (engine-specific, ~2× cheaper). */
+  private def minhashAggs(numHashes: Int, portable: Boolean): Seq[Column] =
+    if (portable)
+      PortableHash.coeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+        min(PortableHash.mix(col("h"), a, b)).as(s"m_$i")
+      }
+    else
+      hashCoeffs(numHashes).zipWithIndex.map { case ((b, r), i) =>
+        val x = col("h").bitwiseXOR(lit(b))
+        min(shiftleft(x, r).bitwiseOR(shiftrightunsigned(x, 64 - r))).as(s"m_$i")
+      }
+
+  /** Per-shingle base hash (applied AFTER the explode, so it runs as a
+    * codegen'd column expression, not inside an interpreted lambda). */
+  private def shingleBase(s: Column, portable: Boolean): Column =
+    if (portable) PortableHash.base(s) else xxhash64(s)
+
+  /** MinHash signatures, one row per document: shingle→base-hash ONCE,
+    * explode, then `numHashes` cheap arithmetic `min` aggregates
     * (map-side combined). This shape hashes each shingle exactly once —
     * computing the signature as one nested array expression re-evaluates
     * the shingle pipeline per hash function, which benchmarked 30×
-    * slower. */
+    * slower. With `portable = true` (default) the signature values are
+    * reproducible in any engine with md5 — see [[PortableHash]]. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-                        shingleSize: Int, numHashes: Int): DataFrame = {
-    val coeffs = hashCoeffs(numHashes)
-    val exploded = df.select(id.as("doc_id"),
-      explode(transform(TextOps.shingles(text, shingleSize), s => xxhash64(s))).as("h"))
-    val mins = coeffs.zipWithIndex.map { case ((b, r), i) =>
-      val x = col("h").bitwiseXOR(lit(b))
-      min(shiftleft(x, r).bitwiseOR(shiftrightunsigned(x, 64 - r))).as(s"m_$i")
-    }
+                        shingleSize: Int, numHashes: Int,
+                        portable: Boolean = true): DataFrame = {
+    val exploded = df
+      .select(id.as("doc_id"), explode(TextOps.shingles(text, shingleSize)).as("s"))
+      .select(col("doc_id"), shingleBase(col("s"), portable).as("h"))
+    val mins = minhashAggs(numHashes, portable)
     exploded.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -61,32 +84,38 @@ object DedupOps {
   }
 
   /** LSH band keys: split the signature into `bands` bands of
-    * `numHashes/bands` rows; each band hashed to one bucket key. Emits an
-    * array of (band, bucket) structs for explode+join. */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    * `numHashes/bands` rows; each band keyed to one bucket. Emits an
+    * array of (band, bucket) structs for explode+join. Portable buckets
+    * are the joined signature-value string itself (exactly DuckDB's
+    * `array_to_string(list_slice(sig, …), ',')`); the xxhash64 form
+    * compresses it to a long for leaner shuffle keys. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int,
+                  portable: Boolean = true): Column = {
+    val key: Column => Column = if (portable) identity else (xxhash64(_))
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.as("band"),
-        xxhash64(concat_ws(",",
+        key(concat_ws(",",
           transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")))).as("bucket")))
+  }
 
   /** Candidate near-duplicate pairs via MinHash LSH: documents sharing
     * any (band, bucket). Returns distinct (id_a, id_b) with id_a < id_b,
     * plus the estimated Jaccard from full signature agreement. */
   def minhashCandidatePairs(df: DataFrame, id: Column, text: Column,
                             shingleSize: Int = 3, numHashes: Int = 32,
-                            bands: Int = 8): DataFrame = {
+                            bands: Int = 8, portable: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persisted: both band-join branches read ONE MinHash derivation
     // from cache (lazy persist — AQE-safe; r1 measured that an eager
     // localCheckpoint and a self-alias join both LOSE, but a plain
     // persist wins, same as minhashVerifiedPairs)
-    val sigs = minhashSignatures(df, id, text, shingleSize, numHashes)
+    val sigs = minhashSignatures(df, id, text, shingleSize, numHashes, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs
       .select(col("doc_id"), col("sig"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bb"))
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand, portable)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
     val a = keyed.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -106,18 +135,17 @@ object DedupOps {
     * shuffle carries one text per doc per map partition — the same bytes
     * a join-back would move, without the extra join). */
   private def minhashWithText(df: DataFrame, id: Column, text: Column,
-                              shingleSize: Int, numHashes: Int): DataFrame = {
-    val coeffs = hashCoeffs(numHashes)
+                              shingleSize: Int, numHashes: Int,
+                              portable: Boolean): DataFrame = {
     // two projections: aliasing `text` and referencing the caller's
     // `text` column in ONE select trips Spark's lateral-column-alias
     // resolution (INTERNAL_ERROR LateralColumnAliasReference)
     val base = df.select(id.as("doc_id"), text.as("text"))
-    val exploded = base.select(col("doc_id"), col("text"),
-      explode(transform(TextOps.shingles(col("text"), shingleSize), s => xxhash64(s))).as("h"))
-    val mins = coeffs.zipWithIndex.map { case ((b, r), i) =>
-      val x = col("h").bitwiseXOR(lit(b))
-      min(shiftleft(x, r).bitwiseOR(shiftrightunsigned(x, 64 - r))).as(s"m_$i")
-    }
+    val exploded = base
+      .select(col("doc_id"), col("text"),
+        explode(TextOps.shingles(col("text"), shingleSize)).as("s"))
+      .select(col("doc_id"), col("text"), shingleBase(col("s"), portable).as("h"))
+    val mins = minhashAggs(numHashes, portable)
     val aggs = first(col("text")).as("text") +: mins
     exploded.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
@@ -133,13 +161,14 @@ object DedupOps {
     * (id_a, id_b, est_jaccard, jaccard). */
   def minhashVerifiedPairs(df: DataFrame, id: Column, text: Column,
                            shingleSize: Int = 3, numHashes: Int = 32,
-                           bands: Int = 8, estThreshold: Double = 0.5): DataFrame = {
+                           bands: Int = 8, estThreshold: Double = 0.5,
+                           portable: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashWithText(df, id, text, shingleSize, numHashes)
+    val sigs = minhashWithText(df, id, text, shingleSize, numHashes, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs
       .select(col("doc_id"), col("text"), col("sig"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bb"))
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand, portable)).as("bb"))
       .select(col("doc_id"), col("text"), col("sig"), col("bb.band"), col("bb.bucket"))
     val a = keyed.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"), col("text").as("text_a"))
@@ -176,20 +205,32 @@ object DedupOps {
       array_distinct(TextOps.shingles(textA, k)),
       array_distinct(TextOps.shingles(textB, k)))
 
-  /** SimHash-64 per document: each token's xxhash64 contributes +1/−1 to
-    * 64 bit positions; positive positions set the output bit.
+  /** SimHash-64 per document: each token's 64-bit hash contributes
+    * +1/−1 to 64 bit positions; positive positions set the output bit.
     *
     * Shaped as explode(tokens) → 64 codegen'd `sum` aggregates → one
     * bit-packing projection. A per-row `aggregate`/`zip_with` array
     * expression computes the same thing but runs interpreted, ~5×
     * slower. The shuffle is map-side combined: (doc, 64 longs) per
     * partition, not per token. Documents with no tokens are dropped. */
-  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val exploded = df.select(id.as("doc_id"),
-      explode(TextOps.tokens(text)).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+  def simhashSignatures(df: DataFrame, id: Column, text: Column,
+                        portable: Boolean = true): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("t"))
+    // portable: the 64-bit pattern is two 32-bit halves of ONE md5 hex
+    // digest (reproducible in DuckDB); fast: xxhash64 directly
+    val exploded =
+      if (portable) tok.withColumn("mdhex", md5(col("t")))
+        .select(col("doc_id"),
+          PortableHash.int32(col("mdhex"), 0).as("h1"),
+          PortableHash.int32(col("mdhex"), 1).as("h2"))
+      else tok.select(col("doc_id"), xxhash64(col("t")).as("h"))
     val sums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$b")
+      val bit =
+        if (portable) {
+          val (src, sh) = if (b < 32) ("h1", b) else ("h2", b - 32)
+          shiftright(col(src), sh).bitwiseAND(1)
+        } else shiftright(col("h"), b).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b_$b")
     }
     exploded.groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
@@ -211,11 +252,12 @@ object DedupOps {
     * all-pairs scan. Exact hamming verifies the survivors. Requires
     * maxHamming < bands for completeness within the candidate set. */
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
-                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                          maxHamming: Int = 3, bands: Int = 4,
+                          portable: Boolean = true): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole completeness needs maxHamming ($maxHamming) < bands ($bands)")
     val bits = 64 / bands
-    val sigs = simhashSignatures(df, id, text)
+    val sigs = simhashSignatures(df, id, text, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
