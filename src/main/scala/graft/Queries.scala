@@ -538,22 +538,39 @@ object Queries {
       (s, dir) => {
         // Mirrors schema.ts:271-310's generate_series + random() demo
         // table, but partition-independent: pseudo-randoms derive from
-        // xxhash64(id, salt) so the output is identical on any cluster.
+        // PortableHash over (id, salt) so the output is identical on any
+        // cluster AND reproducible in DuckDB — the generator itself is
+        // under the oracle gate (was rows-only with xxhash64 randoms).
         val n = 500
         def u(salt: Int): Column =
-          (pmod(xxhash64(col("id"), lit(salt)), lit(1000000L)).cast(DoubleType) / 1e6)
+          (PortableHash.base(concat(col("id").cast("string"), lit(":" + salt)))
+            % 1000000L).cast(DoubleType) / 1e6
         s.range(n)
           .select(
             col("id").as("jid"),
-            timestamp_seconds(lit(1704067200L) + (u(1) * 86400 * 30).cast(LongType)).as("time"),
+            (lit(1704067200L) + (u(1) * 86400 * 30).cast(LongType)).as("time_epoch"),
             (u(2) * 9 + 1).cast(LongType).as("nhosts"),
             (u(3) * 31 + 1).cast(LongType).as("ncores"),
             concat(lit("demo-account-"), (u(4) * 100).cast(LongType).cast("string")).as("account"),
             when(u(5) < 0.9, "0").otherwise("1").as("exitcode"),
             rnd(u(6) * 100, 4).as("value_cpuuser"),
             rnd(u(7) * 16000, 4).as("value_memused"))
+          .orderBy("jid")
       },
-      None),
+      {
+        def uSql(salt: Int): String =
+          s"(((('0x' || substr(md5(id::VARCHAR || ':$salt'), 1, 15))::BIGINT % 2147483647) % 1000000) / 1e6)"
+        Some(s"""WITH ids AS (SELECT unnest(generate_series(0, 499)) AS id)
+               |SELECT id AS jid,
+               |  CAST(1704067200 + floor(${uSql(1)} * 86400 * 30) AS BIGINT) AS time_epoch,
+               |  CAST(floor(${uSql(2)} * 9 + 1) AS BIGINT) AS nhosts,
+               |  CAST(floor(${uSql(3)} * 31 + 1) AS BIGINT) AS ncores,
+               |  'demo-account-' || CAST(CAST(floor(${uSql(4)} * 100) AS BIGINT) AS VARCHAR) AS account,
+               |  CASE WHEN ${uSql(5)} < 0.9 THEN '0' ELSE '1' END AS exitcode,
+               |  floor((${uSql(6)} * 100) * 10000.0 + 0.5) / 10000.0 AS value_cpuuser,
+               |  floor((${uSql(7)} * 16000) * 10000.0 + 0.5) / 10000.0 AS value_memused
+               |FROM ids ORDER BY jid""".stripMargin)
+      }),
 
     // ── Text analysis (training-pipeline ext) ─────────────────────────
 
@@ -941,7 +958,72 @@ object Queries {
             cacheKey = Some(s"embeddings:$dir"))
           .select(col("qid"), col("cid"), r4(col("cosine")).as("cosine"), col("rank"))
       },
-      None),
+      // The oracle RE-DERIVES the whole IVF fit in SQL: portable-hash
+      // sample init, two Lloyd rounds with exact fixed-point mean sums
+      // (order-independent in both engines), 6-decimal normalized
+      // centroids, probe selection and inverted-file search. Possible
+      // because every ivfFit arithmetic step is engine-portable.
+      Some {
+        val P = graft.ext.PortableHash.P
+        // one spherical-k-means round: assignment against cent${r-1},
+        // fixed-point mean, normalize+round; empty clusters keep their
+        // previous centroid (the LEFT JOIN + COALESCE)
+        def round(r: Int): String =
+          s"""asg$r AS (
+             |  SELECT cid, v, kid FROM (
+             |    SELECT c.cid, c.v, k.kid,
+             |      row_number() OVER (PARTITION BY c.cid
+             |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
+             |    FROM corpus c CROSS JOIN cent${r - 1} k) t WHERE rn = 1),
+             |sums$r AS (
+             |  SELECT kid, pos, CAST(sum(CAST(floor(v[pos] * 10000000.0) AS BIGINT)) AS DOUBLE) AS sf, count(*) AS n
+             |  FROM asg$r CROSS JOIN generate_series(1, $embDim) AS g(pos)
+             |  GROUP BY kid, pos),
+             |newc$r AS (
+             |  SELECT kid, list(sf / n / 10000000.0 ORDER BY pos) AS m FROM sums$r GROUP BY kid),
+             |norm$r AS (
+             |  SELECT kid, m, sqrt(list_sum(list_transform(m, x -> x * x))) AS nn FROM newc$r),
+             |cent$r AS (
+             |  SELECT k.kid, COALESCE(list_transform(n.m,
+             |      x -> CASE WHEN n.nn > 0 THEN floor(x / n.nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END), k.c) AS c
+             |  FROM cent${r - 1} k LEFT JOIN norm$r n USING (kid)),""".stripMargin
+        s"""WITH corpus AS (
+           |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |samp AS (
+           |  SELECT v FROM corpus
+           |  ORDER BY ('0x' || substr(md5(cid::VARCHAR), 1, 15))::BIGINT % $P, cid
+           |  LIMIT 16),
+           |sampn AS (
+           |  SELECT list_transform(v,
+           |      x -> CASE WHEN nn > 0 THEN floor(x / nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END) AS c
+           |  FROM (SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM samp) t),
+           |cent0 AS (SELECT row_number() OVER (ORDER BY c) - 1 AS kid, c FROM sampn),
+           |${round(1)}
+           |${round(2)}
+           |asgF AS (
+           |  SELECT cid, v, kid FROM (
+           |    SELECT c.cid, c.v, k.kid,
+           |      row_number() OVER (PARTITION BY c.cid
+           |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
+           |    FROM corpus c CROSS JOIN cent2 k) t WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
+           |probe AS (
+           |  SELECT qid, kid FROM (
+           |    SELECT q.qid, k.kid,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS rn
+           |    FROM q CROSS JOIN cent2 k) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT q.qid, a.cid, list_cosine_similarity(q.qv, a.v) AS cos_raw
+           |  FROM probe p JOIN q ON q.qid = p.qid JOIN asgF a ON a.kid = p.kid
+           |  WHERE a.cid <> q.qid),
+           |ranked AS (
+           |  SELECT qid, cid, cos_raw,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+      }),
 
     Q("q40_embedding_neardup",
       (s, dir) => DedupOps.embeddingNearDupPairs(

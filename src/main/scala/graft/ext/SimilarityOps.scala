@@ -189,31 +189,52 @@ object SimilarityOps {
     * ONE narrow corpus scan (assignment = broadcast-literal argmax) plus
     * a (nlist × dim)-row partial aggregate — no crossJoin, no
     * full-corpus shuffle anywhere. Centroids are unit-normalized and
-    * rounded to 6 decimals so refits are bit-deterministic. */
+    * rounded to 6 decimals so refits are bit-deterministic.
+    *
+    * Every arithmetic step is ENGINE-PORTABLE, so the whole fit is
+    * reproducible in DuckDB SQL (q41's oracle re-derives it):
+    *  - init sample order = [[PortableHash.base]] of the id (md5-based),
+    *    not xxhash64, with the id itself as tiebreak;
+    *  - centroid ids = lexicographic (element-wise numeric) order of the
+    *    rounded vectors — NOT a JVM toString sort;
+    *  - cluster means accumulate fixed-point longs (floor(x·1e7)), an
+    *    order-independent exact sum, where a double `avg` would depend
+    *    on partition/accumulation order and diverge across engines. */
   def ivfFit(corpus: DataFrame, nlist: Int, iters: Int = 2): IvfModel = {
     def normRound(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(x => if (n > 0) math.floor(x / n * 1e6 + 0.5) / 1e6 else 0.0)
     }
+    // element-wise numeric lexicographic compare — matches SQL list "<"
+    def lexLess(a: Array[Double], b: Array[Double]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        if (a(i) != b(i)) return a(i) < b(i)
+        i += 1
+      }
+      a.length < b.length
+    }
     var centroids: Array[Array[Double]] = corpus
-      .orderBy(xxhash64(col("cid")))
+      .orderBy(PortableHash.base(col("cid").cast("string")), col("cid"))
       .limit(nlist)
       .select(col("cvec"))
       .collect()
       .map(r => normRound(r.getSeq[Float](0).map(_.toDouble).toArray))
-      .sortBy(_.toSeq.toIndexedSeq.toString) // stable order independent of sample order
+      .sortWith(lexLess)
     for (_ <- 1 to iters) {
       val sums = corpus
         .withColumn("centroid_id", nearestCentroid(col("cvec"), centroids))
         .select(col("centroid_id"), posexplode(col("cvec")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
-        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .agg(sum(floor(col("x").cast(DoubleType) * 1e7).cast(org.apache.spark.sql.types.LongType)).as("sf"),
+          count(lit(1)).as("n"))
         .collect()
       val byId = sums.groupBy(_.getInt(0))
       centroids = centroids.indices.map { i =>
         byId.get(i) match {
           case Some(rows) =>
-            normRound(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+            normRound(rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e7).toArray)
           case None => centroids(i) // empty cluster keeps its centroid
         }
       }.toArray

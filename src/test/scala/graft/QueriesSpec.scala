@@ -37,7 +37,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.filter(col("ncores").between(1, 32)).count() == n)
     assert(df.filter(col("value_cpuuser").between(0.0, 100.0)).count() == n)
     assert(df.filter(col("value_memused").between(0.0, 16000.0)).count() == n)
-    assert(df.filter(col("time").between("2024-01-01 00:00:00", "2024-01-31 00:00:00")).count() == n)
+    assert(df.filter(col("time_epoch").between(1704067200L, 1704067200L + 30L * 86400)).count() == n)
     val zeroExit = df.filter(col("exitcode") === "0").count().toDouble / n
     assert(zeroExit > 0.8 && zeroExit < 0.97) // p=0.9 ± sampling noise
     val deciles = df.select(floor(col("value_cpuuser") / 10.0).cast("int").as("d"))
