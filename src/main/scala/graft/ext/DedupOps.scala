@@ -342,11 +342,20 @@ object DedupOps {
     // init = the first propagate round fused into label creation:
     // label₀(v) = min(v, min neighbour) comes straight out of the edge
     // aggregate, so cliques/stars converge one full round (two joins +
-    // checkpoint + count) earlier than the label₀(v) = v start
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min("dst").as("nbr"))
-      .select(col("id"), least(col("id"), col("nbr")).as("label"))
-      .localCheckpoint()
+    // checkpoint + count) earlier than the label₀(v) = v start.
+    // Lazily persisted, NOT checkpointed: an eager checkpoint here costs
+    // a full extra job round-trip before round 1 even starts; with
+    // persist, round 1's own checkpoint action materializes init once
+    // and both of its join branches read the cache.
+    var initCache: Option[DataFrame] = None
+    var labels = {
+      val l = edges.groupBy(col("src").as("id"))
+        .agg(min("dst").as("nbr"))
+        .select(col("id"), least(col("id"), col("nbr")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      initCache = Some(l)
+      l
+    }
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -367,6 +376,8 @@ object DedupOps {
         .select(col("id"), col("old"),
           coalesce(col("plabel"), col("label")).as("label"))
         .localCheckpoint()
+      initCache.foreach(_.unpersist()) // round 1 has materialized past it
+      initCache = None
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("id", "label")
       done = changed == 0

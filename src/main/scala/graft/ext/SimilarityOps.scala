@@ -36,11 +36,15 @@ object Hyperplanes {
     }.reduce(_ + _)
 
   /** Sign-LSH bucket id in [0, 2^bits): bit i set iff dot(vec, plane_i)
-    * ≥ 0. Narrow, codegen'd, zero shuffle. */
+    * ≥ 0. One custom codegen'd expression node ([[graft.functions
+    * .VecExpressions.MatSignBucket]]): the dim×bits literal-chain form
+    * this replaces cost ~1.5 s of Catalyst ANALYSIS per run on the
+    * multi-table LSH query — plan size, not task time. Accumulation
+    * order is identical, so bucket ids (and every oracle) are
+    * unchanged. Narrow, codegen'd, zero shuffle. */
   def bucket(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
-    planes(dim, bits, seed).zipWithIndex.map { case (p, i) =>
-      when(dotLit(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.VecExpressions.matSignBucket(vec,
+      planes(dim, bits, seed).map(_.toArray).toArray)
 
   /** The SAME bucket computation as DuckDB SQL over `vecExpr` (a FLOAT[]
     * column). Literals are ::DOUBLE-cast — DuckDB would otherwise parse
@@ -71,10 +75,14 @@ object Hyperplanes {
   */
 object SimilarityOps {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float/double-array columns, accumulated in
+    * double. A custom codegen'd expression ([[graft.functions
+    * .VecExpressions.VecDot]]) — the `aggregate(zip_with(...))` form it
+    * replaces is a higher-order function: interpreted per ROW, which
+    * made it the dominant per-pair cost in candidate scoring. Same
+    * left-to-right accumulation from 0.0 — bit-identical results. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecExpressions.vecDot(a, b)
 
   /** L2 norm of a float-array column. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
@@ -165,24 +173,19 @@ object SimilarityOps {
     * inverted file), persisted for reuse across query batches. */
   case class IvfModel(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Dot of a vector column with an ARRAY-LITERAL centroid. Deliberately
-    * the compact zip_with form, not the unrolled multiply-add chain: 16
-    * centroids × 64 dims unrolled is a >64 KB codegen method — janino
-    * rejects it, the whole stage falls back to interpreted ANYWAY, and
-    * every run pays the failed-compile + huge-plan analysis in driver
-    * time (measured as inter-job gaps dominating q41). The small tree
-    * keeps analysis/codegen cheap; per-row eval is an array traversal. */
+  /** Dot of a vector column with an ARRAY-LITERAL centroid (used on the
+    * tiny query side only — the corpus-side argmax is one
+    * [[graft.functions.VecExpressions.NearestCentroid]] node). */
   private def dotArr(vec: Column, c: Array[Double]): Column =
-    aggregate(zip_with(vec, lit(c), (x, w) => x.cast(DoubleType) * w),
-      lit(0.0), (acc, v) => acc + v)
+    dot(vec, lit(c))
 
-  /** Per-row argmax over the centroid literals: one narrow projection —
-    * zero shuffle, zero row amplification. Ties break to the larger
-    * centroid id (array_max on (sim, id) structs). */
+  /** Per-row argmax over the centroid literals: one custom codegen'd
+    * expression node — zero shuffle, zero row amplification, O(1) plan
+    * size. (The earlier array_max-over-structs form was interpreted;
+    * the unrolled literal chain blew janino's 64 KB method limit.)
+    * Ties break to the larger centroid id, as array_max did. */
   private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotArr(vec, c).as("sim"), lit(i).as("cid"))
-    }: _*)).getField("cid")
+    graft.functions.VecExpressions.nearestCentroid(vec, centroids)
 
   /** Fit an IVF index: deterministic hash-ordered sample init, then
     * `iters` spherical-k-means (Lloyd) refinement steps. Each step is
