@@ -1137,6 +1137,34 @@ object Queries {
              |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS csize
              |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin)),
 
+    // ── Training-pipeline staples: deterministic split + repetition ──
+
+    Q("q51_split_assignment",
+      (s, dir) => DedupOps.assignSplit(tp(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split"),
+      Some(s"""SELECT ${DedupOps.assignSplitSql("doc_id::VARCHAR",
+                 Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q52_repetition_ratio",
+      (s, dir) => tp(s, dir, "documents")
+        .select(col("doc_id"),
+          r4(TextOps.repetitionRatio(col("text"), 3)).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t)
+             |SELECT doc_id,
+             |  floor((1.0 - (CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh))) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

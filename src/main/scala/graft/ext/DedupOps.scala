@@ -419,4 +419,40 @@ object DedupOps {
       .select(col("doc_id").as("__loser_id"))
     df.join(losers, id === col("__loser_id"), "left_anti")
   }
+
+  /** Deterministic train/val/test split: a `split` label column from the
+    * portable hash of (id, salt) against cumulative fraction thresholds.
+    * Narrow projection — no shuffle, no sampling state; the assignment
+    * is stable across runs, engines and cluster sizes, which is what a
+    * training pipeline needs (re-runs must not migrate documents across
+    * splits). Change `salt` to draw a fresh independent split. */
+  def assignSplit(df: DataFrame, id: Column,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = (PortableHash.base(concat(id.cast("string"), lit(":" + salt)))
+      % 1000000L).cast(DoubleType) / 1e6
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = fractions.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((name, c), acc) => when(u < c, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** The same split label as DuckDB SQL (the oracle side): thresholds
+    * are emitted from the SAME Scala-computed cumulative doubles
+    * (0.8 + 0.1 is 0.9000000000000001 in both engines only if the
+    * literal round-trips — hence the ::DOUBLE casts). */
+  def assignSplitSql(idExpr: String, fractions: Seq[(String, Double)],
+                     salt: String = "split"): String = {
+    val u = s"(((('0x' || substr(md5($idExpr || ':$salt'), 1, 15))::BIGINT" +
+      s" % ${PortableHash.P}) % 1000000) / 1e6)"
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val whens = fractions.map(_._1).zip(cum).dropRight(1)
+      .map { case (name, c) => s"WHEN $u < ($c)::DOUBLE THEN '$name'" }
+      .mkString(" ")
+    s"(CASE $whens ELSE '${fractions.last._1}' END)"
+  }
 }

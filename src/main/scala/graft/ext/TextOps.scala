@@ -96,4 +96,13 @@ object TextOps {
     * same fingerprint is reproducible in any engine). */
   def fingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** Within-document repetition: the fraction of n-gram occurrences that
+    * are repeats of an earlier n-gram (1 − distinct/total) — the
+    * Gopher-style repetitious-text quality signal. 0.0 for documents
+    * shorter than n tokens (their single whole-text shingle is unique). */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh)
+  }
 }

@@ -279,4 +279,69 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.count() == 4) // 1000ms / 250ms
     assert(MultimodalOps.repartitionForPayloads(media).rdd.getNumPartitions >= 1)
   }
+
+  test("vector expressions match their higher-order-function forms bit-for-bit") {
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.VecExpressions
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(200)
+    // VecDot vs aggregate(zip_with(...)): identical accumulation order →
+    // zero tolerance, not epsilon
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val dotDiff = emb.select(
+        (VecExpressions.vecDot(col("embedding"), col("embedding")) - hofDot).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(dotDiff == 0)
+    // MatSignBucket vs the literal multiply-add chain
+    val planes = Hyperplanes.planes(64, 6).map(_.toArray).toArray
+    val chain = Hyperplanes.planes(64, 6).zipWithIndex.map { case (p, i) =>
+      when(Hyperplanes.dotLit(col("embedding"), p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val bktDiff = emb.select(
+        (VecExpressions.matSignBucket(col("embedding"), planes) - chain).as("d"))
+      .filter(col("d") =!= 0).count()
+    assert(bktDiff == 0)
+    // NearestCentroid: argmax with larger-id tiebreak (duplicate centroid)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val vecs = Seq(Array(5.0f, 1.0f), Array(1.0f, 9.0f)).toDF("v")
+    val ids = vecs.select(VecExpressions.nearestCentroid(col("v"), cents))
+      .collect().map(_.getInt(0))
+    assert(ids.sameElements(Array(2, 1))) // tie between 0 and 2 → larger id
+  }
+
+  test("assignSplit: deterministic, exhaustive, near-requested fractions") {
+    val df = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val split = DedupOps.assignSplit(df, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n == df.count()) // exhaustive: every doc got a label
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.05)
+    // deterministic across evaluations
+    val again = DedupOps.assignSplit(df, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() == 0)
+    // a different salt draws a different (still exhaustive) assignment
+    val salted = DedupOps.assignSplit(df, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "other")
+    assert(split.select("doc_id", "split").except(
+      salted.select("doc_id", "split")).count() > 0)
+  }
+
+  test("repetitionRatio: repeated text high, unique text zero, short text zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "every token here is entirely different from all the others"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > 0.8)  // 6 trigrams, all "spam spam spam"
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0) // below n tokens → single shingle, no repeats
+  }
 }
