@@ -1165,6 +1165,49 @@ object Queries {
              |  floor((1.0 - (CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh))) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    Q("q53_decontamination",
+      (s, dir) => {
+        // benchmark = every 50th document (standing in for an eval set
+        // drawn from the corpus distribution); flag any corpus doc
+        // sharing a 5-gram with it
+        val d = tp(s, dir, "documents")
+        val bench = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("text").as("btext"))
+        TrainingSetOps.contaminationFlags(d, col("doc_id"), col("text"),
+            bench, col("btext"), k = 5)
+          .groupBy("contaminated").agg(count(lit(1)).as("n_docs"))
+          .orderBy("contaminated")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+             |    THEN list_transform(generate_series(0, len(toks) - 5),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS s FROM t),
+             |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+             |hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bs USING (s))
+             |SELECT (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q54_sequence_packing",
+      (s, dir) => TrainingSetOps.packSequences(tp(s, dir, "documents"),
+          col("doc_id"), col("text"), budget = 512, shards = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+             |  FROM t)
+             |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_first,
+             |  CAST(floor((cum - 1) / 512) AS BIGINT) AS seq_last
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

@@ -333,6 +333,42 @@ class ExtSpec extends AnyFunSuite {
       salted.select("doc_id", "split")).count() > 0)
   }
 
+  test("contaminationFlags: benchmark overlap flagged, clean docs not") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // contains bench 5-gram
+      (2L, "totally unrelated words that never appear in any benchmark row"),
+      (3L, "alpha beta gamma delta epsilon completely different tail here")
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("btext")
+    val flags = TrainingSetOps.contaminationFlags(corpus, col("doc_id"),
+        col("text"), bench, col("btext"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L) && flags(3L) && !flags(2L))
+    assert(flags.size == 3) // every corpus doc gets a flag
+  }
+
+  test("packSequences: contiguous coverage, budget respected, shard-local") {
+    val docs = (0L until 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val packed = TrainingSetOps.packSequences(docs, col("doc_id"), col("text"),
+      budget = 10, shards = 4).collect()
+    assert(packed.length == 40)
+    packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      // cuts advance monotonically and cover contiguously: each doc
+      // starts in the sequence where its predecessor ended, or in the
+      // next one when the predecessor finished exactly on a cut
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) == a.getLong(4) || b.getLong(3) == a.getLong(4) + 1)
+        case _ =>
+      }
+      // a doc spans at most ceil(n_tokens/budget) extra sequences
+      sorted.foreach { r =>
+        assert(r.getLong(4) - r.getLong(3) <= r.getLong(2) / 10 + 1)
+      }
+    }
+  }
+
   test("repetitionRatio: repeated text high, unique text zero, short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
