@@ -1208,6 +1208,155 @@ object Queries {
              |  CAST(floor((cum - 1) / 512) AS BIGINT) AS seq_last
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    Q("q55_pii_redaction",
+      (s, dir) => {
+        // the synthetic corpus carries no PII, so the query plants one
+        // deterministic item per document (class cycles with doc_id) and
+        // the audit proves every class is found and scrubbed
+        val planted = tp(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+              .when(pmod(col("doc_id"), lit(4)) === 1, lit(" call 555-123-4567 today"))
+              .when(pmod(col("doc_id"), lit(4)) === 2,
+                concat(lit(" from host 10.0."), pmod(col("doc_id"), lit(200)), lit(".7 port")))
+              .otherwise(lit(" ssn 987-65-4321 on file"))).as("t2"))
+        planted
+          .select(TextOps.piiCounts(col("t2")).as("c"),
+            length(TextOps.redactPii(col("t2"))).as("red_len"))
+          .agg(sum("c.n_email").as("n_email"), sum("c.n_ssn").as("n_ssn"),
+            sum("c.n_ip").as("n_ip"), sum("c.n_phone").as("n_phone"),
+            sum("red_len").as("chars_after"),
+            sum(when(col("c.n_email") + col("c.n_ssn") + col("c.n_ip")
+              + col("c.n_phone") === 0, 1L).otherwise(0L)).as("clean_docs"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, text ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com now'
+             |          WHEN doc_id % 4 = 1 THEN ' call 555-123-4567 today'
+             |          WHEN doc_id % 4 = 2 THEN ' from host 10.0.' || (doc_id % 200) || '.7 port'
+             |          ELSE ' ssn 987-65-4321 on file' END) AS t2
+             |  FROM documents),
+             |s1 AS (SELECT doc_id,
+             |    len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             |    regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+             |  FROM p),
+             |s2 AS (SELECT doc_id, n_email,
+             |    len(regexp_extract_all(r1, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+             |    regexp_replace(r1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS r2
+             |  FROM s1),
+             |s3 AS (SELECT doc_id, n_email, n_ssn,
+             |    len(regexp_extract_all(r2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             |    regexp_replace(r2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r3
+             |  FROM s2),
+             |s4 AS (SELECT doc_id, n_email, n_ssn, n_ip,
+             |    len(regexp_extract_all(r3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+             |    regexp_replace(r3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS red
+             |  FROM s3)
+             |SELECT CAST(sum(n_email) AS BIGINT) AS n_email,
+             |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+             |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+             |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+             |  CAST(sum(length(red)) AS BIGINT) AS chars_after,
+             |  CAST(sum(CASE WHEN n_email + n_ssn + n_ip + n_phone = 0 THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs
+             |FROM s4""".stripMargin)),
+
+    Q("q56_boilerplate_removal",
+      (s, dir) => {
+        // plant C4-style boilerplate: a shared banner on even docs and a
+        // shared footer on all docs, next to a per-document unique line;
+        // the filter must drop exactly the shared lines everywhere
+        val d2 = tp(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("SUBSCRIBE TO OUR NEWSLETTER"))
+              .otherwise(concat(lit("rights reserved "), col("doc_id"))),
+            lit("COPYRIGHT 2024 FOOTER")).as("text"))
+        TrainingSetOps.removeBoilerplate(d2, col("doc_id"), col("text"), minDocs = 3)
+          .withColumn("n_lines", size(split(col("text"), "\n")).cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, text || chr(10) ||
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER'
+             |          ELSE 'rights reserved ' || doc_id END)
+             |    || chr(10) || 'COPYRIGHT 2024 FOOTER' AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+             |e AS (SELECT doc_id, unnest(ls) AS line FROM t),
+             |b AS (SELECT trim(line) AS nline FROM e GROUP BY 1
+             |      HAVING count(DISTINCT doc_id) >= 3),
+             |bl AS (SELECT coalesce(list(nline), []) AS blist FROM b),
+             |r AS (SELECT doc_id,
+             |        list_filter(ls, x -> NOT list_contains(blist, trim(x))) AS keep
+             |      FROM t, bl)
+             |SELECT doc_id, array_to_string(keep, chr(10)) AS text,
+             |  CAST(len(keep) AS BIGINT) AS n_lines
+             |FROM r WHERE len(keep) > 0 ORDER BY doc_id""".stripMargin)),
+
+    Q("q57_token_budget_curation",
+      (s, dir) => {
+        val base = tp(s, dir, "documents").select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).as("nt"))
+        TrainingSetOps.curateByBudget(base, col("doc_id"), col("q"), col("nt"),
+            budget = 12000L)
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+            rnd(min(col("q")), 6).as("min_quality"))
+      },
+      // the oracle computes the NAIVE single global window cumsum; the
+      // gate proves the engine's two-phase bucketed plan is equivalent
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, n_tokens,
+             |    floor((least(n_tokens / 64.0, 1.0) * 0.4
+             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS q
+             |  FROM toks),
+             |c AS (SELECT doc_id, q, n_tokens,
+             |        sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM q)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  floor(min(q) * 1000000.0 + 0.5) / 1000000.0 AS min_quality
+             |FROM c WHERE cum <= 12000""".stripMargin)),
+
+    Q("q58_domain_mixture",
+      (s, dir) => TrainingSetOps.resampleMixture(tp(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |w(source, wt) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.25::DOUBLE), ('src2', 0.25::DOUBLE)),
+             |j AS (SELECT c.source, c.n, w.wt FROM c JOIN w USING (source)),
+             |t AS (SELECT min(n / wt) AS tt FROM j),
+             |a AS (SELECT j.source, least(1.0, j.wt * t.tt / j.n) AS p FROM j, t),
+             |k AS (SELECT d.doc_id, d.source FROM documents d JOIN a USING (source)
+             |      WHERE ((('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 2147483647) % 1000000) / 1e6 < a.p)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q59_token_zipf",
+      (s, dir) => {
+        val counts = tp(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        counts.orderBy(col("n").desc, col("token")).limit(20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("n").desc, col("token")))
+              .cast(LongType))
+      },
+      Some("""WITH e AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+             |SELECT token, n,
+             |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+             |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

@@ -372,10 +372,13 @@ object DedupOps {
       // the pre-compression old label rides along so the convergence
       // check is a filter over the checkpointed frame, not another join
       val parent = prop.select(col("id").as("label"), col("label").as("plabel"))
+      // lazy checkpoint: the convergence count below is the action that
+      // materializes it, so each round runs ONE job (eager checkpoint +
+      // count was two); the plan is truncated either way
       val next = prop.join(parent, Seq("label"), "left")
         .select(col("id"), col("old"),
           coalesce(col("plabel"), col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       initCache.foreach(_.unpersist()) // round 1 has materialized past it
       initCache = None
       val changed = next.filter(col("label") =!= col("old")).count()

@@ -97,6 +97,40 @@ object TextOps {
   def fingerprint(text: Column, k: Int = 5): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
 
+  /** PII patterns for redaction/auditing, applied in this order (order
+    * matters: SSNs must be replaced before the looser phone pattern can
+    * see them, IPs before phones so dotted octets never half-match).
+    * Patterns stay within the common Java-regex/RE2 subset (no
+    * backreferences, no lookaround) so the same literal runs in any
+    * engine. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "ip"    -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b")
+
+  /** Redacts each PII class to a `<CLASS>` placeholder. A chain of four
+    * codegen'd regexp_replace scans — narrow, no shuffle; at 100 TB this
+    * is scan-bound CPU like the rest of the text suite. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, p)) =>
+      regexp_replace(c, lit(p), lit(s"<${name.toUpperCase}>"))
+    }
+
+  /** Per-class PII hit counts as one struct column (email, ssn, ip,
+    * phone) — the audit signal next to [[redactPii]]'s scrub. Counted
+    * in the SAME order redaction applies, over the progressively
+    * redacted text, so overlapping classes are attributed exactly like
+    * the redaction resolves them. */
+  def piiCounts(text: Column): Column = {
+    val (_, counts) = piiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((c, acc), (name, p)) =>
+        (regexp_replace(c, lit(p), lit(s"<${name.toUpperCase}>")),
+          acc :+ regexp_count(c, lit(p)).as("n_" + name))
+    }
+    struct(counts: _*)
+  }
+
   /** Within-document repetition: the fraction of n-gram occurrences that
     * are repeats of an earlier n-gram (1 − distinct/total) — the
     * Gopher-style repetitious-text quality signal. 0.0 for documents

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Training-set assembly operators: benchmark decontamination and
   * sequence packing — the steps between "cleaned corpus" and "batches
@@ -55,5 +55,107 @@ object TrainingSetOps {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget).as("seq_first"),
         floor((col("cum") - 1) / budget).as("seq_last"))
+  }
+
+  /** Cross-document boilerplate removal (the C4-style line filter): a
+    * line whose trimmed form appears in at least `minDocs` distinct
+    * documents is boilerplate (nav bars, cookie banners, footers) and is
+    * dropped from every document; documents left with no lines drop out
+    * entirely. Returns (doc_id, text).
+    *
+    * Scale shape: one posexplode of the corpus into lines, one map-side-
+    * combinable distinct-doc count per line, an anti-join of the line
+    * table against the boilerplate set (tiny by construction — only
+    * lines repeated across `minDocs`+ documents survive the HAVING — so
+    * AQE broadcasts it), and one groupBy(doc) reassembly. Nothing
+    * collects at the driver. */
+  def removeBoilerplate(df: DataFrame, id: Column, text: Column,
+                        minDocs: Int = 3): DataFrame = {
+    val lines = df.select(id.as("doc_id"),
+      posexplode(split(text, "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .groupBy(trim(col("line")).as("nline"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("nline")
+    lines.join(boiler, trim(col("line")) === col("nline"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+  }
+
+  /** Quality-ordered token-budget curation: keep documents in global
+    * (quality DESC, id ASC) order while the running token total stays
+    * within `budget` — "take the best N tokens" corpus selection.
+    *
+    * The naive plan is a single global window cumsum, which serializes
+    * the whole corpus through ONE partition. This is the two-phase
+    * scale shape instead: quality is bucketized (`buckets` quantized
+    * levels), per-bucket token totals are aggregated (map-side
+    * combined, ≤ `buckets` rows), the tokens-in-strictly-better-buckets
+    * offset comes from a window over that TINY frame (the only
+    * single-partition window, bounded by the bucket count, never by
+    * data size), and the within-bucket cumsum runs partitioned by
+    * bucket. Bucket = floor(quality·buckets) is monotone in quality, so
+    * (bucket DESC, quality DESC, id) is exactly the global order — the
+    * DuckDB oracle computes the single global cumsum and the gate
+    * proves the equivalence. Caveat: a corpus whose quality mass sits
+    * in one bucket degrades to the naive shape; raise `buckets` to
+    * match quality granularity. */
+  def curateByBudget(df: DataFrame, id: Column, quality: Column,
+                     tokens: Column, budget: Long,
+                     buckets: Int = 1000): DataFrame = {
+    val base = df.select(id.as("doc_id"), quality.cast(DoubleType).as("q"),
+        tokens.cast(LongType).as("n_tokens"))
+      .withColumn("qb",
+        least(floor(col("q") * buckets), lit(buckets.toLong - 1)).cast(LongType))
+    val perBucket = base.groupBy("qb").agg(sum("n_tokens").as("btok"))
+    val wAbove = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val above = perBucket
+      .withColumn("above", coalesce(sum("btok").over(wAbove), lit(0L)))
+      .select("qb", "above")
+    val wIn = Window.partitionBy("qb").orderBy(col("q").desc, col("doc_id"))
+    base.join(broadcast(above), Seq("qb"))
+      .withColumn("cum", col("above") + sum("n_tokens").over(wIn))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "q", "n_tokens")
+  }
+
+  /** Domain-mixture resampling: deterministically downsample each
+    * domain so the surviving corpus matches the target `weights`
+    * proportions, keeping as much data as possible (the binding domain
+    * — the one with the least data relative to its weight — is kept
+    * whole; every other domain is thinned to match). Domains absent
+    * from `weights` are dropped. Sampling is the portable (id, salt)
+    * hash against the per-domain acceptance rate, so re-runs keep
+    * exactly the same rows on any engine or cluster size.
+    *
+    * Scale shape: one tiny per-domain count aggregate (map-side
+    * combined), the acceptance-rate frame is a handful of rows joined
+    * back by broadcast, and the filter itself is a narrow projection —
+    * one scan, no corpus shuffle. */
+  def resampleMixture(df: DataFrame, domain: Column, id: Column,
+                      weights: Map[String, Double],
+                      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val wsum = weights.values.sum
+    val wlit = map(weights.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      Seq(lit(k), lit(v / wsum))
+    }: _*)
+    val counts = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", try_element_at(wlit, col("__dom")))
+      .filter(col("__w").isNotNull)
+    val tRow = counts.agg(min(col("__n") / col("__w")).as("__t"))
+    val accept = counts.crossJoin(broadcast(tRow))
+      .select(col("__dom"),
+        least(lit(1.0), col("__w") * col("__t") / col("__n")).as("__p"))
+    val u = (PortableHash.base(concat(id.cast("string"), lit(":" + salt)))
+      % 1000000L).cast(DoubleType) / 1e6
+    df.join(broadcast(accept), domain === col("__dom"))
+      .filter(u < col("__p"))
+      .drop("__dom", "__p")
   }
 }

@@ -369,6 +369,76 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii: every class scrubbed, clean text untouched, counts attributed") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 555-867-5309 x2"),
+      (2L, "server 192.168.0.12 rejected ssn 123-45-6789 twice"),
+      (3L, "no personal data in this row at all")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.redactPii(col("text")).as("red"),
+        TextOps.piiCounts(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "reach me at <EMAIL> or <PHONE> x2")
+    assert(out(2L).getString(1) == "server <IP> rejected ssn <SSN> twice")
+    assert(out(3L).getString(1) == "no personal data in this row at all")
+    val c1 = out(1L).getStruct(2)
+    assert(c1.getInt(0) == 1 && c1.getInt(3) == 1) // email + phone
+    val c2 = out(2L).getStruct(2)
+    assert(c2.getInt(1) == 1 && c2.getInt(2) == 1) // ssn + ip
+    assert((0 to 3).forall(out(3L).getStruct(2).getInt(_) == 0))
+  }
+
+  test("removeBoilerplate: shared lines dropped, unique lines kept in order") {
+    val df = Seq(
+      (1L, "first unique line\nSHARED BANNER\nbody of one"),
+      (2L, "SHARED BANNER\nbody of two\ntail two"),
+      (3L, "body of three\nSHARED BANNER"),
+      (4L, "SHARED BANNER") // nothing survives -> doc dropped
+    ).toDF("doc_id", "text")
+    val out = TrainingSetOps.removeBoilerplate(df, col("doc_id"), col("text"),
+        minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "first unique line\nbody of one",
+      2L -> "body of two\ntail two",
+      3L -> "body of three"))
+  }
+
+  test("curateByBudget: bucketed two-phase equals the naive global cumsum") {
+    val df = (0L until 200L).map { i =>
+      (i, (i % 97).toDouble / 100.0, i % 13 + 1)
+    }.toDF("doc_id", "q", "nt")
+    val got = TrainingSetOps.curateByBudget(df, col("doc_id"), col("q"),
+        col("nt"), budget = 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // naive reference: global (q desc, id) order, keep while cum <= budget
+    var cum = 0L
+    val want = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+      .takeWhile { case (_, _, n) => { cum += n; cum <= 300L } }
+      .map(_._1).toSet
+    assert(got == want && got.nonEmpty && got.size < 200)
+  }
+
+  test("resampleMixture: proportions approach targets, binding domain kept whole") {
+    val df = (0L until 600L).map(i =>
+      (i, "d" + (i % 3))).toDF("doc_id", "dom") // 200 docs each
+    val out = TrainingSetOps.resampleMixture(df, col("dom"), col("doc_id"),
+        Map("d0" -> 0.6, "d1" -> 0.3, "d2" -> 0.1))
+      .groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding domain d0: needs 0.6 share with only a third of the data ->
+    // kept (nearly) whole; d1 thinned to ~half, d2 to ~a sixth
+    assert(out("d0") > 190)
+    assert(out("d1") > 75 && out("d1") < 125)
+    assert(out("d2") > 15 && out("d2") < 55)
+    // deterministic: the same call keeps exactly the same rows
+    val again = TrainingSetOps.resampleMixture(df, col("dom"), col("doc_id"),
+      Map("d0" -> 0.6, "d1" -> 0.3, "d2" -> 0.1))
+    assert(again.exceptAll(TrainingSetOps.resampleMixture(df, col("dom"),
+      col("doc_id"), Map("d0" -> 0.6, "d1" -> 0.3, "d2" -> 0.1))).isEmpty)
+  }
+
   test("repetitionRatio: repeated text high, unique text zero, short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
