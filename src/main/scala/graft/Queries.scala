@@ -1357,6 +1357,75 @@ object Queries {
              |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
              |FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    Q("q60_paragraph_dedup",
+      (s, dir) => {
+        // plant paragraph structure: a corpus-wide disclaimer, a
+        // paragraph shared by every 7th doc, and a unique signature —
+        // only the FIRST global occurrence of each repeat may survive
+        val d2 = tp(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("COMMON DISCLAIMER APPLIES TO ALL DOCUMENTS"),
+            concat(lit("note "), pmod(col("doc_id"), lit(7))),
+            concat(lit("sig "), col("doc_id"))).as("text"))
+        TrainingSetOps.dedupParagraphs(d2, col("doc_id"), col("text"))
+          .withColumn("n_pars", size(split(col("text"), "\n")).cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, text || chr(10) || 'COMMON DISCLAIMER APPLIES TO ALL DOCUMENTS'
+             |    || chr(10) || ('note ' || (doc_id % 7)) || chr(10) || ('sig ' || doc_id) AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+             |e AS (SELECT doc_id, unnest(ls) AS par, unnest(range(len(ls))) AS pos FROM t),
+             |f AS (SELECT doc_id, par, pos FROM e WHERE trim(par) <> ''),
+             |k AS (SELECT doc_id, pos, par,
+             |        row_number() OVER (PARTITION BY trim(par) ORDER BY doc_id, pos) AS rn
+             |      FROM f)
+             |SELECT doc_id, array_to_string(list(par ORDER BY pos), chr(10)) AS text,
+             |  CAST(count(*) AS BIGINT) AS n_pars
+             |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q61_int8_quantization",
+      (s, dir) => {
+        // scale materialized via persist so downstream lambdas read the
+        // cached column instead of Catalyst inlining the abs-max scan
+        // into every element (HOFs get no subexpression elimination)
+        val base = tp(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("sc",
+            greatest(graft.functions.VecExpressions.vecAbsMax(col("v")),
+              lit(1e-30)) / 127.0)
+          .persist()
+        base.select(col("vec_id"), col("sc"), col("v"),
+            graft.functions.VecExpressions.int8Quantize(col("v")).as("q"))
+          .select(col("vec_id"),
+            rnd(col("sc"), 6).as("scale"),
+            aggregate(col("q"), lit(0L),
+              (acc, x) => acc + x.cast(LongType) * x.cast(LongType)).as("sum_q2"),
+            rnd(array_max(transform(col("v"), x =>
+              abs(greatest(lit(-127.0), least(lit(127.0),
+                floor(x.cast(DoubleType) / col("sc") + 0.5))) * col("sc")
+                - x.cast(DoubleType)))), 6).as("max_err"))
+          .orderBy("vec_id")
+      },
+      // the oracle re-derives the quantization codes from the floats;
+      // the gate proves the codegen'd one-pass expression produces the
+      // exact same codes (sum of squares) and error bound
+      Some("""WITH b AS (
+             |  SELECT vec_id, embedding AS v,
+             |    greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS sc
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, sc,
+             |    list_transform(v, x -> greatest(-127.0, least(127.0, floor(x::DOUBLE / sc + 0.5)))) AS qs,
+             |    list_max(list_transform(v, x ->
+             |      abs(greatest(-127.0, least(127.0, floor(x::DOUBLE / sc + 0.5))) * sc - x::DOUBLE))) AS me
+             |  FROM b)
+             |SELECT vec_id, floor(sc * 1000000.0 + 0.5) / 1000000.0 AS scale,
+             |  CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sum_q2,
+             |  floor(me * 1000000.0 + 0.5) / 1000000.0 AS max_err
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

@@ -85,6 +85,32 @@ object TrainingSetOps {
           x => x.getField("line")), "\n").as("text"))
   }
 
+  /** Paragraph-level exact dedup across the corpus (the "deduplicating
+    * training data" granularity, on paragraph units): every repeated
+    * (trimmed) paragraph keeps only its FIRST global occurrence — in
+    * (doc_id, position) order — and all later copies are cut from their
+    * documents; documents left with nothing drop out.
+    *
+    * Scale shape: one posexplode, one shuffle on the paragraph key with
+    * a per-key window (partition size = the copy count of ONE paragraph,
+    * never the corpus), one groupBy(doc) reassembly. Empty paragraphs
+    * are filtered before the shuffle so the degenerate hot key never
+    * exists; a corpus-wide boilerplate paragraph IS its own hot key —
+    * run [[removeBoilerplate]] first when that's the concern. */
+  def dedupParagraphs(df: DataFrame, id: Column, text: Column,
+                      sep: String = "\n"): DataFrame = {
+    val pars = df.select(id.as("doc_id"),
+        posexplode(split(text, sep)).as(Seq("pos", "par")))
+      .filter(trim(col("par")) =!= "")
+    val w = Window.partitionBy(trim(col("par"))).orderBy("doc_id", "pos")
+    pars.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("par")))),
+          x => x.getField("par")), sep).as("text"))
+  }
+
   /** Quality-ordered token-budget curation: keep documents in global
     * (quality DESC, id ASC) order while the running token total stays
     * within `budget` — "take the best N tokens" corpus selection.

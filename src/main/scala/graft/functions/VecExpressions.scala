@@ -181,6 +181,98 @@ object VecExpressions {
       copy(child = c)
   }
 
+  /** max |v[i]| — the symmetric-quantization scale numerator. */
+  case class VecAbsMax(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_abs_max"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val t = elemType(child)
+      var mx = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        val a = math.abs(elemAt(t, x, i)); if (a > mx) mx = a; i += 1
+      }
+      mx
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (i, mx, t) = (ctx.freshName("i"), ctx.freshName("mx"), ctx.freshName("t"))
+        s"""
+           |double $mx = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $t = java.lang.Math.abs(${elemGetter(elemType(child), a, i)});
+           |  if ($t > $mx) $mx = $t;
+           |}
+           |${ev.value} = $mx;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): VecAbsMax =
+      copy(child = c)
+  }
+
+  /** Symmetric per-vector int8 quantization for the ANN storage path:
+    * q[i] = clamp(floor(v[i]/scale + 0.5), −127, 127) as TINYINT, with
+    * scale = max(absmax, 1e-30)/127 computed internally — 4× (fp32) to
+    * 8× (fp64) smaller vectors for bucketed candidate stages, one plan
+    * node, one O(dim) codegen loop per row. The floor(x+0.5) rounding
+    * matches the engine-portable convention used everywhere else, so
+    * the codes are reproducible in any engine from the same floats. */
+  case class Int8Quantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def prettyName: String = "int8_quantize"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val t = elemType(child)
+      val n = x.numElements()
+      var mx = 0.0
+      var i = 0
+      while (i < n) { val a = math.abs(elemAt(t, x, i)); if (a > mx) mx = a; i += 1 }
+      val s = math.max(mx, 1e-30) / 127.0
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        var q = math.floor(elemAt(t, x, i) / s + 0.5)
+        if (q > 127.0) q = 127.0
+        if (q < -127.0) q = -127.0
+        out(i) = q.toByte
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (i, n, mx, t, s, q, out) = (ctx.freshName("i"), ctx.freshName("n"),
+          ctx.freshName("mx"), ctx.freshName("t"), ctx.freshName("s"),
+          ctx.freshName("q"), ctx.freshName("out"))
+        s"""
+           |int $n = $a.numElements();
+           |double $mx = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $t = java.lang.Math.abs(${elemGetter(elemType(child), a, i)});
+           |  if ($t > $mx) $mx = $t;
+           |}
+           |double $s = java.lang.Math.max($mx, 1e-30) / 127.0;
+           |byte[] $out = new byte[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $q = java.lang.Math.floor(${elemGetter(elemType(child), a, i)} / $s + 0.5);
+           |  if ($q > 127.0) $q = 127.0;
+           |  if ($q < -127.0) $q = -127.0;
+           |  $out[$i] = (byte) $q;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Int8Quantize =
+      copy(child = c)
+  }
+
   // ── Column API ──────────────────────────────────────────────────────
 
   def vecDot(a: Column, b: Column): Column =
@@ -194,4 +286,10 @@ object VecExpressions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  def vecAbsMax(vec: Column): Column =
+    ColumnBridge.column(VecAbsMax(ColumnBridge.expression(vec)))
+
+  def int8Quantize(vec: Column): Column =
+    ColumnBridge.column(Int8Quantize(ColumnBridge.expression(vec)))
 }

@@ -439,6 +439,42 @@ class ExtSpec extends AnyFunSuite {
       col("doc_id"), Map("d0" -> 0.6, "d1" -> 0.3, "d2" -> 0.1))).isEmpty)
   }
 
+  test("dedupParagraphs: only the first global occurrence of a repeat survives") {
+    val df = Seq(
+      (1L, "alpha\nSHARED\nbeta"),
+      (2L, "SHARED\ngamma"),
+      (3L, "delta\nSHARED")
+    ).toDF("doc_id", "text")
+    val out = TrainingSetOps.dedupParagraphs(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "alpha\nSHARED\nbeta", 2L -> "gamma", 3L -> "delta"))
+  }
+
+  test("int8 quantization: codes bounded, reconstruction within half a step, zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(100.0f, -50.0f, 1.0f, 0.1f))
+    ).toDF("id", "v")
+    val rows = df.select(col("id"),
+        graft.functions.VecExpressions.int8Quantize(col("v")).as("q"),
+        graft.functions.VecExpressions.vecAbsMax(col("v")).as("mx"))
+      .collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Byte](1)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      if (r.getDouble(2) == 0.0) assert(q.forall(_ == 0))
+    }
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    val s3 = math.max(r3.getDouble(2), 1e-30) / 127.0
+    val q3 = r3.getSeq[Byte](1)
+    assert(q3(0) == 127 && q3(1) == -63) // floor(-63.5 + 0.5) = -63
+    val v3 = Array(100.0, -50.0, 1.0, 0.1)
+    v3.indices.foreach { i =>
+      assert(math.abs(q3(i) * s3 - v3(i)) <= s3 / 2 + 1e-12)
+    }
+  }
+
   test("repetitionRatio: repeated text high, unique text zero, short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
