@@ -1426,6 +1426,36 @@ object Queries {
              |  floor(me * 1000000.0 + 0.5) / 1000000.0 AS max_err
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    Q("q62_knn_quantized",
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.quantizedTopK(queries, corpus, 10)
+          .select(col("qid"), col("cid"), r4(col("qcos")).as("qcos"), col("rank"))
+      },
+      // the oracle re-derives the int8 codes from the floats and ranks
+      // by the cosine of the CODE vectors (scales cancel); integer dots
+      // are exact, so the ranking hash-matches bit-for-bit
+      Some("""WITH b AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(x::DOUBLE /
+             |      (greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-30) / 127.0) + 0.5)))) AS code
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, code,
+             |        sqrt(list_sum(list_transform(code, x -> x * x))) AS nrm FROM b),
+             |q AS (SELECT vec_id AS qid, code AS qc, nrm AS qn FROM n WHERE vec_id < 16),
+             |s AS (SELECT q.qid, c.vec_id AS cid,
+             |    CASE WHEN q.qn * c.nrm > 0 THEN
+             |      list_sum(list_transform(range(len(q.qc)), i -> q.qc[i+1] * c.code[i+1])) / (q.qn * c.nrm)
+             |    ELSE 0.0 END AS qcos
+             |  FROM n c, q WHERE c.vec_id <> q.qid),
+             |r AS (SELECT qid, cid, qcos,
+             |        row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rank FROM s)
+             |SELECT qid, cid, floor(qcos * 10000.0 + 0.5) / 10000.0 AS qcos, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

@@ -37,12 +37,14 @@ object VecExpressions {
   private def elemGetter(t: DataType, arr: String, i: String): String = t match {
     case FloatType  => s"(double) $arr.getFloat($i)"
     case DoubleType => s"$arr.getDouble($i)"
+    case ByteType   => s"(double) $arr.getByte($i)" // int8-quantized codes
     case other => throw new IllegalArgumentException(s"vector element type $other")
   }
 
   private def elemAt(t: DataType, arr: ArrayData, i: Int): Double = t match {
     case FloatType  => arr.getFloat(i).toDouble
     case DoubleType => arr.getDouble(i)
+    case ByteType   => arr.getByte(i).toDouble
     case other => throw new IllegalArgumentException(s"vector element type $other")
   }
 

@@ -475,6 +475,19 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized top-k: high overlap with fp32 brute force on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp32 = pairs(SimilarityOps.bruteForceTopK(queries, corpus, 10))
+    val int8 = pairs(SimilarityOps.quantizedTopK(queries, corpus, 10))
+    val overlap = (fp32 intersect int8).size.toDouble / fp32.size
+    assert(overlap >= 0.8, s"int8 top-k overlap with fp32 was $overlap")
+  }
+
   test("repetitionRatio: repeated text high, unique text zero, short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
