@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+
+/** Streaming corpus preparation: the batch prep gates — language ID,
+  * quality score, PII redaction — are narrow column expressions, so the
+  * EXACT same `TextOps` operators the batch pipeline runs compose
+  * unchanged into a Structured Streaming query; no re-implementation,
+  * no semantic drift between batch and streaming corpus prep. The only
+  * stateful stage is the first-seen dedup ([[StreamingDedup]]), keyed
+  * on the digest of the REDACTED text (so two docs differing only in
+  * their PII dedup together).
+  *
+  * Scale notes: gates run per micro-batch at scan speed (codegen'd
+  * regex/arithmetic, zero shuffle); dedup state = one boolean per
+  * distinct digest, partitioned across the cluster and checkpointed.
+  */
+object StreamingPrep {
+
+  /** Stateless gate + redaction stage. Works identically on batch and
+    * streaming frames; expects (doc_id, text). */
+  def prep(df: DataFrame, minQuality: Double = 0.3,
+           langs: Seq[String] = Seq("en")): DataFrame =
+    df.withColumn("lang", TextOps.langId(col("text")))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("lang").isin(langs: _*) && col("quality") >= minQuality)
+      .withColumn("text", TextOps.redactPii(col("text")))
+
+  /** Full streaming prep: gates → redaction → stateful first-seen
+    * dedup on the redacted digest. Append-mode output. */
+  def cleanStream(df: DataFrame, minQuality: Double = 0.3,
+                  langs: Seq[String] = Seq("en")): Dataset[StreamingDedup.Doc] = {
+    implicit val docEnc = Encoders.product[StreamingDedup.Doc]
+    StreamingDedup.dedup(
+      prep(df, minQuality, langs)
+        .select(md5(col("text")).as("digest"),
+          col("doc_id").cast("long").as("docId"), col("text"))
+        .as[StreamingDedup.Doc])
+  }
+}

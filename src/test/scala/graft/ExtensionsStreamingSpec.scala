@@ -8,10 +8,61 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.planner.{TimeBoundExtensions, UnboundedScanException}
-import graft.streaming.StreamingProfiles
+import graft.streaming.{StreamingPrep, StreamingProfiles}
 
 class ExtensionsStreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+
+  test("streaming corpus prep: gates + redaction + dedup across micro-batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sprep")
+    val in = base.resolve("in"); Files.createDirectory(in)
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = base.resolve(s"stage_$name")
+      rows.toDF("doc_id", "text").repartition(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve(s"$name.parquet"))
+    }
+
+    def runPass(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id long, text string").parquet(in.toString)
+      val q = StreamingPrep.cleanStream(stream)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val good = "the cat and the dog sat in the garden and watched the birds for a while"
+    land("b1", Seq(
+      (1L, good + " mail jane@example.org today"),
+      (2L, "!!!! #### ????"),                                // quality-gated
+      (3L, "el gato y el perro en la casa es un animal que come y duerme bien hoy") // lang-gated
+    ))
+    runPass()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 1)
+    val t1 = first.select("text").as[String].collect().head
+    assert(t1.contains("<EMAIL>") && !t1.contains("jane@example.org"))
+
+    // differs from doc 1 only in the PII -> identical after redaction ->
+    // cross-batch dedup on the redacted digest drops it; doc 5 is new
+    land("b2", Seq(
+      (4L, good + " mail bob@other.net today"),
+      (5L, good + " and then the cat slept")
+    ))
+    runPass()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 2)
+    assert(all.select("docId").as[Long].collect().toSet == Set(1L, 5L))
+  }
 
   test("time-bound check rule: unbounded scan of watched path rejected, bounded passes") {
     val base = spark // ensure shared context exists
