@@ -1456,6 +1456,52 @@ object Queries {
              |SELECT qid, cid, floor(qcos * 10000.0 + 0.5) / 10000.0 AS qcos, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
+    Q("q63_label_prototypes",
+      (s, dir) => EmbeddingOps.meanPoolByLabel(tp(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .select(col("label"), col("i"), rnd(col("mu"), 6).as("mu"), col("n"))
+        .orderBy("label", "i"),
+      // float means summed as doubles are partition-order-dependent; the
+      // operator sums fixed-point longs instead (exact, order-free) and
+      // the oracle re-derives the identical arithmetic
+      Some("""WITH e AS (
+             |  SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS i
+             |  FROM embeddings),
+             |g AS (
+             |  SELECT label, i, sum(CAST(floor(v::DOUBLE * 1048576 + 0.5) AS BIGINT)) AS sfp,
+             |    count(*) AS n
+             |  FROM e GROUP BY 1, 2)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+             |  floor((sfp / n / 1048576) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+             |  CAST(n AS BIGINT) AS n
+             |FROM g ORDER BY label, i""".stripMargin)),
+
+    Q("q64_prototype_confusion",
+      (s, dir) => EmbeddingOps.prototypeConfusion(tp(s, dir, "embeddings"),
+        col("label"), col("embedding"), embDim),
+      Some("""WITH e AS (
+             |  SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS i
+             |  FROM embeddings),
+             |g AS (
+             |  SELECT label, i, sum(CAST(floor(v::DOUBLE * 1048576 + 0.5) AS BIGINT)) AS sfp,
+             |    count(*) AS n
+             |  FROM e GROUP BY 1, 2),
+             |p AS (
+             |  SELECT label AS plabel, list(sfp / n / 1048576 ORDER BY i) AS pvec
+             |  FROM g GROUP BY 1),
+             |d AS (
+             |  SELECT emb.vec_id, emb.label, p.plabel,
+             |    list_sum(list_transform(range(len(emb.embedding)),
+             |      i -> emb.embedding[i+1]::DOUBLE * p.pvec[i+1])) AS dot
+             |  FROM embeddings emb, p),
+             |r AS (
+             |  SELECT vec_id, label, plabel,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, plabel DESC) AS rn
+             |  FROM d)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(plabel AS BIGINT) AS assigned,
+             |  CAST(count(*) AS BIGINT) AS n_vecs
+             |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

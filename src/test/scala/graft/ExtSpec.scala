@@ -488,6 +488,33 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"int8 top-k overlap with fp32 was $overlap")
   }
 
+  test("meanPoolByLabel: exact fixed-point means") {
+    val df = Seq(
+      (0, Array(1.0f, -2.0f)),
+      (0, Array(3.0f, 2.0f)),
+      (1, Array(0.5f, 0.5f))
+    ).toDF("label", "v")
+    val out = EmbeddingOps.meanPoolByLabel(df, col("label"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out((0L, 0L)) == ((2.0, 2L)))
+    assert(out((0L, 1L)) == ((0.0, 2L)))
+    assert(out((1L, 0L)) == ((0.5, 1L)))
+  }
+
+  test("prototypeConfusion: diagonal well above chance, counts partition the corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val conf = EmbeddingOps.prototypeConfusion(emb, col("label"), col("embedding"), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = conf.values.sum
+    assert(total == emb.count())
+    val diag = conf.collect { case ((l, a), n) if l == a => n }.sum
+    // labels are weakly clustered in the synthetic embeddings: chance
+    // assignment would put ~10% on the diagonal; prototypes reach ~36%
+    assert(diag.toDouble / total > 0.25, s"diagonal fraction ${diag.toDouble / total}")
+  }
+
   test("repetitionRatio: repeated text high, unique text zero, short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
