@@ -1502,6 +1502,81 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_vecs
              |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("q65_domain_histogram",
+      (s, dir) => {
+        // plant two deterministic URLs per doc — one rotating content
+        // domain, one rotating subdomain of a blocklisted domain
+        val d2 = tp(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://site"), pmod(col("doc_id"), lit(5)),
+            lit(".example.com/p"), col("doc_id"),
+            lit(" and http://cdn"), pmod(col("doc_id"), lit(3)),
+            lit(".bad.org/x")).as("text"))
+        d2.select(col("doc_id"),
+            explode(TextOps.urlDomains(col("text"))).as("domain"))
+          .groupBy("domain")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .withColumn("blocked",
+            col("domain") === "bad.org" || col("domain").endsWith(".bad.org"))
+          .orderBy("domain")
+      },
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, text || ' see https://site' || (doc_id % 5) || '.example.com/p' || doc_id
+             |    || ' and http://cdn' || (doc_id % 3) || '.bad.org/x' AS text
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+             |  FROM d2)
+             |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  (domain = 'bad.org' OR domain LIKE '%.bad.org') AS blocked
+             |FROM e GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    Q("q66_incremental_dedup",
+      (s, dir) => {
+        // snapshot refresh: every 3rd doc is the incoming batch; planted
+        // digests collide with the reference (dropped) or repeat within
+        // the batch (first id wins)
+        val d = tp(s, dir, "documents")
+        val incoming = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              concat(lit("SHARED SNAPSHOT DOC "), pmod(col("doc_id"), lit(4))))
+              .when(pmod(col("doc_id"), lit(9)) === 3,
+                concat(lit("BATCH LOCAL DUP "), pmod(col("doc_id"), lit(2))))
+              .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+        val reference = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("SHARED SNAPSHOT DOC "), pmod(col("doc_id"), lit(4))))
+            .otherwise(col("text")).as("rtext"))
+        val kept = TrainingSetOps.incrementalDedup(incoming, reference,
+          col("doc_id"), col("text"), col("rtext"))
+        val nInc = incoming.agg(count(lit(1)).as("n_incoming"))
+        kept.agg(count(lit(1)).as("n_kept"),
+            sum(when(col("text").startsWith("BATCH LOCAL DUP"), 1L)
+              .otherwise(0L)).as("n_batch_dup_kept"))
+          .crossJoin(broadcast(nInc))
+          .select("n_incoming", "n_kept", "n_batch_dup_kept")
+      },
+      Some("""WITH inc AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN 'SHARED SNAPSHOT DOC ' || (doc_id % 4)
+             |                      WHEN doc_id % 9 = 3 THEN 'BATCH LOCAL DUP ' || (doc_id % 2)
+             |                      ELSE text || ' v2' END AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |ref AS (
+             |  SELECT CASE WHEN doc_id % 5 = 1 THEN 'SHARED SNAPSHOT DOC ' || (doc_id % 4)
+             |              ELSE text END AS rtext
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |kept AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text,
+             |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM inc WHERE md5(text) NOT IN (SELECT md5(rtext) FROM ref)) s
+             |  WHERE rn = 1)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_incoming,
+             |  CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN text LIKE 'BATCH LOCAL DUP%' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup_kept
+             |FROM kept""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

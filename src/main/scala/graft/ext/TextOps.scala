@@ -131,6 +131,19 @@ object TextOps {
     struct(counts: _*)
   }
 
+  /** Hostnames of every http(s) URL in the text (the unit web-corpus
+    * domain filters operate on). One codegen'd regexp scan. */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit("https?://([A-Za-z0-9.-]+)"), lit(1))
+
+  /** True when any extracted domain is `blocked` or a subdomain of a
+    * blocked entry — the standard suffix-match blocklist test. The
+    * blocklist is a literal array (policy data, not row data). */
+  def domainBlocked(text: Column, blocked: Seq[String]): Column =
+    exists(urlDomains(text), d =>
+      blocked.map(b => d === b || d.endsWith("." + b))
+        .reduce[Column](_ || _))
+
   /** Within-document repetition: the fraction of n-gram occurrences that
     * are repeats of an earlier n-gram (1 − distinct/total) — the
     * Gopher-style repetitious-text quality signal. 0.0 for documents

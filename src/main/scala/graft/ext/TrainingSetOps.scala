@@ -149,6 +149,36 @@ object TrainingSetOps {
       .select("doc_id", "q", "n_tokens")
   }
 
+  /** Drops documents containing any blocklisted domain (suffix match —
+    * subdomains of a blocked entry are blocked). Narrow filter, zero
+    * shuffle; the blocklist is policy metadata inlined as literals. */
+  def domainBlocklistFilter(df: DataFrame, text: Column,
+                            blocked: Seq[String]): DataFrame =
+    df.filter(!TextOps.domainBlocked(text, blocked))
+
+  /** Incremental corpus dedup: of an `incoming` batch, keep only
+    * documents that are (a) not already in the `reference` corpus (by
+    * exact digest) and (b) not duplicated WITHIN the batch (first id
+    * wins) — the "don't re-add what the training set already has"
+    * step of a snapshot-to-snapshot refresh.
+    *
+    * Scale shape: one digest projection per side, an anti-join on the
+    * digest key (shuffle or broadcast depending on reference digest
+    * cardinality — at 100 TB the reference side ships ONLY digests,
+    * never text), and a per-digest first-id window whose partition is
+    * one digest's copy count. */
+  def incrementalDedup(incoming: DataFrame, reference: DataFrame,
+                       id: Column, text: Column,
+                       refText: Column): DataFrame = {
+    val inc = incoming.withColumn("__digest", md5(text))
+    val refDigests = reference.select(md5(refText).as("__digest")).distinct()
+    val w = Window.partitionBy("__digest").orderBy(id)
+    inc.join(refDigests, Seq("__digest"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__digest", "__rn")
+  }
+
   /** Domain-mixture resampling: deterministically downsample each
     * domain so the surviving corpus matches the target `weights`
     * proportions, keeping as much data as possible (the binding domain

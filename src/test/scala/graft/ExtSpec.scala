@@ -515,6 +515,37 @@ class ExtSpec extends AnyFunSuite {
     assert(diag.toDouble / total > 0.25, s"diagonal fraction ${diag.toDouble / total}")
   }
 
+  test("domain blocklist: subdomains blocked, lookalikes and clean domains kept") {
+    val df = Seq(
+      (1L, "go to https://ads.tracker.net/x now"),
+      (2L, "see https://docs.example.com/guide and https://cdn.tracker.net/y"),
+      (3L, "plain text without any links"),
+      (4L, "https://nottracker.net/z is fine") // NOT a subdomain of tracker.net
+    ).toDF("doc_id", "text")
+    val kept = TrainingSetOps.domainBlocklistFilter(df, col("text"),
+        Seq("tracker.net"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("incrementalDedup: reference collisions dropped, batch dups keep first id") {
+    val incoming = Seq(
+      (10L, "already in the snapshot"),
+      (11L, "fresh content one"),
+      (12L, "batch repeated payload"),
+      (13L, "batch repeated payload"),
+      (14L, "fresh content two")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (1L, "already in the snapshot"),
+      (2L, "some other snapshot doc")
+    ).toDF("rid", "rtext")
+    val kept = TrainingSetOps.incrementalDedup(incoming, reference,
+        col("doc_id"), col("text"), col("rtext"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L, 14L))
+  }
+
   test("repetitionRatio: repeated text high, unique text zero, short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
