@@ -1577,6 +1577,116 @@ object Queries {
              |  CAST(sum(CASE WHEN text LIKE 'BATCH LOCAL DUP%' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup_kept
              |FROM kept""".stripMargin)),
 
+    Q("q67_stratified_sample",
+      (s, dir) => TrainingSetOps.sampleExactPerGroup(tp(s, dir, "documents"),
+          col("source"), col("doc_id"), k = 10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id"),
+      Some("""WITH r AS (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 15))::BIGINT % 2147483647) ASC,
+             |               doc_id ASC) AS rn
+             |  FROM documents)
+             |SELECT source, doc_id FROM r WHERE rn <= 10
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    Q("q68_training_set_assembly",
+      (s, dir) => {
+        // the capstone composition: normalize → decontaminate → exact
+        // dedup → token-budget curation → split → sequence packing,
+        // reported as a one-row attrition funnel (the q48 pattern:
+        // stages persisted once, counts attach via broadcast cross
+        // joins — never a driver collect of data rows)
+        val d = tp(s, dir, "documents")
+        val norm = d.select(col("doc_id"),
+          TextOps.normalize(col("text")).as("text")).persist()
+        val bench = norm.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("text").as("btext"))
+        val clean = norm.join(
+          TrainingSetOps.contaminationFlags(norm, col("doc_id"), col("text"),
+              bench, col("btext"), k = 5)
+            .filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id")).persist()
+        val deduped = CorpusPipeline.exactDedupKeepMin(clean,
+          col("doc_id"), col("text")).persist()
+        val scored = deduped.select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).as("nt"))
+        val curated = TrainingSetOps.curateByBudget(scored, col("doc_id"),
+          col("q"), col("nt"), budget = 8000L)
+        val split = DedupOps.assignSplit(curated, col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).persist()
+        val packed = TrainingSetOps.packSequencesByCount(
+          split.filter(col("split") === "train"),
+          col("doc_id"), col("n_tokens"), budget = 256, shards = 4)
+        val nSeq = packed.groupBy("shard").agg(max("seq_last").as("ml"))
+          .agg(coalesce(sum(col("ml") + 1), lit(0L)).as("n_train_seqs"))
+        Seq(
+          d.agg(count(lit(1)).as("n_raw")),
+          clean.agg(count(lit(1)).as("n_decontaminated")),
+          deduped.agg(count(lit(1)).as("n_deduped")),
+          split.agg(count(lit(1)).as("n_curated"),
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+            sum(when(col("split") === "train", col("n_tokens"))
+              .otherwise(lit(0L))).as("train_tokens")),
+          nSeq
+        ).reduce((a, b) => a.crossJoin(broadcast(b)))
+          .select("n_raw", "n_decontaminated", "n_deduped", "n_curated",
+            "n_train", "n_val", "n_test", "train_tokens", "n_train_seqs")
+      },
+      Some(s"""WITH norm AS (
+             |  SELECT doc_id, lower(trim(regexp_replace(regexp_replace(text,
+             |    '[\\x00-\\x08\\x0e-\\x1f\\x7f' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+             |    '\\s+', ' ', 'g'))) AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM norm),
+             |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+             |    THEN list_transform(generate_series(0, len(toks) - 5),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS s FROM t),
+             |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+             |hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bs USING (s)),
+             |clean AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+             |dd AS (SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |    FROM clean) z
+             |  WHERE rn = 1),
+             |toks2 AS (
+             |  SELECT doc_id, text,
+             |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|that)\\b')) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM dd),
+             |qual AS (
+             |  SELECT doc_id, n_tokens,
+             |    floor((least(n_tokens / 64.0, 1.0) * 0.4
+             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS q
+             |  FROM toks2),
+             |cur AS (SELECT doc_id, q, n_tokens,
+             |          sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM qual),
+             |sp AS (SELECT doc_id, n_tokens,
+             |         ${DedupOps.assignSplitSql("doc_id::VARCHAR",
+                          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))} AS split
+             |       FROM cur WHERE cum <= 8000),
+             |tr AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens FROM sp WHERE split = 'train'),
+             |pk AS (SELECT shard, n_tokens,
+             |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM tr),
+             |sq AS (SELECT coalesce(CAST(sum(ms + 1) AS BIGINT), 0) AS n_train_seqs FROM
+             |   (SELECT shard, max(CAST(floor((cum - 1) / 256) AS BIGINT)) AS ms FROM pk GROUP BY 1) z)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_decontaminated,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_deduped,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM sp) AS n_curated,
+             |  (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) FROM sp) AS n_train,
+             |  (SELECT CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) FROM sp) AS n_val,
+             |  (SELECT CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) FROM sp) AS n_test,
+             |  (SELECT CAST(sum(CASE WHEN split = 'train' THEN n_tokens ELSE 0 END) AS BIGINT) FROM sp) AS train_tokens,
+             |  (SELECT n_train_seqs FROM sq) AS n_train_seqs""".stripMargin)),
+
     // ── Session-TZ knob (SURVEY §1.3: per-query timezone, not session
     //    state; daily buckets in America/New_York shift with DST) ──────
 

@@ -131,6 +131,23 @@ object TextOps {
     struct(counts: _*)
   }
 
+  /** Canonical text normalization for dedup/fingerprint keys: control
+    * and zero-width characters stripped, whitespace runs collapsed to
+    * one space, trimmed, lowercased. Pure codegen'd regexp/string ops —
+    * the standard pre-dedup canonicalization (NFC unicode normalization
+    * is intentionally NOT included: Spark has no built-in and a UDF
+    * would break the zero-UDF contract; byte-identical corpora don't
+    * need it). */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text,
+        // strip FIRST: zero-widths and non-whitespace controls (\x09-\x0d
+        // are whitespace — they collapse to a space in the next step);
+        // explicit \xNN ranges + literal chars keep the class inside the
+        // Java-regex/RE2 common subset
+        "[\\x00-\\x08\\x0e-\\x1f\\x7f\u200B\u200C\u200D\uFEFF]", ""),
+      "\\s+", " ")))
+
   /** Hostnames of every http(s) URL in the text (the unit web-corpus
     * domain filters operate on). One codegen'd regexp scan. */
   def urlDomains(text: Column): Column =

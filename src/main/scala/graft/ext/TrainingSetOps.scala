@@ -46,11 +46,18 @@ object TrainingSetOps {
     * the shard count bounds window-partition size, so no global sort
     * and no single-partition window at corpus scale. */
   def packSequences(df: DataFrame, id: Column, text: Column,
-                    budget: Int, shards: Int = 64): DataFrame = {
+                    budget: Int, shards: Int = 64): DataFrame =
+    packSequencesByCount(df, id, TextOps.tokenCount(text), budget, shards)
+
+  /** [[packSequences]] over a PRE-COMPUTED token-count column — the
+    * form pipeline stages use when counts already exist (curation
+    * carries them), so the text is never re-tokenized. */
+  def packSequencesByCount(df: DataFrame, id: Column, nTokens: Column,
+                           budget: Int, shards: Int = 64): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
     df.select(id.as("doc_id"),
         pmod(id.cast(LongType), lit(shards.toLong)).as("shard"),
-        TextOps.tokenCount(text).cast(LongType).as("n_tokens"))
+        nTokens.cast(LongType).as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget).as("seq_first"),
@@ -178,6 +185,30 @@ object TrainingSetOps {
       .filter(col("__rn") === 1)
       .drop("__digest", "__rn")
   }
+
+  /** Deterministic exact-k sample per group: ranks each group's rows by
+    * the portable (id, salt) hash and keeps the first k — "give me
+    * exactly k docs per domain, the same k on every run/engine/cluster
+    * size". One shuffle on the group key; per-group window partitions
+    * are group-sized (use when groups ≪ corpus; for heavy groups the
+    * mixture resampler's threshold form avoids the window entirely). */
+  def sampleExactPerGroup(df: DataFrame, group: Column, id: Column, k: Int,
+                          salt: String = "sample"): DataFrame = {
+    val u = PortableHash.base(concat(id.cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(group).orderBy(u.asc, id.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Deterministic training shuffle order: a stable pseudo-random total
+    * order from the portable (id, salt) hash. Narrow projection; the
+    * actual global ordering happens in the consumer's range-partitioned
+    * sort (Spark's sort is a range shuffle — no single-partition
+    * bottleneck). Feed `shard = pmod(shuffle_key, n)` into
+    * [[packSequences]] to pack in shuffled order. */
+  def shuffleKey(id: Column, salt: String = "shuffle"): Column =
+    PortableHash.base(concat(id.cast("string"), lit(":" + salt)))
 
   /** Domain-mixture resampling: deterministically downsample each
     * domain so the surviving corpus matches the target `weights`

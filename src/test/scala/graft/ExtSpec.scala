@@ -546,6 +546,21 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Set(11L, 12L, 14L))
   }
 
+  test("normalize: zero-widths and controls stripped, whitespace collapsed, case folded") {
+    val df = Seq((1L, "  Hello\tWorld\u200B!  \u0007x\r\nY  ")).toDF("id", "text")
+    val out = df.select(TextOps.normalize(col("text"))).collect().head.getString(0)
+    assert(out == "hello world! x y")
+  }
+
+  test("sampleExactPerGroup: exactly k per group, deterministic across runs") {
+    val df = (0L until 90L).map(i => (i, "g" + (i % 3))).toDF("doc_id", "grp")
+    def run() = TrainingSetOps.sampleExactPerGroup(df, col("grp"), col("doc_id"), k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val s1 = run()
+    assert(s1.groupBy(_._1).forall(_._2.size == 10))
+    assert(s1 == run())
+  }
+
   test("repetitionRatio: repeated text high, unique text zero, short text zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
