@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * batch decode/feature-extract stages.
   *
   * The Spark-side plumbing — schema, partition sizing, batch iteration
-  * shape — is real and tested. IMAGES decode for real via the JDK's
-  * `javax.imageio` (PNG/JPEG/GIF/BMP — `extractImageFeatures`); audio/
-  * video codecs are not available in a pure-JVM container, so those
-  * stay behind the deterministic `decodeStub` fake — swap it for a
-  * JNI/ffmpeg or `mapInPandas` stage without touching the plumbing.
+  * shape — is real and tested. IMAGES decode (`javax.imageio`) AND
+  * resize (`Graphics2D`, headless) for real via the JDK's pure-JVM
+  * PNG/JPEG/GIF/BMP codecs; AUDIO decodes for real for uncompressed
+  * WAV/AIFF/AU via `javax.sound.sampled` (PCM needs no native codec).
+  * Only compressed audio and VIDEO stay behind the deterministic
+  * `decodeStub` fake — swap it for a JNI/ffmpeg or `mapInPandas`
+  * stage without touching the plumbing.
   *
   * Scale notes: payloads stay in executor memory only for the duration
   * of one `mapPartitions` batch; `repartitionForPayloads` sizes
@@ -49,6 +51,27 @@ object MultimodalOps {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /** Row produced by the image-resize stage: re-encoded payload at the
+    * target dimensions (PNG), nulls for undecodable/non-image rows. */
+  val resizedImageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** Row produced by the REAL audio-decode stage: PCM stream properties +
+    * per-channel RMS amplitude in [0,1]; nulls when the payload is absent
+    * or not a decodable (uncompressed WAV/AIFF/AU) audio container. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
   /** Repartition by cumulative payload size so each partition carries at
@@ -139,6 +162,123 @@ object MultimodalOps {
             case None =>
               Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
                 null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL image resize via headless `Graphics2D` (bilinear), re-encoded
+    * as PNG. Executor-side only, one decode+render per row; returns None
+    * for null/undecodable payloads. */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty || targetW <= 0 || targetH <= 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Resize stage over the same `mapPartitions` plumbing: image rows get
+    * a re-encoded payload at (targetW, targetH); non-image/undecodable
+    * rows are kept with null payload so callers can audit failures. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   targetW: Int, targetH: Int): DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(resizedImageSchema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val kind = r.getAs[String]("kind")
+          val resized =
+            if (kind == "image") resizeImage(r.getAs[Array[Byte]]("payload"), targetW, targetH)
+            else None
+          resized match {
+            case Some(bytes) => Row(r.getAs[Long]("media_id"), kind, bytes, targetW, targetH)
+            case None        => Row(r.getAs[Long]("media_id"), kind, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (the JDK ships pure-JVM
+    * readers for uncompressed WAV/AIFF/AU — PCM needs no native codec).
+    * Returns (sampleRate, channels, durationMs, perChannelRms[0..1]) or
+    * None for null/undecodable/compressed payloads. Handles signed and
+    * unsigned PCM at 8 and 16 bits, both endiannesses. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16) || channels < 1) return None
+        val bytes = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val frames = bytes.length / frameBytes
+        if (frames == 0) return None
+        val sumSq = new Array[Double](channels)
+        var f = 0
+        while (f < frames) {
+          var c = 0
+          while (c < channels) {
+            val off = f * frameBytes + c * bytesPerSample
+            val raw =
+              if (bits == 8) {
+                if (signed) bytes(off).toInt / 128.0
+                else ((bytes(off) & 0xff) - 128) / 128.0
+              } else {
+                val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                val v = ((bytes(hi).toInt << 8) | (bytes(lo) & 0xff))
+                (if (signed) v else (v & 0xffff) - 32768) / 32768.0
+              }
+            sumSq(c) += raw * raw
+            c += 1
+          }
+          f += 1
+        }
+        val rms = sumSq.map(s => math.sqrt(s / frames).toFloat)
+        val durationMs = math.round(frames * 1000.0 / fmt.getSampleRate)
+        Some((fmt.getSampleRate.toInt, channels, durationMs, rms))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio decode/feature stage over the same `mapPartitions` plumbing
+    * as `extractImageFeatures`. Non-audio kinds and undecodable payloads
+    * yield null property/feature rows (kept, for failure audits). */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(audioFeatureSchema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val nBytes = if (payload == null) 0 else payload.length
+          val decoded =
+            if (r.getAs[String]("kind") == "audio") decodeAudio(payload) else None
+          decoded match {
+            case Some((rate, ch, durMs, feat)) =>
+              Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
+                rate, ch, durMs, feat)
+            case None =>
+              Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
+                null, null, null, null)
           }
         }
       }(enc)

@@ -263,6 +263,63 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L).getInt(2) == 16) // byte count still reported
   }
 
+  test("multimodal: real image resize via headless Graphics2D — dims and color survive") {
+    import org.apache.spark.sql.Row
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val mediaRows = java.util.Arrays.asList(
+      Row(1L, "image", bos.toByteArray, null),
+      Row(2L, "image", Array.fill[Byte](16)(42), null), // undecodable
+      Row(3L, "audio", Array.fill[Byte](16)(1), null))  // non-image kind
+    val media = spark.createDataFrame(mediaRows, MultimodalOps.mediaSchema)
+    val out = MultimodalOps.resizeImages(spark, media, 4, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(3) == 4 && out(1L).getInt(4) == 2)
+    // re-decode the resized payload: target dims, still solid red
+    val back = MultimodalOps.decodeImage(out(1L).getAs[Array[Byte]](2)).get
+    assert(back._1 == 4 && back._2 == 2)
+    assert(back._3(0) > 0.99f && back._3(1) < 0.01f && back._3(2) < 0.01f)
+    assert(out(2L).isNullAt(2) && out(3L).isNullAt(2))
+  }
+
+  test("multimodal: real WAV decode via javax.sound.sampled — rate, duration, per-channel RMS") {
+    import org.apache.spark.sql.Row
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // 100ms stereo 16-bit PCM WAV rendered in-test: ch0 = full-scale sine,
+    // ch1 = silence. RMS expectations: sin -> 1/sqrt(2), silence -> 0.
+    val rate = 8000
+    val frames = rate / 10
+    val pcm = new Array[Byte](frames * 4)
+    for (f <- 0 until frames) {
+      val s = (math.sin(2 * math.Pi * 440.0 * f / rate) * 32767).toInt
+      pcm(f * 4) = (s & 0xff).toByte        // ch0 lo (little-endian)
+      pcm(f * 4 + 1) = ((s >> 8) & 0xff).toByte
+      pcm(f * 4 + 2) = 0                    // ch1 lo
+      pcm(f * 4 + 3) = 0                    // ch1 hi
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 2, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val mediaRows = java.util.Arrays.asList(
+      Row(1L, "audio", bos.toByteArray, null),
+      Row(2L, "audio", Array.fill[Byte](16)(7), null),  // not a WAV
+      Row(3L, "image", Array.fill[Byte](16)(1), null))  // non-audio kind
+    val media = spark.createDataFrame(mediaRows, MultimodalOps.mediaSchema)
+    val out = MultimodalOps.extractAudioFeatures(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(3) == rate && out(1L).getInt(4) == 2)
+    assert(out(1L).getLong(5) == 100L)
+    val rms = out(1L).getSeq[Float](6)
+    assert(rms.length == 2)
+    assert(math.abs(rms(0) - 1.0 / math.sqrt(2)) < 0.01)
+    assert(rms(1) < 0.001f)
+    assert(out(2L).isNullAt(3) && out(2L).isNullAt(6))
+    assert(out(3L).isNullAt(3))
+  }
+
   test("multimodal: payload-sized repartition, stub features, frame plan") {
     import org.apache.spark.sql.Row
     val mediaRows = java.util.Arrays.asList(
