@@ -1456,6 +1456,41 @@ object Queries {
              |SELECT qid, cid, floor(qcos * 10000.0 + 0.5) / 10000.0 AS qcos, CAST(rank AS INT) AS rank
              |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
+    Q("q69_knn_lsh_quantized",
+      (s, dir) => {
+        // Quantization composed INSIDE the bucketed candidate stage:
+        // hyperplane buckets from the fp32 vectors (index-build time),
+        // int8 codes as the only payload crossing the bucket join —
+        // the 100 TB shape where the candidate structure bounds who is
+        // compared and the codes bound the bytes per comparison.
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.lshQuantizedTopK(queries, corpus, 10, dim = embDim, bits = 6)
+          .select(col("qid"), col("cid"), r4(col("qcos")).as("qcos"), col("rank"))
+      },
+      // oracle = q39's bucket join over the same hyperplane literals ×
+      // q62's code re-derivation and integer-cosine ranking
+      Some(s"""WITH b AS (
+             |  SELECT vec_id,
+             |    ${Hyperplanes.bucketSql("embedding", embDim, 6)} AS bucket,
+             |    list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(x::DOUBLE /
+             |      (greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-30) / 127.0) + 0.5)))) AS code
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, bucket, code,
+             |        sqrt(list_sum(list_transform(code, x -> x * x))) AS nrm FROM b),
+             |q AS (SELECT vec_id AS qid, bucket, code AS qc, nrm AS qn FROM n WHERE vec_id < 16),
+             |s AS (SELECT q.qid, c.vec_id AS cid,
+             |    CASE WHEN q.qn * c.nrm > 0 THEN
+             |      list_sum(list_transform(range(len(q.qc)), i -> q.qc[i+1] * c.code[i+1])) / (q.qn * c.nrm)
+             |    ELSE 0.0 END AS qcos
+             |  FROM n c JOIN q USING (bucket) WHERE c.vec_id <> q.qid),
+             |r AS (SELECT qid, cid, qcos,
+             |        row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rank FROM s)
+             |SELECT qid, cid, floor(qcos * 10000.0 + 0.5) / 10000.0 AS qcos, CAST(rank AS INT) AS rank
+             |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
     Q("q63_label_prototypes",
       (s, dir) => EmbeddingOps.meanPoolByLabel(tp(s, dir, "embeddings"),
           col("label"), col("embedding"))

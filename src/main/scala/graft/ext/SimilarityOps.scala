@@ -157,15 +157,41 @@ object SimilarityOps {
     * by ~2^bits per table for near-uniform data; extra tables buy recall
     * at proportional candidate cost. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              dim: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
+              dim: Int, bits: Int = 8, tables: Int = 1): DataFrame =
+    lshImpl(queries, corpus, k, dim, bits, tables,
+      quantize = false, score = "cosine")
+
+  /** [[lshTopK]] with the candidate payload QUANTIZED to int8 codes:
+    * buckets are still derived from the fp32 vectors (an index-build-
+    * time decision — full precision is available there), but everything
+    * that flows through the bucket join and the scoring stage is the 4×
+    * smaller code vector, and the score is the cosine of the CODES
+    * (scales cancel; integer dots are exact, so the ranking is engine-
+    * reproducible). This is the 100 TB composition: the bucketed
+    * candidate structure bounds WHO gets compared, the codes bound the
+    * BYTES each comparison moves. Score column `qcos`. */
+  def lshQuantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       dim: Int, bits: Int = 8, tables: Int = 1): DataFrame =
+    lshImpl(queries, corpus, k, dim, bits, tables,
+      quantize = true, score = "qcos")
+
+  private def lshImpl(queries: DataFrame, corpus: DataFrame, k: Int,
+                      dim: Int, bits: Int, tables: Int,
+                      quantize: Boolean, score: String): DataFrame = {
+    import graft.functions.VecExpressions.int8Quantize
     // ALL tables' bucket columns come from ONE pass over each side (a
     // per-table re-derivation re-scanned the corpus and recomputed the
     // norm `tables` times); with several tables the corpus frame is
     // persisted so each table's bucket join reads the same cache.
-    def bucketed(df: DataFrame, vec: String, norm: String, prefix: String) =
-      (0 until tables).foldLeft(df.withColumn(norm, l2Norm(col(vec)))) {
+    // Buckets come from the fp32 vector; in the quantized path the
+    // payload is then REPLACED by its int8 codes (norms are code norms).
+    def bucketed(df: DataFrame, vec: String, norm: String, prefix: String) = {
+      val b = (0 until tables).foldLeft(df) {
         (d, t) => d.withColumn(s"$prefix$t", signBucket(col(vec), dim, bits, 7L + t))
       }
+      val p = if (quantize) b.withColumn(vec, int8Quantize(col(vec))) else b
+      p.withColumn(norm, l2Norm(col(vec)))
+    }
     val qb = broadcast(bucketed(queries, "qvec", "qnorm", "qbucket_"))
     val cb0 = bucketed(corpus, "cvec", "cnorm", "cbucket_")
     val cb = if (tables == 1) cb0
@@ -179,12 +205,12 @@ object SimilarityOps {
       if (tables == 1) candTables.head
       else candTables.reduce(_ unionByName _).dropDuplicates("qid", "cid")
     cands
-      .withColumn("cosine",
+      .withColumn(score,
         cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
       .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+        Window.partitionBy("qid").orderBy(desc(score), asc("cid"))))
       .filter(col("rank") <= k)
-      .select("qid", "cid", "cosine", "rank")
+      .select("qid", "cid", score, "rank")
       .orderBy("qid", "rank")
   }
 

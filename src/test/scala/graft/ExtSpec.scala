@@ -545,6 +545,21 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"int8 top-k overlap with fp32 was $overlap")
   }
 
+  test("quantized LSH top-k: same candidates as fp32 LSH, high overlap in ranking") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // buckets are computed from the fp32 vectors in BOTH paths, so the
+    // candidate sets are identical — only the scoring payload differs
+    val fp32 = pairs(SimilarityOps.lshTopK(queries, corpus, 10, dim = 64, bits = 6))
+    val int8 = pairs(SimilarityOps.lshQuantizedTopK(queries, corpus, 10, dim = 64, bits = 6))
+    val overlap = (fp32 intersect int8).size.toDouble / fp32.size
+    assert(overlap >= 0.8, s"quantized LSH top-k overlap with fp32 LSH was $overlap")
+  }
+
   test("meanPoolByLabel: exact fixed-point means") {
     val df = Seq(
       (0, Array(1.0f, -2.0f)),
