@@ -56,6 +56,65 @@ object Queries {
     * the hyperplane-LSH queries and their generated oracle SQL share it. */
   private val embDim = 64
 
+  /** Oracle CTE chain RE-DERIVING the IVF fit in SQL (shared by q41 and
+    * q70): portable-hash sample init, two Lloyd rounds with exact
+    * fixed-point mean sums (order-independent in both engines),
+    * 6-decimal normalized centroids, final assignment `asgF`, query set
+    * `q`, probe set `probe` (nlist=16, nprobe=4). Callers append their
+    * scoring tail. Possible because every ivfFit arithmetic step is
+    * engine-portable. */
+  private lazy val ivfOracleCtes: String = {
+    val P = graft.ext.PortableHash.P
+    // one spherical-k-means round: assignment against cent${r-1},
+    // fixed-point mean, normalize+round; empty clusters keep their
+    // previous centroid (the LEFT JOIN + COALESCE)
+    def round(r: Int): String =
+      s"""asg$r AS (
+         |  SELECT cid, v, kid FROM (
+         |    SELECT c.cid, c.v, k.kid,
+         |      row_number() OVER (PARTITION BY c.cid
+         |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
+         |    FROM corpus c CROSS JOIN cent${r - 1} k) t WHERE rn = 1),
+         |sums$r AS (
+         |  SELECT kid, pos, CAST(sum(CAST(floor(v[pos] * 10000000.0) AS BIGINT)) AS DOUBLE) AS sf, count(*) AS n
+         |  FROM asg$r CROSS JOIN generate_series(1, $embDim) AS g(pos)
+         |  GROUP BY kid, pos),
+         |newc$r AS (
+         |  SELECT kid, list(sf / n / 10000000.0 ORDER BY pos) AS m FROM sums$r GROUP BY kid),
+         |norm$r AS (
+         |  SELECT kid, m, sqrt(list_sum(list_transform(m, x -> x * x))) AS nn FROM newc$r),
+         |cent$r AS (
+         |  SELECT k.kid, COALESCE(list_transform(n.m,
+         |      x -> CASE WHEN n.nn > 0 THEN floor(x / n.nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END), k.c) AS c
+         |  FROM cent${r - 1} k LEFT JOIN norm$r n USING (kid)),""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (
+       |  SELECT v FROM corpus
+       |  ORDER BY ('0x' || substr(md5(cid::VARCHAR), 1, 15))::BIGINT % $P, cid
+       |  LIMIT 16),
+       |sampn AS (
+       |  SELECT list_transform(v,
+       |      x -> CASE WHEN nn > 0 THEN floor(x / nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END) AS c
+       |  FROM (SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM samp) t),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY c) - 1 AS kid, c FROM sampn),
+       |${round(1)}
+       |${round(2)}
+       |asgF AS (
+       |  SELECT cid, v, kid FROM (
+       |    SELECT c.cid, c.v, k.kid,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
+       |    FROM corpus c CROSS JOIN cent2 k) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
+       |probe AS (
+       |  SELECT qid, kid FROM (
+       |    SELECT q.qid, k.kid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS rn
+       |    FROM q CROSS JOIN cent2 k) t WHERE rn <= 4)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── TPC-H-shaped core ─────────────────────────────────────────────
@@ -963,56 +1022,8 @@ object Queries {
       // (order-independent in both engines), 6-decimal normalized
       // centroids, probe selection and inverted-file search. Possible
       // because every ivfFit arithmetic step is engine-portable.
-      Some {
-        val P = graft.ext.PortableHash.P
-        // one spherical-k-means round: assignment against cent${r-1},
-        // fixed-point mean, normalize+round; empty clusters keep their
-        // previous centroid (the LEFT JOIN + COALESCE)
-        def round(r: Int): String =
-          s"""asg$r AS (
-             |  SELECT cid, v, kid FROM (
-             |    SELECT c.cid, c.v, k.kid,
-             |      row_number() OVER (PARTITION BY c.cid
-             |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
-             |    FROM corpus c CROSS JOIN cent${r - 1} k) t WHERE rn = 1),
-             |sums$r AS (
-             |  SELECT kid, pos, CAST(sum(CAST(floor(v[pos] * 10000000.0) AS BIGINT)) AS DOUBLE) AS sf, count(*) AS n
-             |  FROM asg$r CROSS JOIN generate_series(1, $embDim) AS g(pos)
-             |  GROUP BY kid, pos),
-             |newc$r AS (
-             |  SELECT kid, list(sf / n / 10000000.0 ORDER BY pos) AS m FROM sums$r GROUP BY kid),
-             |norm$r AS (
-             |  SELECT kid, m, sqrt(list_sum(list_transform(m, x -> x * x))) AS nn FROM newc$r),
-             |cent$r AS (
-             |  SELECT k.kid, COALESCE(list_transform(n.m,
-             |      x -> CASE WHEN n.nn > 0 THEN floor(x / n.nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END), k.c) AS c
-             |  FROM cent${r - 1} k LEFT JOIN norm$r n USING (kid)),""".stripMargin
-        s"""WITH corpus AS (
-           |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |samp AS (
-           |  SELECT v FROM corpus
-           |  ORDER BY ('0x' || substr(md5(cid::VARCHAR), 1, 15))::BIGINT % $P, cid
-           |  LIMIT 16),
-           |sampn AS (
-           |  SELECT list_transform(v,
-           |      x -> CASE WHEN nn > 0 THEN floor(x / nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END) AS c
-           |  FROM (SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM samp) t),
-           |cent0 AS (SELECT row_number() OVER (ORDER BY c) - 1 AS kid, c FROM sampn),
-           |${round(1)}
-           |${round(2)}
-           |asgF AS (
-           |  SELECT cid, v, kid FROM (
-           |    SELECT c.cid, c.v, k.kid,
-           |      row_number() OVER (PARTITION BY c.cid
-           |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
-           |    FROM corpus c CROSS JOIN cent2 k) t WHERE rn = 1),
-           |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
-           |probe AS (
-           |  SELECT qid, kid FROM (
-           |    SELECT q.qid, k.kid,
-           |      row_number() OVER (PARTITION BY q.qid
-           |        ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS rn
-           |    FROM q CROSS JOIN cent2 k) t WHERE rn <= 4),
+      // (CTE chain shared with q70 — see ivfOracleCtes.)
+      Some(s"""$ivfOracleCtes,
            |scored AS (
            |  SELECT q.qid, a.cid, list_cosine_similarity(q.qv, a.v) AS cos_raw
            |  FROM probe p JOIN q ON q.qid = p.qid JOIN asgF a ON a.kid = p.kid
@@ -1022,8 +1033,46 @@ object Queries {
            |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
            |  FROM scored)
            |SELECT qid, cid, floor(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rank AS INT) AS rank
-           |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-      }),
+           |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    Q("q70_knn_ivf_quantized",
+      (s, dir) => {
+        // IVF × int8: probe selection fp32, inverted-file payload and
+        // scoring quantized — the index bounds who is compared, the
+        // codes bound the bytes per comparison. Shares the cached fit
+        // with q41 (same cacheKey), as a deployment shares one index.
+        val queries = t(s, dir, "embeddings").filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = tp(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.ivfQuantizedTopK(queries, corpus, 10, nlist = 16, nprobe = 4,
+            cacheKey = Some(s"embeddings:$dir"))
+          .select(col("qid"), col("cid"), r4(col("qcos")).as("qcos"), col("rank"))
+      },
+      // q41's fit re-derivation + q62's code re-derivation and
+      // integer-cosine scoring over the probed inverted lists
+      Some(s"""$ivfOracleCtes,
+           |codes AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(x::DOUBLE /
+           |      (greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-30) / 127.0) + 0.5)))) AS code
+           |  FROM embeddings),
+           |cn AS (SELECT vec_id, code,
+           |         sqrt(list_sum(list_transform(code, x -> x * x))) AS nrm FROM codes),
+           |scored AS (
+           |  SELECT q.qid, a.cid,
+           |    CASE WHEN qc.nrm * cc.nrm > 0 THEN
+           |      list_sum(list_transform(range(len(qc.code)), i -> qc.code[i+1] * cc.code[i+1])) / (qc.nrm * cc.nrm)
+           |    ELSE 0.0 END AS qcos
+           |  FROM probe p JOIN q ON q.qid = p.qid JOIN asgF a ON a.kid = p.kid
+           |  JOIN cn qc ON qc.vec_id = q.qid JOIN cn cc ON cc.vec_id = a.cid
+           |  WHERE a.cid <> q.qid),
+           |ranked AS (
+           |  SELECT qid, cid, qcos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, floor(qcos * 10000.0 + 0.5) / 10000.0 AS qcos, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
     Q("q40_embedding_neardup",
       (s, dir) => DedupOps.embeddingNearDupPairs(

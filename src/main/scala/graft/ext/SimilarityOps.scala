@@ -358,4 +358,54 @@ object SimilarityOps {
     }
     ivfTopK(queries, model, k, nprobe)
   }
+
+  /** IVF search over an int8-QUANTIZED inverted file: probe selection
+    * stays fp32 (query × centroid literals — full precision is free on
+    * the tiny query side), but the inverted-file payload that the probe
+    * join scans is the 4× smaller code vector and the score is the
+    * cosine of the CODES. This is the IVF face of the same composition
+    * as [[lshQuantizedTopK]]: the index bounds who is compared, the
+    * codes bound the bytes per comparison — at 100 TB the quantized
+    * inverted file IS what a deployment persists (here it is a narrow
+    * codegen'd projection over the cached fp32 file, so the fit stays
+    * shared with [[ivfTopK]]). Score column `qcos`. */
+  def ivfQuantizedTopK(queries: DataFrame, model: IvfModel, k: Int,
+                       nprobe: Int): DataFrame = {
+    import graft.functions.VecExpressions.int8Quantize
+    val probeStructs = array_sort(array(model.centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct((-dotArr(col("qvec"), c)).as("negsim"), lit(i).as("cid"))
+    }: _*))
+    val qprobes = queries
+      .select(col("qid"), col("qvec"),
+        transform(slice(probeStructs, 1, nprobe), p => p.getField("cid"))
+          .as("probe_ids"))
+      .withColumn("qvec", int8Quantize(col("qvec")))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    val inv = model.assigned
+      .select(col("cid"), col("centroid_id"), int8Quantize(col("cvec")).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    inv.join(broadcast(qprobes),
+        array_contains(col("probe_ids"), col("centroid_id")) &&
+          col("qid") =!= col("cid"))
+      .withColumn("qcos",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("qcos"), asc("cid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "qcos", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** Convenience overload: fit (or reuse via `cacheKey`) then search
+    * the quantized inverted file. */
+  def ivfQuantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nlist: Int, nprobe: Int,
+                       cacheKey: Option[String]): DataFrame = {
+    val model = cacheKey match {
+      case Some(key) => ivfFitCached(key, corpus, nlist)
+      case None => ivfFit(corpus, nlist)
+    }
+    ivfQuantizedTopK(queries, model, k, nprobe)
+  }
 }

@@ -560,6 +560,22 @@ class ExtSpec extends AnyFunSuite {
     assert(overlap >= 0.8, s"quantized LSH top-k overlap with fp32 LSH was $overlap")
   }
 
+  test("quantized IVF top-k: shares the fp32 fit, high overlap in ranking") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ONE fitted model serves both paths (probe selection is fp32 in
+    // both) — only the inverted-file payload and scoring differ
+    val model = SimilarityOps.ivfFit(corpus, nlist = 8)
+    val fp32 = pairs(SimilarityOps.ivfTopK(queries, model, 10, nprobe = 3))
+    val int8 = pairs(SimilarityOps.ivfQuantizedTopK(queries, model, 10, nprobe = 3))
+    val overlap = (fp32 intersect int8).size.toDouble / fp32.size
+    assert(overlap >= 0.8, s"quantized IVF top-k overlap with fp32 IVF was $overlap")
+  }
+
   test("meanPoolByLabel: exact fixed-point means") {
     val df = Seq(
       (0, Array(1.0f, -2.0f)),
