@@ -208,36 +208,53 @@ object DedupOps {
   /** SimHash-64 per document: each token's 64-bit hash contributes
     * +1/−1 to 64 bit positions; positive positions set the output bit.
     *
-    * Shaped as explode(tokens) → 64 codegen'd `sum` aggregates → one
-    * bit-packing projection. A per-row `aggregate`/`zip_with` array
-    * expression computes the same thing but runs interpreted, ~5×
-    * slower. The shuffle is map-side combined: (doc, 64 longs) per
-    * partition, not per token. Documents with no tokens are dropped. */
+    * Shaped as explode(tokens) → SWAR-packed codegen'd `sum` aggregates
+    * → one unpack+bit-pack projection over the per-doc rows. A per-row
+    * `aggregate`/`zip_with` array expression computes the same thing
+    * but runs interpreted, ~5× slower. The per-bit counters are packed
+    * THREE 20-bit lanes per long (bit b rides long b/3, lane b%3), so
+    * the aggregation updates 22 sum buffers per token instead of 64 —
+    * and sums plain 1-bit lane values, with the ±1 recovered afterwards
+    * as 2·ones_b − n (same sign test, so outputs are bit-identical).
+    * The shuffle is map-side combined: (doc, 22 longs + count) per
+    * partition, not per token. Documents with no tokens are dropped.
+    * Lane width bounds documents at 2^20 tokens — beyond that a lane
+    * overflows; pre-split pathological documents upstream. */
   def simhashSignatures(df: DataFrame, id: Column, text: Column,
                         portable: Boolean = true): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("t"))
-    // portable: the 64-bit pattern is two 32-bit halves of ONE md5 hex
-    // digest (reproducible in DuckDB); fast: xxhash64 directly
+    // portable: the 64-bit pattern is two 32-bit halves of ONE md5
+    // digest prefix (reproducible in DuckDB); fast: xxhash64 directly
     val exploded =
-      if (portable) tok.withColumn("mdhex", md5(col("t")))
+      if (portable) tok.withColumn("p64", PortableHash.prefix64(col("t")))
         .select(col("doc_id"),
-          PortableHash.int32(col("mdhex"), 0).as("h1"),
-          PortableHash.int32(col("mdhex"), 1).as("h2"))
+          PortableHash.int32(col("p64"), 0).as("h1"),
+          PortableHash.int32(col("p64"), 1).as("h2"))
       else tok.select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val sums = (0 until 64).map { b =>
-      val bit =
-        if (portable) {
-          val (src, sh) = if (b < 32) ("h1", b) else ("h2", b - 32)
-          shiftright(col(src), sh).bitwiseAND(1)
-        } else shiftright(col("h"), b).bitwiseAND(1)
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"b_$b")
+    def bitOf(b: Int): Column =
+      if (portable) {
+        val (src, sh) = if (b < 32) ("h1", b) else ("h2", b - 32)
+        shiftright(col(src), sh).bitwiseAND(1)
+      } else shiftright(col("h"), b).bitwiseAND(1)
+    val nLongs = (64 + 2) / 3 // 22
+    val packed = (0 until nLongs).map { j =>
+      val lanes = (0 until 3).map(i => j * 3 + i).filter(_ < 64).map { b =>
+        // lanes are 20 bits apart and each holds a 0/1 summand — lane
+        // sums stay disjoint for up to 2^20 tokens, so + never carries
+        shiftleft(bitOf(b).cast(LongType), (b % 3) * 20)
+      }
+      sum(lanes.reduce(_ + _)).as(s"p_$j")
     }
+    val aggs = packed :+ count(lit(1)).as("n_tok")
     exploded.groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+        (0 until 64).map { b =>
+          val ones = shiftrightunsigned(col(s"p_${b / 3}"), (b % 3) * 20)
+            .bitwiseAND(lit((1L << 20) - 1))
+          // sum(±1) > 0  ⇔  2·ones − n > 0
+          when(ones * 2 > col("n_tok"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -26,17 +26,30 @@ object PortableHash {
   /** Mersenne prime 2³¹−1 — the universal-hash modulus. */
   val P = 2147483647L
 
-  /** 60-bit non-negative hash: the first 15 md5 hex chars as an int. */
-  def long60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+  /** First 8 md5 digest bytes as one signed long — every other value
+    * here is a bit-slice of it. One codegen'd expression node
+    * ([[graft.functions.HashExpressions.Md5Prefix64]]): the
+    * `conv(substring(md5(s), ...), 16, 10)` form it replaces paid
+    * three string round-trips (hex-encode, substring, parse) per
+    * hashed token/shingle — the dominant scan-side cost of the sketch
+    * pipelines. Values are BIT-IDENTICAL, so every oracle (which keeps
+    * the readable hex-substring SQL) is unchanged. */
+  def prefix64(s: Column): Column =
+    graft.functions.HashExpressions.md5Prefix64(s)
+
+  /** 60-bit non-negative hash: the first 15 md5 hex chars as an int
+    * (= digest bits 63..4). */
+  def long60(s: Column): Column = shiftrightunsigned(prefix64(s), 4)
 
   /** The same 60-bit hash reduced mod P (the MinHash base value). */
   def base(s: Column): Column = long60(s) % P
 
   /** 32-bit halves of the first 16 md5 hex chars (`half` = 0 or 1) —
-    * together a 64-bit pattern, used for SimHash bit extraction. */
-  def int32(mdhex: Column, half: Int): Column =
-    conv(substring(mdhex, 1 + half * 8, 8), 16, 10).cast(LongType)
+    * together a 64-bit pattern, used for SimHash bit extraction. Takes
+    * the [[prefix64]] column so the digest is computed ONCE per row. */
+  def int32(prefix: Column, half: Int): Column =
+    if (half == 0) shiftrightunsigned(prefix, 32)
+    else prefix.bitwiseAND(lit(0xffffffffL))
 
   /** Universal-hash coefficients (aᵢ ∈ [1,P), bᵢ ∈ [0,P)), seeded —
     * deterministic across runs, engines, cluster sizes. */
