@@ -49,10 +49,10 @@ object HashExpressions {
            |  catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
            |}
            |byte[] $d = $md.digest($s.getBytes());
-           |${ev.value} = (((long)($d[0] & 0xff)) << 56) | (((long)($d[1] & 0xff)) << 48)
-           |  | (((long)($d[2] & 0xff)) << 40) | (((long)($d[3] & 0xff)) << 32)
-           |  | (((long)($d[4] & 0xff)) << 24) | (((long)($d[5] & 0xff)) << 16)
-           |  | (((long)($d[6] & 0xff)) << 8) | ((long)($d[7] & 0xff));
+           |${ev.value} = (($d[0] & 0xffL) << 56) | (($d[1] & 0xffL) << 48) |
+           |  (($d[2] & 0xffL) << 40) | (($d[3] & 0xffL) << 32) |
+           |  (($d[4] & 0xffL) << 24) | (($d[5] & 0xffL) << 16) |
+           |  (($d[6] & 0xffL) << 8) | ($d[7] & 0xffL);
            |""".stripMargin
       })
 
