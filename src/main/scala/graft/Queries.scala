@@ -1788,7 +1788,119 @@ object Queries {
              |  floor((max(value)) * 10000.0 + 0.5) / 10000.0 AS max_value,
              |  count(*) AS cnt
              |FROM events WHERE value IS NOT NULL
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Event-stream operators: sessionization, as-of join, interval
+    //    overlap (EventOps; the classic telemetry/clickstream trio) ─────
+
+    Q("q71_sessionization",
+      (s, dir) => {
+        // Gap-based sessions per user (gap >= 6h starts a new session),
+        // summarized per session. One shuffle: the window partitions on
+        // user_id and the groupBy keys are a superset of it.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+        EventOps.sessionIntervals(ev, col("user_id"), col("tss"),
+            col("event_id"), col("value"), gapSec = 21600L)
+          .select(col("user_id"), col("session_seq"), col("s_start"),
+            col("s_end"), col("n_events"), r4(col("sum_value")).as("sum_value"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, value,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, tss, event_id, value,
+             |    CASE WHEN lag(tss) OVER w IS NULL
+             |           OR tss - lag(tss) OVER w >= 21600 THEN 1 ELSE 0 END AS new_s
+             |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+             |sess AS (
+             |  SELECT user_id, tss, value,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tss, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM flagged)
+             |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             |  min(tss) AS s_start, max(tss) AS s_end,
+             |  count(*) AS n_events,
+             |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q72_asof_join",
+      (s, dir) => {
+        // Point-in-time join: each click gets the value of the latest
+        // purchase by the same user at-or-before the click. Union +
+        // per-key ordered window — one shuffle, no range scan; DuckDB's
+        // native ASOF JOIN is the oracle.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("tss"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("tss"))
+          .agg(max(col("value")).as("pv"))
+        EventOps.asOfJoin(clicks, purchases, "user_id", "tss", "pv")
+          .select(col("event_id"), col("user_id"), col("tss"),
+            r4(col("asof_value")).as("pv"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss,
+             |    max(value) AS pv
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT c.event_id, c.user_id, c.tss,
+             |  floor((p.pv) * 10000.0 + 0.5) / 10000.0 AS pv
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.tss >= p.tss
+             |ORDER BY c.event_id""".stripMargin)),
+
+    Q("q74_session_overlap",
+      (s, dir) => {
+        // Cross-user session concurrency: for each session, how many
+        // other sessions overlap it in time. Spark side is the bucketed
+        // first-shared-bucket self-join (bounded candidates, no
+        // distinct); the oracle is the naive O(n^2) inequality join.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+        val iv = EventOps.sessionIntervals(ev, col("user_id"), col("tss"),
+            col("event_id"), col("value"), gapSec = 21600L)
+          .select(col("user_id"), col("session_seq"), col("s_start"), col("s_end"))
+        EventOps.overlapCounts(iv, Seq("user_id", "session_seq"), bucketSec = 21600L)
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, tss, event_id,
+             |    CASE WHEN lag(tss) OVER w IS NULL
+             |           OR tss - lag(tss) OVER w >= 21600 THEN 1 ELSE 0 END AS new_s
+             |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+             |sess AS (
+             |  SELECT user_id, tss,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tss, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM flagged),
+             |iv AS (
+             |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             |    min(tss) AS s_start, max(tss) AS s_end
+             |  FROM sess GROUP BY 1, 2),
+             |ov AS (
+             |  SELECT a.user_id, a.session_seq, count(*) AS n_overlap
+             |  FROM iv a JOIN iv b
+             |    ON a.s_start <= b.s_end AND b.s_start <= a.s_end
+             |    AND (a.user_id <> b.user_id OR a.session_seq <> b.session_seq)
+             |  GROUP BY 1, 2)
+             |SELECT iv.user_id, iv.session_seq,
+             |  coalesce(ov.n_overlap, 0) AS n_overlap
+             |FROM iv LEFT JOIN ov USING (user_id, session_seq)
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,134 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream operators over a (key, time, value) shaped table:
+  * gap-based sessionization, as-of (point-in-time) join, and
+  * interval-overlap join. These are the classic operators a telemetry /
+  * clickstream engine needs that have no single built-in Spark
+  * equivalent; each is composed from shuffle-minimal primitives rather
+  * than a naive O(n^2) formulation.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - sessionize: ONE shuffle on the key; the session aggregation reuses
+  *    the window's hash partitioning (grouping keys are a superset of
+  *    the partitioning key, so EnsureRequirements adds no exchange).
+  *  - asOfJoin: union + ordered window, ONE shuffle on the key — never
+  *    a per-row range scan of the right side. The right side is expected
+  *    pre-deduplicated to one row per (key, time).
+  *  - overlapCounts: bucket-decomposed self-join — candidate pairs are
+  *    bounded by co-bucket occupancy, not |intervals|^2, and each pair
+  *    is emitted exactly once (first-shared-bucket trick) so no
+  *    distinct-dedup shuffle is needed.
+  */
+object EventOps {
+
+  /** Assign gap-based session sequence numbers per key.
+    *
+    * A new session starts when the gap from the previous event is
+    * `>= gapSec` (integer-second timestamps keep the boundary exact and
+    * engine-portable). Adds `session_seq` (1-based per key).
+    *
+    * One shuffle: both window functions share the (key, order) frame.
+    */
+  def sessionize(df: DataFrame, key: Column, tss: Column, tie: Column,
+                 gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tss, tie)
+    df.withColumn("_prev_tss", lag(tss, 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_tss").isNull || tss - col("_prev_tss") >= gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new_session")).over(w))
+      .drop("_prev_tss", "_new_session")
+  }
+
+  /** Per-session interval summary: start/end/count/sum over the value.
+    * The groupBy keys include the sessionize partition key, so the
+    * aggregation reuses the window's partitioning (no second exchange).
+    */
+  def sessionIntervals(df: DataFrame, key: Column, tss: Column, tie: Column,
+                       value: Column, gapSec: Long): DataFrame =
+    sessionize(df, key, tss, tie, gapSec)
+      .groupBy(key, col("session_seq"))
+      .agg(min(tss).as("s_start"), max(tss).as("s_end"),
+        count(lit(1)).as("n_events"), sum(value).as("sum_value"))
+
+  /** As-of join: for each left row, the `rightValue` of the latest right
+    * row with the same key and time <= the left row's time (inclusive).
+    *
+    * Implemented as union + last(ignoreNulls) over an ordered per-key
+    * window — one shuffle on the key, no range-join row amplification.
+    * At equal times the right row sorts first (tag 0 < 1), giving the
+    * inclusive <= semantics of a SQL ASOF JOIN; equal-time right rows
+    * order by value so "last" is deterministic (the max). The attached
+    * column is named `asof_value`; left rows with no prior right row
+    * get NULL.
+    *
+    * The right side should carry exactly (key, time, value) — callers
+    * dedup to one row per (key, time) first if the source can repeat.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tss: String,
+               rightValue: String): DataFrame = {
+    val rvType = right.schema(rightValue).dataType
+    val taggedLeft = left
+      .withColumn("_tag", lit(1))
+      .withColumn("_rv", lit(null).cast(rvType))
+    val rightAsLeft = left.columns.map {
+      case c if c == key => col(key)
+      case c if c == tss => col(tss)
+      case c             => lit(null).cast(left.schema(c).dataType).as(c)
+    }
+    val taggedRight = right.select(
+      rightAsLeft :+ lit(0).as("_tag") :+ col(rightValue).as("_rv"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tss), col("_tag"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag", "_rv")
+  }
+
+  /** For each interval, how many OTHER intervals overlap it
+    * (`a.start <= b.end && b.start <= a.end`, ids differing).
+    *
+    * Scale path: each interval explodes into the `bucketSec` buckets it
+    * spans, candidates join per bucket, and a pair is evaluated only in
+    * the FIRST bucket the two intervals share — every true pair counted
+    * exactly once with no distinct. Bucket size trades explosion factor
+    * (span/bucketSec rows per interval) against per-bucket candidate
+    * density; callers pick it near the typical interval span.
+    *
+    * Input: (id cols..., s_start, s_end). Output: input keys + n_overlap
+    * (0 for intervals overlapping nothing).
+    */
+  def overlapCounts(intervals: DataFrame, idCols: Seq[String],
+                    bucketSec: Long): DataFrame = {
+    val bucketed = intervals.withColumn("_b",
+      explode(sequence(
+        floor(col("s_start") / bucketSec).cast(LongType),
+        floor(col("s_end") / bucketSec).cast(LongType))))
+    val a = idCols.foldLeft(bucketed) { (d, c) => d.withColumnRenamed(c, s"a_$c") }
+      .withColumnRenamed("s_start", "a_start").withColumnRenamed("s_end", "a_end")
+    val b = idCols.foldLeft(bucketed) { (d, c) => d.withColumnRenamed(c, s"b_$c") }
+      .withColumnRenamed("s_start", "b_start").withColumnRenamed("s_end", "b_end")
+    val differentId = idCols.map(c => col(s"a_$c") =!= col(s"b_$c"))
+      .reduce(_ || _)
+    val pairs = a.join(b,
+      a("_b") === b("_b") &&
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end") &&
+        // first shared bucket: count each overlapping pair exactly once
+        a("_b") === greatest(
+          floor(col("a_start") / bucketSec).cast(LongType),
+          floor(col("b_start") / bucketSec).cast(LongType)) &&
+        differentId)
+    val counts = pairs.groupBy(idCols.map(c => col(s"a_$c").as(c)): _*)
+      .agg(count(lit(1)).as("n_overlap"))
+    intervals.select(idCols.map(col): _*)
+      .join(counts, idCols, "left")
+      .na.fill(0L, Seq("n_overlap"))
+  }
+}
