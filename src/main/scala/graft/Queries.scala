@@ -1859,6 +1859,42 @@ object Queries {
              |  ON c.user_id = p.user_id AND c.tss >= p.tss
              |ORDER BY c.event_id""".stripMargin)),
 
+    Q("q73_rolling_zscore",
+      (s, dir) => {
+        // Trailing-window anomaly score per user: each event vs its
+        // previous <=20 values. Fixed-point window sums make the score
+        // engine-portable (see EventOps.rollingZScore); NULL until 5
+        // prior events exist.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+        EventOps.rollingZScore(ev, col("user_id"), col("tss"),
+            col("event_id"), col("value"), lookback = 20, minPrev = 5,
+            scale = 100L)
+          .select(col("event_id"), col("user_id"), r4(col("zscore")).as("zscore"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_id, user_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss,
+             |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |roll AS (
+             |  SELECT event_id, user_id, v,
+             |    count(v) OVER w AS n,
+             |    CAST(sum(v) OVER w AS BIGINT) AS sv,
+             |    CAST(sum(v * v) OVER w AS BIGINT) AS sv2
+             |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id
+             |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id,
+             |  floor((CASE WHEN n >= 5 AND
+             |      (CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) - 1.0) > 0
+             |    THEN (CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) - 1.0))
+             |    END) * 10000.0 + 0.5) / 10000.0 AS zscore
+             |FROM roll ORDER BY event_id""".stripMargin)),
+
     Q("q74_session_overlap",
       (s, dir) => {
         // Cross-user session concurrency: for each session, how many

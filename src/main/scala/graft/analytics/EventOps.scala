@@ -92,6 +92,43 @@ object EventOps {
       .drop("_tag", "_rv")
   }
 
+  /** Rolling z-score anomaly signal: each event scored against the
+    * trailing window of the SAME key's previous `lookback` values
+    * (current row excluded — the baseline is "what came before").
+    *
+    * The window sums run over fixed-point longs (`value * scale`
+    * rounded), so sum and sum-of-squares are exact integers in any
+    * partition/accumulation order; mean/variance then derive in double
+    * with one explicitly-ordered formula — the same IEEE ops an oracle
+    * SQL engine runs, making the score engine-portable (a plain
+    * double-window stddev is summation-order-dependent and cannot be
+    * hash-gated). Rows with fewer than `minPrev` prior events get NULL.
+    *
+    * One shuffle on the key; per-row state is the bounded lookback
+    * frame, so the plan scales with events, not history.
+    */
+  def rollingZScore(df: DataFrame, key: Column, tss: Column, tie: Column,
+                    value: Column, lookback: Int, minPrev: Int,
+                    scale: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tss, tie)
+      .rowsBetween(-lookback, -1)
+    val v = floor(value * scale + 0.5).cast(LongType)
+    val n = count(v).over(w)
+    val s = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    // exact integer sums -> one fixed double formula, identical in any
+    // engine: mean = s/n, var = (s2 - s*s/n) / (n - 1)
+    val nd = n.cast("double")
+    val mean = s.cast("double") / nd
+    val variance = (s2.cast("double") - s.cast("double") * s.cast("double") / nd) /
+      (nd - lit(1.0))
+    df.withColumn("_n", n)
+      .withColumn("zscore",
+        when(col("_n") >= minPrev && variance > 0,
+          (v.cast("double") - mean) / sqrt(variance)))
+      .drop("_n")
+  }
+
   /** For each interval, how many OTHER intervals overlap it
     * (`a.start <= b.end && b.start <= a.end`, ids differing).
     *

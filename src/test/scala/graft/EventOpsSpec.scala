@@ -76,6 +76,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(4L) == 0L) // isolated interval present with zero count
   }
 
+  test("rollingZScore: null until minPrev, spike scores high, flat is null") {
+    // key 1: stable baseline then a spike; key 2: constant (zero
+    // variance -> always null)
+    val series = ((1 to 10).map(i => (i.toLong, 1L, i.toLong, 10.0 + (i % 2))) :+
+      (11L, 1L, 11L, 500.0)) ++ (1 to 6).map(i => (20L + i, 2L, i.toLong, 7.0))
+    val df = series.toDF("event_id", "user_id", "tss", "value")
+    val z = EventOps.rollingZScore(df, col("user_id"), col("tss"),
+        col("event_id"), col("value"), lookback = 20, minPrev = 5, scale = 100L)
+      .select("event_id", "zscore").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert((1L to 5L).forall(z(_).isEmpty))  // fewer than 5 prior events
+    assert(z(6L).isDefined)
+    assert(z(11L).exists(_ > 100.0))          // the spike vs a ~0.5-std base
+    assert((21L to 26L).forall(z(_).isEmpty)) // zero variance -> null
+  }
+
   test("custom hash codegen survives GenerateOrdering (sort + top-k)") {
     // GenerateOrdering has no interpreted fallback: a codegen snippet
     // that janino can't parse fails the query outright (this is how the
