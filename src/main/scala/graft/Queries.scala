@@ -1795,7 +1795,7 @@ object Queries {
 
     Q("q71_sessionization",
       (s, dir) => {
-        // Gap-based sessions per user (gap >= 6h starts a new session),
+        // Gap-based sessions per user (a gap over 6h starts a new one),
         // summarized per session. One shuffle: the window partitions on
         // user_id and the groupBy keys are a superset of it.
         val ev = t(s, dir, "events")
@@ -1813,7 +1813,7 @@ object Queries {
              |flagged AS (
              |  SELECT user_id, tss, event_id, value,
              |    CASE WHEN lag(tss) OVER w IS NULL
-             |           OR tss - lag(tss) OVER w >= 21600 THEN 1 ELSE 0 END AS new_s
+             |           OR tss - lag(tss) OVER w > 21600 THEN 1 ELSE 0 END AS new_s
              |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
              |sess AS (
              |  SELECT user_id, tss, value,
@@ -1916,7 +1916,7 @@ object Queries {
              |flagged AS (
              |  SELECT user_id, tss, event_id,
              |    CASE WHEN lag(tss) OVER w IS NULL
-             |           OR tss - lag(tss) OVER w >= 21600 THEN 1 ELSE 0 END AS new_s
+             |           OR tss - lag(tss) OVER w > 21600 THEN 1 ELSE 0 END AS new_s
              |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
              |sess AS (
              |  SELECT user_id, tss,

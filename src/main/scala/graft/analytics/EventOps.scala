@@ -28,9 +28,12 @@ object EventOps {
 
   /** Assign gap-based session sequence numbers per key.
     *
-    * A new session starts when the gap from the previous event is
-    * `>= gapSec` (integer-second timestamps keep the boundary exact and
-    * engine-portable). Adds `session_seq` (1-based per key).
+    * A new session starts when the gap from the previous event STRICTLY
+    * exceeds `gapSec` — an event exactly `gapSec` later still extends
+    * the session. This is the same boundary Spark's built-in
+    * `session_window` uses (verified by StreamingSessionsSpec's parity
+    * test), and integer-second timestamps keep it exact and
+    * engine-portable. Adds `session_seq` (1-based per key).
     *
     * One shuffle: both window functions share the (key, order) frame.
     */
@@ -39,7 +42,7 @@ object EventOps {
     val w = Window.partitionBy(key).orderBy(tss, tie)
     df.withColumn("_prev_tss", lag(tss, 1).over(w))
       .withColumn("_new_session",
-        when(col("_prev_tss").isNull || tss - col("_prev_tss") >= gapSec, 1L)
+        when(col("_prev_tss").isNull || tss - col("_prev_tss") > gapSec, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("_new_session")).over(w))
       .drop("_prev_tss", "_new_session")

@@ -10,21 +10,22 @@ class EventOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // (event_id, user_id, tss, value): user 1 has two sessions split by a
-  // >= 100s gap (the 100 boundary itself starts a new session); user 2
-  // has one session including an equal-timestamp tie.
+  // (event_id, user_id, tss, value): user 1's event at 150 is EXACTLY
+  // gap seconds after 50 and still extends the session (session_window
+  // semantics); 251 is 101 > gap later and starts a new one. User 2 has
+  // one session including an equal-timestamp tie.
   private def events = Seq(
     (1L, 1L, 0L, 1.0), (2L, 1L, 50L, 2.0), (3L, 1L, 150L, 3.0),
-    (4L, 1L, 249L, 4.0),
+    (4L, 1L, 251L, 4.0),
     (5L, 2L, 10L, 5.0), (6L, 2L, 10L, 6.0), (7L, 2L, 60L, 7.0)
   ).toDF("event_id", "user_id", "tss", "value")
 
-  test("sessionize splits on gap >= threshold, inclusive boundary") {
+  test("sessionize splits only when the gap strictly exceeds the threshold") {
     val got = EventOps.sessionize(events, col("user_id"), col("tss"),
         col("event_id"), gapSec = 100L)
       .select("event_id", "session_seq").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
       5L -> 1L, 6L -> 1L, 7L -> 1L))
   }
 
@@ -33,8 +34,8 @@ class EventOpsSpec extends AnyFunSuite {
       col("event_id"), col("value"), gapSec = 100L)
     val rows = iv.collect().map(r => (r.getLong(0), r.getLong(1)) ->
       (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
-    assert(rows((1L, 1L)) == (0L, 50L, 2L, 3.0))
-    assert(rows((1L, 2L)) == (150L, 249L, 2L, 7.0))
+    assert(rows((1L, 1L)) == (0L, 150L, 3L, 6.0))
+    assert(rows((1L, 2L)) == (251L, 251L, 1L, 4.0))
     assert(rows((2L, 1L)) == (10L, 60L, 3L, 18.0))
     // the groupBy keys are a superset of the window partition key, so
     // the whole pipeline needs exactly one exchange (counted in the
