@@ -36,7 +36,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import os
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{outdir}/{name}"):
+            continue  # query not dumped in this (filtered) run
         try:
             got_cols, got = frame_to_rows(
                 con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"))

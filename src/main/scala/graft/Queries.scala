@@ -1895,6 +1895,37 @@ object Queries {
              |    END) * 10000.0 + 0.5) / 10000.0 AS zscore
              |FROM roll ORDER BY event_id""".stripMargin)),
 
+    Q("q75_collocations",
+      (s, dir) => {
+        // Top bigram collocations by lift (log-free PMI — the ranking
+        // key is exact IEEE multiply/divide, see TextOps.collocations).
+        TextOps.collocations(tp(s, dir, "documents"), col("text"), minCount = 5L)
+          .orderBy(col("lift_raw").desc, col("t1"), col("t2")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("lift_raw").desc, col("t1"), col("t2")))
+            .cast(LongType))
+          .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"),
+            r4(col("lift_raw")).as("lift"), col("rank"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+             |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uni),
+             |d AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |bp AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM d),
+             |big AS (
+             |  SELECT p[1] AS t1, p[2] AS t2, CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM bp GROUP BY 1, 2 HAVING count(*) >= 5),
+             |sc AS (
+             |  SELECT t1, t2, n_ab, a.n AS n_a, b.n AS n_b,
+             |    (CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+             |      (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift_raw
+             |  FROM big JOIN uni a ON a.token = t1 JOIN uni b ON b.token = t2, tot)
+             |SELECT t1, t2, n_ab, n_a, n_b,
+             |  floor(lift_raw * 10000.0 + 0.5) / 10000.0 AS lift,
+             |  CAST(row_number() OVER (ORDER BY lift_raw DESC, t1, t2) AS BIGINT) AS rank
+             |FROM sc ORDER BY lift_raw DESC, t1, t2 LIMIT 20""".stripMargin)),
+
     Q("q74_session_overlap",
       (s, dir) => {
         // Cross-user session concurrency: for each session, how many

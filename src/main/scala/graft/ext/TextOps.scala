@@ -165,6 +165,41 @@ object TextOps {
     * are repeats of an earlier n-gram (1 − distinct/total) — the
     * Gopher-style repetitious-text quality signal. 0.0 for documents
     * shorter than n tokens (their single whole-text shingle is unique). */
+  /** Bigram collocations ranked by lift = P(ab) / (P(a)·P(b)) — the
+    * association measure without the logarithm (PMI = ln(lift)), so the
+    * ranking key is pure integer-derived multiply/divide: IEEE
+    * correctly-rounded, hence BIT-IDENTICAL across engines. A log-based
+    * score would rank by a transcendental whose last ulp differs
+    * between libm implementations and could flip the top-k order.
+    *
+    * Plan shape: one narrow bigram explode (adjacent zip, no window),
+    * token/bigram counts map-side combined, the `minCount` support
+    * filter applied BEFORE the two vocabulary joins, and the 1-row
+    * total attached by broadcast. At 100 TB the vocabulary joins
+    * shuffle vocab-sized frames, never the corpus.
+    *
+    * Output: (t1, t2, n_ab, n_a, n_b, lift_raw).
+    */
+  def collocations(df: DataFrame, text: Column, minCount: Long): DataFrame = {
+    val uni = df.select(explode(tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("n_total"))
+    val t = tokens(text)
+    val pairs = df
+      .select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+      .select(col("p").getField("0").as("t1"), col("p").getField("1").as("t2"))
+    pairs.groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(uni.select(col("token").as("t1"), col("n").as("n_a")), "t1")
+      .join(uni.select(col("token").as("t2"), col("n").as("n_b")), "t2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_raw",
+        (col("n_ab").cast(DoubleType) * col("n_total").cast(DoubleType)) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+      .drop("n_total")
+  }
+
   def repetitionRatio(text: Column, n: Int = 3): Column = {
     val sh = shingles(text, n)
     lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh)

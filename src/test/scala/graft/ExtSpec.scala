@@ -660,4 +660,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L) == 0.0)
     assert(out(3L) == 0.0) // below n tokens → single shingle, no repeats
   }
+
+  test("collocations: a planted sticky bigram outranks frequent-but-independent pairs") {
+    // "hong kong" always co-occurs (lift = N / n_hong·n_kong is maximal);
+    // "the cat" repeats but both tokens also appear apart, diluting lift
+    val phrases = (1 to 10).map(i =>
+      (i.toLong, "hong kong is where the cat saw the dog and the cat slept"))
+    val out = TextOps.collocations(phrases.toDF("doc_id", "text"),
+      col("text"), minCount = 5L)
+      .select("t1", "t2", "lift_raw")
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.contains(("hong", "kong")))
+    assert(rows(("hong", "kong")) > rows(("the", "cat")))
+    // single-occurrence-per-doc pairs fall below minCount only if rarer
+    // than 5 total; here every adjacent pair appears 10 times, so the
+    // support filter keeps them all — check one
+    assert(rows.contains(("cat", "slept")))
+  }
 }
