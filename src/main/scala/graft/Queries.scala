@@ -1926,6 +1926,14 @@ object Queries {
              |  CAST(row_number() OVER (ORDER BY lift_raw DESC, t1, t2) AS BIGINT) AS rank
              |FROM sc ORDER BY lift_raw DESC, t1, t2 LIMIT 20""".stripMargin)),
 
+    Q("q76_bpe_merges",
+      (s, dir) => BpeOps.bpeMerges(tp(s, dir, "documents"), col("text"),
+        rounds = 4),
+      // the oracle unrolls the SAME four merge rounds as CTE stages;
+      // literal replace is greedy left-to-right in both engines, so the
+      // learned merge tables must agree exactly
+      Some(BpeOps.oracleSql(4))),
+
     Q("q74_session_overlap",
       (s, dir) => {
         // Cross-user session concurrency: for each session, how many

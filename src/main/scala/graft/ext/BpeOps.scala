@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (word-level, Sennrich-style):
+  * learn the top merge per round over the word-frequency vocabulary.
+  *
+  * The working set after the first aggregation is the VOCABULARY (word,
+  * count) — corpus-sized work happens exactly once, and every merge
+  * round then runs over vocab-sized frames: adjacent-pair counts
+  * weighted by word frequency (map-side combined), a 1-row argmax
+  * attached by broadcast, and a narrow literal-replace projection that
+  * applies the merge.
+  *
+  * Words are held as space-delimited symbol strings (" h e l l o ").
+  * Applying a merge is `replace(sym, " l r ", " lr ")`: literal string
+  * replace is left-to-right and non-overlapping in every engine — which
+  * is exactly BPE's greedy merge order — so the whole induction is
+  * DuckDB-oracle-able by unrolling the rounds as CTE stages. Argmax
+  * ties break by (count desc, left, right) — binary string order in
+  * both engines.
+  *
+  * Simplification vs a production tokenizer: no end-of-word marker and
+  * no byte fallback; the merge-learning loop itself is the operator.
+  */
+object BpeOps {
+
+  /** The learned merge table: (round, left_sym, right_sym, pair_count)
+    * for `rounds` merges. Each round's vocabulary and argmax are
+    * persisted so later rounds extend a materialized frame instead of
+    * re-deriving the whole prefix of the loop. */
+  def bpeMerges(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var vocab = df.select(explode(TextOps.tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
+        col("n"))
+      .persist(lvl)
+    var merges = Vector.empty[DataFrame]
+    for (round <- 1 to rounds) {
+      val t = split(trim(col("sym")), " ")
+      val best = vocab
+        .select(col("n"), explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+        .select(col("p").getField("0").as("left_sym"),
+          col("p").getField("1").as("right_sym"), col("n"))
+        .groupBy("left_sym", "right_sym").agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+        .persist(lvl)
+      merges = merges :+ best.withColumn("round", lit(round.toLong))
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(replace(col("sym"),
+          concat(lit(" "), col("left_sym"), lit(" "), col("right_sym"), lit(" ")),
+          concat(lit(" "), col("left_sym"), col("right_sym"), lit(" "))).as("sym"),
+          col("n"))
+        .persist(lvl)
+    }
+    merges.reduce(_ unionByName _)
+      .select(col("round"), col("left_sym"), col("right_sym"), col("pair_count"))
+  }
+
+  /** Oracle CTE chain mirroring `bpeMerges` round by round (used by the
+    * driver query's SQL; kept here so the unroll count always matches). */
+  def oracleSql(rounds: Int): String = {
+    def pairs(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT p[1] AS left_sym, p[2] AS right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+         |  FROM (SELECT n, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+         |        FROM (SELECT string_split_regex(trim(sym), ' ') AS t, n FROM $src) z)
+         |  GROUP BY 1, 2)""".stripMargin
+    def argmax(src: String, out: String) =
+      s"$out AS (SELECT left_sym, right_sym, pair_count FROM $src ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)"
+    def apply(src: String, m: String, out: String) =
+      s"""$out AS (
+         |  SELECT replace(sym, ' ' || $m.left_sym || ' ' || $m.right_sym || ' ',
+         |                 ' ' || $m.left_sym || $m.right_sym || ' ') AS sym, n
+         |  FROM $src, $m)""".stripMargin
+    val v0 =
+      """v0 AS (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val stages = (1 to rounds).flatMap { r =>
+      val last = if (r == rounds) Nil
+        else Seq(apply(s"v${r - 1}", s"m$r", s"v$r"))
+      Seq(pairs(s"v${r - 1}", s"p$r"), argmax(s"p$r", s"m$r")) ++ last
+    }
+    val selects = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, left_sym, right_sym, pair_count FROM m$r"
+    }
+    s"""WITH $v0,
+       |${stages.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL ")}
+       |ORDER BY round""".stripMargin
+  }
+}

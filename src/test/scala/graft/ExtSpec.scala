@@ -678,4 +678,18 @@ class ExtSpec extends AnyFunSuite {
     // support filter keeps them all — check one
     assert(rows.contains(("cat", "slept")))
   }
+
+  test("bpeMerges learns the hand-computed merge sequence") {
+    // corpus "aaab aaab ab" -> vocab {aaab:2, ab:1}
+    // round 1: (a,a)=4 vs (a,b)=3 -> merge (a,a); greedy left-to-right
+    //   turns "a a a b" into "aa a b" (NOT "a aa b")
+    // round 2: (aa,a)=2, (a,b)=2+1=3 -> merge (a,b) -> "aa ab" / "ab"
+    // round 3: (aa,ab)=2 -> merge (aa,ab)
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = BpeOps.bpeMerges(df, col("text"), rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+  }
 }
