@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 
 import graft.analytics._
 import graft.ext._
@@ -1925,6 +1925,74 @@ object Queries {
              |  floor(lift_raw * 10000.0 + 0.5) / 10000.0 AS lift,
              |  CAST(row_number() OVER (ORDER BY lift_raw DESC, t1, t2) AS BIGINT) AS rank
              |FROM sc ORDER BY lift_raw DESC, t1, t2 LIMIT 20""".stripMargin)),
+
+    Q("q77_json_props",
+      (s, dir) => {
+        // Semi-structured column path: typed from_json parse of the
+        // event props payload, then a plain relational rollup — the
+        // schema is declared, so Catalyst prunes and the parse is a
+        // narrow projection (no inference pass over the data).
+        val ev = t(s, dir, "events").withColumn("k",
+          from_json(col("props"), new StructType().add("k", LongType))
+            .getField("k"))
+        ev.groupBy("k")
+          .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_value"))
+          .orderBy("k")
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  count(*) AS n,
+             |  floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q78_pivot",
+      (s, dir) => {
+        // Long→wide pivot (the inverse of q19's U1 unpivot) with the
+        // value list DECLARED — no extra distinct pass over the data,
+        // and the plan is a single hash aggregation with one pivot
+        // column per declared type.
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q79_rollup",
+      (s, dir) => {
+        // Hierarchical OLAP rollup: revenue at (region, nation), per
+        // region, and grand total in ONE aggregation pass (Spark
+        // expands grouping sets map-side — no three-scan union).
+        // grouping() flags disambiguate real NULLs from subtotal rows.
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        rev.rollup(col("r_name"), col("n_name"))
+          .agg(rnd(sum(col("o_totalprice")), 2).as("revenue"),
+            count(lit(1)).as("n_orders"),
+            grouping(col("r_name")).cast(LongType).as("g_region"),
+            grouping(col("n_name")).cast(LongType).as("g_nation"))
+          .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue,
+             |  count(*) AS n_orders,
+             |  CAST(grouping(r_name) AS BIGINT) AS g_region,
+             |  CAST(grouping(n_name) AS BIGINT) AS g_nation
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin)),
 
     Q("q76_bpe_merges",
       (s, dir) => BpeOps.bpeMerges(tp(s, dir, "documents"), col("text"),

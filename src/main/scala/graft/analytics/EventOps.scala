@@ -145,8 +145,13 @@ object EventOps {
     * Input: (id cols..., s_start, s_end). Output: input keys + n_overlap
     * (0 for intervals overlapping nothing).
     */
-  def overlapCounts(intervals: DataFrame, idCols: Seq[String],
+  def overlapCounts(intervalsIn: DataFrame, idCols: Seq[String],
                     bucketSec: Long): DataFrame = {
+    // this operator references its input three times (both join sides
+    // and the zero-count join-back) — materialize once or the whole
+    // upstream pipeline (e.g. sessionization) re-executes per branch
+    val intervals = intervalsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = intervals.withColumn("_b",
       explode(sequence(
         floor(col("s_start") / bucketSec).cast(LongType),
