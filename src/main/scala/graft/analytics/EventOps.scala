@@ -79,7 +79,7 @@ object EventOps {
     val taggedLeft = left
       .withColumn("_tag", lit(1))
       .withColumn("_rv", lit(null).cast(rvType))
-    val rightAsLeft = left.columns.map {
+    val rightAsLeft = left.columns.toSeq.map {
       case c if c == key => col(key)
       case c if c == tss => col(tss)
       case c             => lit(null).cast(left.schema(c).dataType).as(c)

@@ -181,8 +181,11 @@ object TextOps {
     * Output: (t1, t2, n_ab, n_a, n_b, lift_raw).
     */
   def collocations(df: DataFrame, text: Column, minCount: Long): DataFrame = {
+    // referenced three times below (two vocab joins + the total);
+    // without the persist each reference re-tokenizes the corpus
     val uni = df.select(explode(tokens(text)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = uni.agg(sum(col("n")).as("n_total"))
     val t = tokens(text)
     val pairs = df
