@@ -1994,6 +1994,41 @@ object Queries {
              |GROUP BY ROLLUP (r_name, n_name)
              |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin)),
 
+    Q("q80_decile_profile",
+      (s, dir) => {
+        // Ranking-window family (ntile / percent_rank / cume_dist) as a
+        // per-priority decile profile. The window partitions on the
+        // group key — one priority's orders per frame, never a global
+        // single-partition sort; GLOBAL quantiles at scale go through
+        // the percentile-bounds pattern (q05/q06) instead.
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("decile", ntile(10).over(w).cast(LongType))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy(col("o_orderpriority"), col("decile"))
+          .agg(count(lit(1)).as("n"),
+            rnd(min(col("pr")), 6).as("min_pr"),
+            rnd(max(col("cd")), 6).as("max_cd"),
+            rnd(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderpriority", "decile")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    ntile(10) OVER w AS decile,
+             |    percent_rank() OVER w AS pr,
+             |    cume_dist() OVER w AS cd
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice, o_orderkey))
+             |SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+             |  count(*) AS n,
+             |  floor(min(pr) * 1000000.0 + 0.5) / 1000000.0 AS min_pr,
+             |  floor(max(cd) * 1000000.0 + 0.5) / 1000000.0 AS max_cd,
+             |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("q76_bpe_merges",
       (s, dir) => BpeOps.bpeMerges(tp(s, dir, "documents"), col("text"),
         rounds = 4),
