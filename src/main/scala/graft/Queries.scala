@@ -2037,6 +2037,51 @@ object Queries {
       // learned merge tables must agree exactly
       Some(BpeOps.oracleSql(4))),
 
+    Q("q81_upsert_latest_wins",
+      (s, dir) => {
+        // MERGE-style upsert without a table format: base ∪ updates,
+        // latest version wins per key (deterministic tiebreak), one
+        // shuffle on the key. The "updates" batch is derived
+        // deterministically (every 100th event re-lands with a
+        // corrected value and a higher version).
+        val base = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            lit(0L).as("version"))
+        val updates = base.filter(pmod(col("event_id"), lit(100)) === 0)
+          .select(col("event_id"), col("user_id"),
+            (col("value") * 2).as("value"), lit(1L).as("version"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("version").desc)
+        val merged = base.unionByName(updates)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        merged.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 2).as("sum_value"),
+            sum(col("version")).as("n_updated"))
+          .orderBy("user_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_id, user_id, value, 0 AS version FROM events),
+             |updates AS (
+             |  SELECT event_id, user_id, value * 2 AS value, 1 AS version
+             |  FROM events WHERE event_id % 100 = 0),
+             |merged AS (
+             |  SELECT *, row_number() OVER (PARTITION BY event_id
+             |    ORDER BY version DESC) AS rn
+             |  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+             |SELECT user_id, count(*) AS n,
+             |  floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value,
+             |  CAST(sum(version) AS BIGINT) AS n_updated
+             |FROM merged WHERE rn = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q82_bpe_encode",
+      (s, dir) => BpeOps.bpeEncodedSymbols(tp(s, dir, "documents"),
+        col("text"), rounds = 4, topK = 15),
+      // learn + APPLY: the corpus re-segmented with the four learned
+      // merges; the resulting sub-word inventory's top-15 hash-matches
+      Some(BpeOps.encodeOracleSql(4, 15))),
+
     Q("q74_session_overlap",
       (s, dir) => {
         // Cross-user session concurrency: for each session, how many

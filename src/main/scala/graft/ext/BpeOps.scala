@@ -30,7 +30,22 @@ object BpeOps {
     * for `rounds` merges. Each round's vocabulary and argmax are
     * persisted so later rounds extend a materialized frame instead of
     * re-deriving the whole prefix of the loop. */
-  def bpeMerges(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, text: Column, rounds: Int): DataFrame =
+    induce(df, text, rounds)._1
+
+  /** The corpus ENCODED with the learned merges: the final vocabulary's
+    * segment column exploded to (symbol, weighted count), top `topK` by
+    * count — i.e. the learned sub-word inventory actually in use. */
+  def bpeEncodedSymbols(df: DataFrame, text: Column, rounds: Int,
+                        topK: Int): DataFrame = {
+    val vocab = induce(df, text, rounds)._2
+    vocab.select(explode(split(trim(col("sym")), " ")).as("symbol"), col("n"))
+      .groupBy("symbol").agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("symbol")).limit(topK)
+  }
+
+  private def induce(df: DataFrame, text: Column,
+                     rounds: Int): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var vocab = df.select(explode(TextOps.tokens(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -57,8 +72,9 @@ object BpeOps {
           col("n"))
         .persist(lvl)
     }
-    merges.reduce(_ unionByName _)
+    val mergesDf = merges.reduce(_ unionByName _)
       .select(col("round"), col("left_sym"), col("right_sym"), col("pair_count"))
+    (mergesDf, vocab)
   }
 
   /** Oracle CTE chain mirroring `bpeMerges` round by round (used by the
@@ -95,5 +111,39 @@ object BpeOps {
        |${stages.mkString(",\n")}
        |${selects.mkString("\nUNION ALL ")}
        |ORDER BY round""".stripMargin
+  }
+
+  /** Oracle for [[bpeEncodedSymbols]]: the same round unroll, but every
+    * round applies its merge (the final vocabulary exists), then the
+    * symbol inventory is counted. */
+  def encodeOracleSql(rounds: Int, topK: Int): String = {
+    def pairs(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT p[1] AS left_sym, p[2] AS right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+         |  FROM (SELECT n, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+         |        FROM (SELECT string_split_regex(trim(sym), ' ') AS t, n FROM $src) z)
+         |  GROUP BY 1, 2)""".stripMargin
+    def argmax(src: String, out: String) =
+      s"$out AS (SELECT left_sym, right_sym FROM $src ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)"
+    def apply(src: String, m: String, out: String) =
+      s"""$out AS (
+         |  SELECT replace(sym, ' ' || $m.left_sym || ' ' || $m.right_sym || ' ',
+         |                 ' ' || $m.left_sym || $m.right_sym || ' ') AS sym, n
+         |  FROM $src, $m)""".stripMargin
+    val v0 =
+      """v0 AS (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val stages = (1 to rounds).flatMap { r =>
+      Seq(pairs(s"v${r - 1}", s"p$r"), argmax(s"p$r", s"m$r"),
+        apply(s"v${r - 1}", s"m$r", s"v$r"))
+    }
+    s"""WITH $v0,
+       |${stages.mkString(",\n")}
+       |SELECT symbol, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(string_split_regex(trim(sym), ' ')) AS symbol, n FROM v$rounds)
+       |GROUP BY 1 ORDER BY cnt DESC, symbol LIMIT $topK""".stripMargin
   }
 }
