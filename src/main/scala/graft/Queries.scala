@@ -2082,6 +2082,87 @@ object Queries {
       // merges; the resulting sub-word inventory's top-15 hash-matches
       Some(BpeOps.encodeOracleSql(4, 15))),
 
+    Q("q83_referential_audit",
+      (s, dir) => {
+        // Data-quality audit: orphan counts across the star schema's
+        // FK edges, each a broadcast/shuffled LEFT ANTI join (the
+        // dimension side is the smaller key set — at scale the anti
+        // join builds on distinct keys, never fact×dim pairs).
+        def orphans(name: String, fact: DataFrame, fk: String,
+                    dim: DataFrame, pk: String): DataFrame =
+          fact.join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("edge"), col("n_orphans"))
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val p = t(s, dir, "part")
+        val su = t(s, dir, "supplier")
+        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+          .unionByName(orphans("lineitem->part", li, "l_partkey", p, "p_partkey"))
+          .unionByName(orphans("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"))
+          .unionByName(orphans("orders->customer", o, "o_custkey", c, "c_custkey"))
+          .orderBy("edge")
+      },
+      Some("""SELECT 'lineitem->orders' AS edge, count(*) AS n_orphans
+             |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |UNION ALL
+             |SELECT 'lineitem->part', count(*) FROM lineitem
+             |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+             |UNION ALL
+             |SELECT 'lineitem->supplier', count(*) FROM lineitem
+             |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+             |UNION ALL
+             |SELECT 'orders->customer', count(*) FROM orders
+             |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |ORDER BY edge""".stripMargin)),
+
+    Q("q84_table_profile",
+      (s, dir) => {
+        // One-pass multi-column profile (nulls / distinct / min / max
+        // per column): ALL stats come out of a single aggregation —
+        // one scan, map-side combined — then pivot to long form for a
+        // stable (column, stat) output. approx_count_distinct is the
+        // scale path; here exact distinct keeps the oracle.
+        val li = t(s, dir, "lineitem")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__distinct"),
+            rnd(min(col(c)), 4).as(s"${c}__min"),
+            rnd(max(col(c)), 4).as(s"${c}__max"))
+        }
+        val wide = li.agg(aggs.head, aggs.tail: _*)
+        val long = cols.map { c =>
+          wide.select(lit(c).as("column_name"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__distinct").as("n_distinct"),
+            col(s"${c}__min").cast(DoubleType).as("min_v"),
+            col(s"${c}__max").cast(DoubleType).as("max_v"))
+        }.reduce(_ unionByName _)
+        long.orderBy("column_name")
+      },
+      Some("""WITH w AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+             |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_distinct,
+             |    floor(min(l_quantity) * 10000.0 + 0.5) / 10000.0 AS q_min,
+             |    floor(max(l_quantity) * 10000.0 + 0.5) / 10000.0 AS q_max,
+             |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+             |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS p_distinct,
+             |    floor(min(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS p_min,
+             |    floor(max(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS p_max,
+             |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+             |    CAST(count(DISTINCT l_discount) AS BIGINT) AS d_distinct,
+             |    floor(min(l_discount) * 10000.0 + 0.5) / 10000.0 AS d_min,
+             |    floor(max(l_discount) * 10000.0 + 0.5) / 10000.0 AS d_max
+             |  FROM lineitem)
+             |SELECT 'l_discount' AS column_name, d_nulls AS n_nulls,
+             |  d_distinct AS n_distinct, d_min AS min_v, d_max AS max_v FROM w
+             |UNION ALL
+             |SELECT 'l_extendedprice', p_nulls, p_distinct, p_min, p_max FROM w
+             |UNION ALL
+             |SELECT 'l_quantity', q_nulls, q_distinct, q_min, q_max FROM w
+             |ORDER BY column_name""".stripMargin)),
+
     Q("q74_session_overlap",
       (s, dir) => {
         // Cross-user session concurrency: for each session, how many
