@@ -2163,6 +2163,78 @@ object Queries {
              |SELECT 'l_quantity', q_nulls, q_distinct, q_min, q_max FROM w
              |ORDER BY column_name""".stripMargin)),
 
+    Q("q85_conversion_funnel",
+      (s, dir) => {
+        // Ordered-stage funnel: first signup, first click AFTER that
+        // signup, first purchase AFTER that click, per user. Three
+        // user-level aggregations chained by joins — after the first
+        // aggregation every frame is user-sized, so the corpus is
+        // scanned once per stage type and never self-joined row×row.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+          .select("user_id", "event_type", "tss")
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("tss")).as("t_signup"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("tss") >= col("t_signup"))
+          .groupBy("user_id").agg(min(col("tss")).as("t_click"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("tss") >= col("t_click"))
+          .groupBy("user_id").agg(min(col("tss")).as("t_purchase"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("t_click")).as("n_click_after"),
+            count(col("t_purchase")).as("n_purchase_after"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |s1 AS (SELECT user_id, min(tss) AS t_signup FROM ev
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT ev.user_id, min(tss) AS t_click FROM ev
+             |       JOIN s1 ON ev.user_id = s1.user_id
+             |       WHERE event_type = 'click' AND tss >= t_signup GROUP BY 1),
+             |s3 AS (SELECT ev.user_id, min(tss) AS t_purchase FROM ev
+             |       JOIN s2 ON ev.user_id = s2.user_id
+             |       WHERE event_type = 'purchase' AND tss >= t_click GROUP BY 1)
+             |SELECT count(*) AS n_signup,
+             |  count(t_click) AS n_click_after,
+             |  count(t_purchase) AS n_purchase_after
+             |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    Q("q86_cohort_retention",
+      (s, dir) => {
+        // Weekly cohort retention: users grouped by first-seen week,
+        // counted per (cohort week, weeks-since) activity cell. Two
+        // aggregations and one join on user_id — the classic retention
+        // matrix with no row×row self-join. Weeks are epoch-day/7
+        // buckets (engine-portable integer arithmetic, no WEEK()
+        // locale semantics).
+        val ev = t(s, dir, "events")
+          .withColumn("wk",
+            floor(unix_timestamp(date_trunc("day", col("ts"))) / lit(604800L))
+              .cast(LongType))
+          .select("user_id", "wk")
+        val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "weeks_since")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    CAST(floor(CAST(EXTRACT(EPOCH FROM date_trunc('day', ts)) AS BIGINT)
+             |      / 604800.0) AS BIGINT) AS wk
+             |  FROM events),
+             |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+             |SELECT cohort_wk, wk - cohort_wk AS weeks_since,
+             |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+             |FROM ev JOIN first ON ev.user_id = first.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("q74_session_overlap",
       (s, dir) => {
         // Cross-user session concurrency: for each session, how many
