@@ -2031,7 +2031,7 @@ object Queries {
 
     Q("q76_bpe_merges",
       (s, dir) => BpeOps.bpeMerges(tp(s, dir, "documents"), col("text"),
-        rounds = 4),
+        rounds = 4, cacheKey = Some(s"documents:$dir")),
       // the oracle unrolls the SAME four merge rounds as CTE stages;
       // literal replace is greedy left-to-right in both engines, so the
       // learned merge tables must agree exactly
@@ -2077,7 +2077,8 @@ object Queries {
 
     Q("q82_bpe_encode",
       (s, dir) => BpeOps.bpeEncodedSymbols(tp(s, dir, "documents"),
-        col("text"), rounds = 4, topK = 15),
+        col("text"), rounds = 4, topK = 15,
+        cacheKey = Some(s"documents:$dir")),
       // learn + APPLY: the corpus re-segmented with the four learned
       // merges; the resulting sub-word inventory's top-15 hash-matches
       Some(BpeOps.encodeOracleSql(4, 15))),
@@ -2233,6 +2234,39 @@ object Queries {
              |SELECT cohort_wk, wk - cohort_wk AS weeks_since,
              |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
              |FROM ev JOIN first ON ev.user_id = first.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q87_event_transitions",
+      (s, dir) => {
+        // Behavioral transition matrix: adjacent (event → next event)
+        // pairs per user via one lead() window — sequence-pattern
+        // analysis with a single shuffle on the key, no self-join.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tss"), col("event_id"))
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+          .select("user_id", "event_id", "event_type", "tss")
+        ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_tss", lead(col("tss"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"),
+            r4(avg((col("next_tss") - col("tss")).cast(DoubleType)))
+              .as("avg_gap_sec"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |t AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER w AS to_type,
+             |    lead(tss) OVER w - tss AS gap
+             |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id))
+             |SELECT from_type, to_type, count(*) AS n,
+             |  floor((avg(gap)) * 10000.0 + 0.5) / 10000.0 AS avg_gap_sec
+             |FROM t WHERE to_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("q74_session_overlap",

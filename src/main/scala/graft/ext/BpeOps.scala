@@ -30,19 +30,37 @@ object BpeOps {
     * for `rounds` merges. Each round's vocabulary and argmax are
     * persisted so later rounds extend a materialized frame instead of
     * re-deriving the whole prefix of the loop. */
-  def bpeMerges(df: DataFrame, text: Column, rounds: Int): DataFrame =
-    induce(df, text, rounds)._1
+  def bpeMerges(df: DataFrame, text: Column, rounds: Int,
+                cacheKey: Option[String] = None): DataFrame =
+    induceCached(df, text, rounds, cacheKey)._1
 
   /** The corpus ENCODED with the learned merges: the final vocabulary's
     * segment column exploded to (symbol, weighted count), top `topK` by
     * count — i.e. the learned sub-word inventory actually in use. */
   def bpeEncodedSymbols(df: DataFrame, text: Column, rounds: Int,
-                        topK: Int): DataFrame = {
-    val vocab = induce(df, text, rounds)._2
+                        topK: Int, cacheKey: Option[String] = None): DataFrame = {
+    val vocab = induceCached(df, text, rounds, cacheKey)._2
     vocab.select(explode(split(trim(col("sym")), " ")).as("symbol"), col("n"))
       .groupBy("symbol").agg(sum(col("n")).as("cnt"))
       .orderBy(col("cnt").desc, col("symbol")).limit(topK)
   }
+
+  /** Learn-once cache: q76 (merge table) and q82 (encoding) share one
+    * induction per (session, key, rounds) — a deployment trains the
+    * tokenizer once and both artifacts derive from it. Session-scoped
+    * so a cached frame never outlives the SparkSession persisting it. */
+  private val induceCache =
+    scala.collection.concurrent.TrieMap[(Int, String, Int), (DataFrame, DataFrame)]()
+
+  private def induceCached(df: DataFrame, text: Column, rounds: Int,
+                           cacheKey: Option[String]): (DataFrame, DataFrame) =
+    cacheKey match {
+      case None => induce(df, text, rounds)
+      case Some(key) =>
+        val sessionId = System.identityHashCode(df.sparkSession)
+        induceCache.getOrElseUpdate((sessionId, key, rounds),
+          induce(df, text, rounds))
+    }
 
   private def induce(df: DataFrame, text: Column,
                      rounds: Int): (DataFrame, DataFrame) = {
