@@ -2269,6 +2269,37 @@ object Queries {
              |FROM t WHERE to_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("q88_fuzzy_match",
+      (s, dir) => {
+        // Dirty-catalog entity resolution: part names with one
+        // deterministically dropped character matched back to the
+        // clean catalog within edit distance 2. Spark side is the
+        // q-gram-blocked join (candidates bounded by shared-gram
+        // occupancy, pruned by the distinct-gram count bound BEFORE
+        // any levenshtein); the oracle verifies every pair naively —
+        // the hash-match proves the blocking complete.
+        val names = t(s, dir, "part").select(col("p_name")).distinct()
+        val clean = names.select(col("p_name").as("id"), col("p_name").as("s"))
+        val dirty = names.select(
+          col("p_name").as("id"),
+          concat(substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3)")).as("s"))
+        FuzzyJoinOps.editDistanceJoin(dirty, clean, maxDist = 2, q = 3)
+          .select(col("l_id").as("dirty_name"), col("r_id").as("clean_name"),
+            col("dist"))
+          .orderBy("dirty_name", "clean_name")
+      },
+      Some("""WITH names AS (SELECT DISTINCT p_name FROM part),
+             |dirty AS (
+             |  SELECT p_name AS id,
+             |    substring(p_name, 1, 1) || substring(p_name, 3) AS s
+             |  FROM names)
+             |SELECT d.id AS dirty_name, n.p_name AS clean_name,
+             |  CAST(levenshtein(d.s, n.p_name) AS BIGINT) AS dist
+             |FROM dirty d JOIN names n
+             |  ON levenshtein(d.s, n.p_name) <= 2
+             |ORDER BY dirty_name, clean_name""".stripMargin)),
+
     Q("q74_session_overlap",
       (s, dir) => {
         // Cross-user session concurrency: for each session, how many

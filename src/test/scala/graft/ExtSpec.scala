@@ -679,6 +679,30 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.contains(("cat", "slept")))
   }
 
+  test("fuzzy join matches the naive quadratic answer, including edge shapes") {
+    // planted shapes: exact duplicate (dist 0), single substitution,
+    // two edits at both ends (worst case for the gram bound), a near
+    // miss at dist 3, and an unrelated string
+    val left = Seq(
+      (1L, "chocolate"), (2L, "chocolatx"), (3L, "xhocolatx"),
+      (4L, "xxocolaxx"), (5L, "aluminium")
+    ).toDF("id", "s")
+    val right = Seq((10L, "chocolate"), (11L, "zirconium")).toDF("id", "s")
+    val got = FuzzyJoinOps.editDistanceJoin(left, right, maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = left.as("a").crossJoin(right.as("b"))
+      .withColumn("d", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("d") <= 2)
+      .select(col("a.id"), col("b.id"), col("d").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+    assert(got.contains((1L, 10L, 0L)))
+    assert(got.contains((2L, 10L, 1L)))
+    assert(got.contains((3L, 10L, 2L))) // both-ends edits survive the bound
+    assert(!got.exists(_._1 == 4L))     // dist 4: pruned or verified away
+    assert(!got.exists(_._1 == 5L))     // unrelated
+  }
+
   test("bpeMerges learns the hand-computed merge sequence") {
     // corpus "aaab aaab ab" -> vocab {aaab:2, ab:1}
     // round 1: (a,a)=4 vs (a,b)=3 -> merge (a,a); greedy left-to-right
