@@ -7,10 +7,30 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.analytics.EventOps
-import graft.streaming.StreamingSessions
+import graft.streaming.{StreamingEnrich, StreamingSessions}
 
 class StreamingSessionsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+
+  test("stream-static broadcast enrichment: stateless left join per batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_senrich")
+    val in = dir.resolve("in")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("user_id", "value")
+      .write.parquet(in.toString)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val stream = spark.readStream
+      .schema("user_id long, value double").parquet(in.toString)
+    val q = StreamingEnrich.enrich(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("senrich")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("senrich").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("segment"))).toMap
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
 
   test("streaming session_window equals batch sessionize on the same events") {
     import spark.implicits._
