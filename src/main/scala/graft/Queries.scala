@@ -33,6 +33,58 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Bipartite customer↔supplier purchase graph (shared by the graph
+    * analytics queries q89/q90): node ids disambiguated by parity
+    * (customer c → 2c, supplier p → 2p+1), both edge directions from one
+    * explode pass over the distinct pair set — same pattern as
+    * [[graft.ext.DedupOps.resolveClusters]]'s edge build. */
+  private def purchaseGraph(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    cs.select(explode(array(
+        struct(col("c").as("src"), col("p").as("dst")),
+        struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** Oracle-side CTEs mirroring [[purchaseGraph]] (UNION ALL is exact:
+    * the two directions are parity-disjoint). */
+  private val purchaseGraphCtes: String =
+    """cs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT c AS src, p AS dst FROM cs
+      |  UNION ALL SELECT p AS src, c AS dst FROM cs)"""
+
+  /** Unrolled fixed-point PageRank oracle (scale 1e6, damping 85/100 →
+    * teleport term 150000 exactly): each round re-derives
+    * rankᵢ = teleport + (85·Σ rankᵢ₋₁ div outdeg) div 100 in DuckDB's
+    * truncating `//` — the same arithmetic GraphOps.pageRank runs, so
+    * the full rank vector hash-matches. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r.pr // d.deg) AS BIGINT) AS s
+         |    FROM edges e
+         |    JOIN outdeg d ON d.src = e.src
+         |    JOIN r${i - 1} r ON r.id = e.src
+         |    GROUP BY 1) s ON s.id = n.id)"""
+    }.mkString(",\n")
+    s"""WITH $purchaseGraphCtes,
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT id AS node_id, pr AS rank_fp FROM r$iters ORDER BY node_id""".stripMargin
+  }
+
   /** Table load + repartition to cluster parallelism: the right plan
     * when a narrow scan of few files feeds CPU-bound per-row work
     * (regex/tokenize/hash) — a single parquet row group is one split, so
@@ -2341,7 +2393,254 @@ object Queries {
              |SELECT iv.user_id, iv.session_seq,
              |  coalesce(ov.n_overlap, 0) AS n_overlap
              |FROM iv LEFT JOIN ov USING (user_id, session_seq)
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    Q("q89_pagerank",
+      (s, dir) => {
+        // Purchase-influence PageRank over the bipartite customer↔
+        // supplier graph: 3 fixed rounds of fixed-point integer PageRank
+        // (two key-partitioned shuffles per round, map-side-combined
+        // contribution sums). The FULL rank vector hash-gates because
+        // every step is exact long arithmetic — no float summation
+        // order anywhere.
+        GraphOps.pageRank(purchaseGraph(s, dir), iters = 3)
+          .select(col("id").as("node_id"), col("pr").as("rank_fp"))
+          .orderBy("node_id")
+      },
+      Some(pageRankOracleSql(3))),
+
+    Q("q90_bfs_levels",
+      (s, dir) => {
+        // Minimum-hop BFS from the smallest node id, frontier-expanded
+        // to depth 4: each round joins only the NEW frontier against the
+        // edge list and anti-joins the visited set, so a node's level is
+        // its first-discovery round. The oracle walks the same graph
+        // with a depth-guarded recursive CTE and collapses to
+        // min(level) — a wholly different evaluation strategy arriving
+        // at the identical labeling.
+        val g = purchaseGraph(s, dir)
+        GraphOps.bfsLevels(g, g.agg(min(col("src")).as("id")), maxDepth = 4)
+          .select(col("id").as("node_id"), col("level"))
+          .orderBy("node_id")
+      },
+      Some(s"""WITH RECURSIVE $purchaseGraphCtes,
+             |s0 AS (SELECT min(src) AS id FROM edges),
+             |b AS (
+             |  SELECT id, 0 AS lvl FROM s0
+             |  UNION
+             |  SELECT e.dst, b.lvl + 1 FROM b JOIN edges e ON e.src = b.id
+             |  WHERE b.lvl < 4)
+             |SELECT id AS node_id, CAST(min(lvl) AS BIGINT) AS level
+             |FROM b GROUP BY id ORDER BY node_id""".stripMargin)),
+
+    Q("q91_gapfill_interp",
+      (s, dir) => {
+        // Hourly gap-fill + linear interpolation: per-user hour grid
+        // from sequence(min,max), missing buckets filled by integer
+        // linear interpolation between the surrounding observations
+        // (prev/next via ignoreNulls running windows — one shuffle on
+        // user_id covers grid build, join and both windows). All
+        // arithmetic is fixed-point long with truncating div, so
+        // interpolated values are bit-identical across engines. The
+        // user_id % 10 subset keeps the oracle's output tractable; the
+        // Spark plan is the full-scale shape.
+        val obs = t(s, dir, "events")
+          .filter(col("user_id") % 10 === 0)
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+          .withColumn("hh", expr("tss div 3600"))
+          .groupBy(col("user_id"), col("hh"))
+          .agg(sum(floor(col("value") * 10000).cast(LongType)).as("v"))
+        val grid = obs.groupBy("user_id")
+          .agg(min("hh").as("lo"), max("hh").as("hi"))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hh"))
+        val wAll = Window.partitionBy("user_id").orderBy("hh")
+        val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
+        grid.join(obs, Seq("user_id", "hh"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(when(col("v").isNotNull, col("hh")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(when(col("v").isNotNull, col("hh")),
+            ignoreNulls = true).over(wNext))
+          .select(col("user_id"), col("hh"),
+            when(col("v").isNotNull, col("v"))
+              .otherwise(col("pv") +
+                expr("((nv - pv) * (hh - ph)) div (nh - ph)")).as("v_fp"),
+            when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("interpolated"))
+          .orderBy("user_id", "hh")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) // 3600 AS hh,
+             |    value
+             |  FROM events WHERE user_id % 10 = 0),
+             |obs AS (
+             |  SELECT user_id, hh,
+             |    CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS v
+             |  FROM ev GROUP BY 1, 2),
+             |bounds AS (SELECT user_id, min(hh) AS lo, max(hh) AS hi FROM obs GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(lo, hi)) AS hh FROM bounds),
+             |pn AS (
+             |  SELECT g.user_id, g.hh, o.v,
+             |    last_value(o.v IGNORE NULLS) OVER wp AS pv,
+             |    last_value(CASE WHEN o.v IS NOT NULL THEN g.hh END IGNORE NULLS) OVER wp AS ph,
+             |    first_value(o.v IGNORE NULLS) OVER wn AS nv,
+             |    first_value(CASE WHEN o.v IS NOT NULL THEN g.hh END IGNORE NULLS) OVER wn AS nh
+             |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hh = g.hh
+             |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hh
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY g.user_id ORDER BY g.hh
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, hh,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       ELSE pv + ((nv - pv) * (hh - ph)) // (nh - ph) END AS v_fp,
+             |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interpolated
+             |FROM pn ORDER BY user_id, hh""".stripMargin)),
+
+    Q("q92_time_weighted_avg",
+      (s, dir) => {
+        // Duration-weighted mean event value per user: each observation
+        // weighted by seconds until the user's next event (lead window +
+        // aggregation on the SAME key → one shuffle). Long sums stay
+        // exact; the single final double division is IEEE
+        // correctly-rounded in both engines, so r4 hash-gates it.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+          .withColumn("v", floor(col("value") * 10000).cast(LongType))
+        GraphOps.timeWeightedAvg(ev, col("user_id"), col("tss"),
+            col("event_id"), col("v"))
+          .select(col("key").as("user_id"),
+            r4(col("wsum").cast(DoubleType) /
+              (col("dsum").cast(DoubleType) * 10000.0)).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss,
+             |    CAST(floor(value * 10000) AS BIGINT) AS v
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id, v,
+             |    lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) - tss AS dur
+             |  FROM s)
+             |SELECT user_id,
+             |  floor((CAST(sum(v * dur) AS DOUBLE) /
+             |         (CAST(sum(dur) AS DOUBLE) * 10000.0)) * 10000.0 + 0.5) / 10000.0 AS twa
+             |FROM d WHERE dur IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q93_min_cost_supplier",
+      (s, dir) => {
+        // Cheapest observed offer per part (TPC-H Q2 shape): per-
+        // (part,supplier) min price, then a per-part window top-1 with
+        // deterministic supplier tiebreak, enriched through two
+        // BROADCAST dimension joins — the big side never reshuffles for
+        // the dims. Prices in fixed-point cents.
+        val offers = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * 100).cast(LongType).as("price_fp"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min("price_fp").as("offer_fp"))
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("offer_fp"), col("l_suppkey"))
+        offers.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_name")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"), col("offer_fp"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH offers AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS offer_fp
+             |  FROM lineitem GROUP BY 1, 2),
+             |best AS (
+             |  SELECT l_partkey, l_suppkey, offer_fp,
+             |    row_number() OVER (PARTITION BY l_partkey
+             |      ORDER BY offer_fp, l_suppkey) AS rn
+             |  FROM offers)
+             |SELECT p.p_partkey, p.p_name, s.s_name, b.offer_fp
+             |FROM best b
+             |JOIN part p ON p.p_partkey = b.l_partkey
+             |JOIN supplier s ON s.s_suppkey = b.l_suppkey
+             |WHERE b.rn = 1 ORDER BY p.p_partkey""".stripMargin)),
+
+    Q("q94_tfidf_search",
+      (s, dir) => {
+        // Ranked keyword retrieval over inverted-index statistics:
+        // integer-scaled idf (N·1e6 div df) times tf, summed per doc —
+        // exact long arithmetic end to end, so the top-50 ranking
+        // hash-gates. df is computed over the WHOLE corpus, but only
+        // postings matching the query terms reach the scoring shuffle;
+        // the tiny df/N frames broadcast. Top-50 via orderBy+limit →
+        // TakeOrdered, never a single-partition global sort.
+        val qTerms = Seq("join", "hash", "vector", "stream")
+        val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tf = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n"))
+        tf.filter(col("term").isin(qTerms: _*))
+          .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("w", col("tf") * expr("(n * 1000000) div df"))
+          .groupBy("doc_id")
+          .agg(sum("w").as("score_fp"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score_fp").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf
+             |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT tf.doc_id,
+             |  CAST(sum(tf.tf * ((n.n * 1000000) // dfreq.df)) AS BIGINT) AS score_fp,
+             |  CAST(count(*) AS BIGINT) AS n_terms
+             |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+             |WHERE term IN ('join', 'hash', 'vector', 'stream')
+             |GROUP BY 1
+             |ORDER BY score_fp DESC, doc_id LIMIT 50""".stripMargin)),
+
+    Q("q95_rolling_range_window",
+      (s, dir) => {
+        // Trailing 7-day spend per customer via a RANGE (time-based,
+        // not row-based) window frame on integer epoch seconds — one
+        // shuffle on the customer key; peers at the same timestamp are
+        // included by RANGE semantics in both engines. Fixed-point
+        // cent sums stay exact.
+        val w = Window.partitionBy("o_custkey").orderBy("ots")
+          .rangeBetween(-604800L, 0L)
+        t(s, dir, "orders")
+          .withColumn("ots", unix_timestamp(col("o_orderdate")))
+          .withColumn("price_fp", floor(col("o_totalprice") * 100).cast(LongType))
+          .select(col("o_orderkey"), col("o_custkey"), col("ots"),
+            count(lit(1)).over(w).as("n_7d"),
+            sum(col("price_fp")).over(w).as("spend_7d_fp"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS ots,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp
+             |  FROM orders)
+             |SELECT o_orderkey, o_custkey, ots,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+             |  CAST(sum(price_fp) OVER w AS BIGINT) AS spend_7d_fp
+             |FROM o
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY ots
+             |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,125 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge-list DataFrames.
+  *
+  * Both operators here follow the same scale rules as
+  * [[graft.ext.DedupOps.resolveClusters]]: the graph lives as a
+  * distributed (src, dst) edge list, every iteration is a bounded number
+  * of key-partitioned joins/aggregations, and nothing is ever collected
+  * to the driver. Unlike connected components (unbounded rounds →
+  * checkpoint per round), these run a FIXED small number of rounds, so
+  * the lineage stays shallow and one terminal action evaluates the whole
+  * chain — no checkpoint churn.
+  *
+  * Determinism: all rank arithmetic is fixed-point integer (`Long` with
+  * truncating `div`), so results are bit-identical across engines,
+  * cluster sizes and partitionings — summation of longs is exactly
+  * associative/commutative, unlike doubles. This is what makes the
+  * DuckDB oracle able to hash-gate the full rank vector.
+  */
+object GraphOps {
+
+  /** PageRank with damping `dampNum/dampDen` for a fixed `iters` rounds
+    * over a directed edge list (`src`, `dst` — Long node ids).
+    *
+    * rank₀(v) = scale;
+    * rankᵢ(v) = (scale·(dampDen−dampNum)) div dampDen
+    *          + (dampNum · Σ_{(u,v)∈E} rankᵢ₋₁(u) div outdeg(u)) div dampDen
+    *
+    * Per round: one shuffle on `src` (rank+degree lookup) and one on
+    * `dst` (contribution sum, map-side combined) — the textbook
+    * distributed PageRank data flow. Edges, degrees, and the node set
+    * are persisted once and reused every round; rank frames are plain
+    * lineage (fixed shallow depth). Dangling nodes (no out-edges)
+    * contribute nothing — their mass leaks, which is deterministic and
+    * mirrored exactly by the oracle.
+    *
+    * Returns (id, pr) with pr in fixed-point `scale` units. */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (scale * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr"))
+    }
+    ranks
+  }
+
+  /** Multi-source BFS: minimum hop distance from any node in `sources`
+    * (a one-column `id` frame), explored to `maxDepth`. Classic frontier
+    * expansion — each round joins ONLY the newly discovered frontier
+    * against the edge list (never the full visited set), dedups the
+    * next frontier, and anti-joins the visited set so every node is
+    * labeled with its first-discovery (= minimum) level. Frontiers are
+    * persisted because each is referenced twice (expansion + union);
+    * the visited set is a union chain of at most `maxDepth` small
+    * frames. Nodes beyond `maxDepth` are absent from the result.
+    *
+    * Returns (id, level). */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var levels = sources.select(col("id").cast("long").as("id"))
+      .distinct()
+      .withColumn("level", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = levels
+    var depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      // rename the frontier key before joining: the frontier's lineage
+      // includes the edge frame itself (sources are derived from it),
+      // so an attribute-based condition would be an ambiguous self-join
+      val next = frontier.select(col("id").as("fid"))
+        .join(e, col("fid") === col("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(levels, Seq("id"), "left_anti")
+        .withColumn("level", lit(depth.toLong))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      levels = levels.union(next)
+      frontier = next
+    }
+    levels
+  }
+
+  /** Duration-weighted mean of a fixed-point value per key: each
+    * observation is weighted by the seconds until the key's NEXT
+    * observation (the last one carries no weight — its duration is
+    * unknown). One `lead` window + one aggregation, both on the same
+    * key → a single shuffle. Sums are exact longs; the one double
+    * division at the end is IEEE-correctly-rounded in every engine. */
+  def timeWeightedAvg(df: DataFrame, key: Column, ts: Column, tie: Column,
+                      valueFp: Column): DataFrame = {
+    df.select(key.as("key"), ts.as("ts"), tie.as("tie"), valueFp.as("v"))
+      .withColumn("dur", lead(col("ts"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("ts"), col("tie"))) - col("ts"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("key"))
+      .agg(sum(col("v") * col("dur")).as("wsum"),
+        sum(col("dur")).as("dsum"))
+  }
+}

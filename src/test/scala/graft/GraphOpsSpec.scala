@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pageRank: hand-computed two rounds on an asymmetric triangle") {
+    // 1→2, 1→3, 2→3, 3→1; outdeg(1)=2, outdeg(2)=outdeg(3)=1
+    // round 1: r(1)=1000000, r(2)=575000, r(3)=1425000
+    // round 2: r(1)=1361250, r(2)=575000, r(3)=1063750
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("pageRank: dangling node keeps only the teleport term") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 receives nothing (150000); node 2 receives all of r0(1)
+    assert(got == Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
+  test("bfsLevels: path graph stops at maxDepth, diamond takes min level") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("id")
+    val got = GraphOps.bfsLevels(path, src, maxDepth = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 unreached
+
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 2L))
+      .toDF("src", "dst")
+    val got2 = GraphOps.bfsLevels(diamond, src, maxDepth = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 discovered at depth 2 via both parents; revisit via 4→2 must not
+    // relabel node 2
+    assert(got2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("timeWeightedAvg: last observation carries no weight") {
+    val ev = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L), (1L, 40L, 3L, 5L),
+      (2L, 0L, 4L, 7L)) // single-event key → no output row
+      .toDF("user_id", "tss", "event_id", "v")
+    val got = GraphOps.timeWeightedAvg(ev, col("user_id"), col("tss"),
+      col("event_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // durs 10 and 30: wsum = 10*10 + 20*30 = 700, dsum = 40
+    assert(got == Map(1L -> (700L, 40L)))
+  }
+}
