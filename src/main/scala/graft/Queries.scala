@@ -2640,7 +2640,109 @@ object Queries {
              |FROM o
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY ots
              |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q96_scd2_intervals",
+      (s, dir) => {
+        // SCD2 dimension build from an event change log: per-user state
+        // history with consecutive repeats collapsed, half-open validity
+        // windows, NULL open end + is_current flag. Two windows + a
+        // filter, all on the SAME key → the plan re-sorts after the
+        // change filter but never reshuffles.
+        val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("state"), col("tss"))
+          .withColumn("prev_state", lag(col("state"), 1).over(w))
+          .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+          .withColumn("version", row_number().over(w).cast(LongType))
+          .withColumn("valid_from", col("tss"))
+          .withColumn("valid_to", lead(col("tss"), 1).over(w))
+          .withColumn("is_current",
+            when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)))
+          .select("user_id", "version", "state", "valid_from", "valid_to",
+            "is_current")
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, event_type AS state,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, event_id, state, tss,
+             |    lag(state) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
+             |  FROM s),
+             |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> state)
+             |SELECT user_id,
+             |  CAST(row_number() OVER w AS BIGINT) AS version, state,
+             |  tss AS valid_from, lead(tss) OVER w AS valid_to,
+             |  CAST(CASE WHEN lead(tss) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+             |ORDER BY user_id, version""".stripMargin)),
+
+    Q("q97_cube_totals",
+      (s, dir) => {
+        // Two-dimension CUBE (the grouping-sets sibling of q79's
+        // rollup): leaf, both one-dim margins, and grand total in ONE
+        // Expand + map-side-combined hash aggregation — never a union
+        // of four scans. grouping() flags disambiguate subtotal NULLs.
+        t(s, dir, "lineitem")
+          .withColumn("qty_fp", floor(col("l_quantity") * 100).cast(LongType))
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum("qty_fp").as("sum_qty_fp"), count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+            grouping(col("l_linestatus")).cast(LongType).as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+            col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_fp,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY 5, 6, 1, 2""".stripMargin)),
+
+    Q("q98_attribution",
+      (s, dir) => {
+        // Last-touch marketing attribution: each purchase attributed to
+        // the user's latest click at-or-before it, but only inside a
+        // 7-day window — the as-of join operator reused with a struct
+        // value (click time + id), then a gap gate. Clicks dedup to one
+        // row per (user, second) so the as-of pick is deterministic in
+        // both engines.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tss"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("tss"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id"), col("tss"),
+            struct(col("tss").as("ctss"), col("click_id")).as("cv"))
+        EventOps.asOfJoin(purchases, clicks, "user_id", "tss", "cv")
+          .withColumn("gap", col("tss") - col("asof_value.ctss"))
+          .select(col("event_id"), col("user_id"), col("tss"),
+            when(col("gap") <= 604800L, col("asof_value.click_id"))
+              .as("click_id"),
+            when(col("gap") <= 604800L, col("gap")).as("gap_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |p AS (SELECT event_id, user_id, tss FROM e WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, tss, max(event_id) AS click_id
+             |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.tss,
+             |  CASE WHEN p.tss - c.tss <= 604800 THEN c.click_id END AS click_id,
+             |  CASE WHEN p.tss - c.tss <= 604800 THEN p.tss - c.tss END AS gap_sec
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.tss >= c.tss
+             |ORDER BY p.event_id""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

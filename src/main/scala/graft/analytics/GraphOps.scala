@@ -88,7 +88,8 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = levels
     var depth = 0
-    while (depth < maxDepth) {
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
       depth += 1
       // rename the frontier key before joining: the frontier's lineage
       // includes the edge frame itself (sources are derived from it),
@@ -100,6 +101,11 @@ object GraphOps {
         .join(levels, Seq("id"), "left_anti")
         .withColumn("level", lit(depth.toLong))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // materializes the round's cache AND stops the loop once the
+      // frontier drains — on a small-diameter graph the remaining
+      // rounds would each still cost a join + anti-join over the full
+      // edge list for zero new nodes
+      exhausted = next.count() == 0
       levels = levels.union(next)
       frontier = next
     }
