@@ -2742,7 +2742,49 @@ object Queries {
              |  CASE WHEN p.tss - c.tss <= 604800 THEN p.tss - c.tss END AS gap_sec
              |FROM p ASOF LEFT JOIN c
              |  ON p.user_id = c.user_id AND p.tss >= c.tss
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    Q("q99_rag_chunks",
+      (s, dir) => {
+        // RAG-prep chunking: overlapping 64-token windows, stride 48
+        // (25% overlap). Tokenize once per doc, posexplode the stride
+        // grid — the chunk id IS the grid position, no second pass.
+        // Chunks travel as md5 fingerprints so the dump stays narrow;
+        // a real pipeline would carry chunk_text into the embedder.
+        // Narrow projection end to end: the only exchange is the
+        // repartition that spreads CPU-bound tokenization.
+        val winSize = 64
+        val stride = 48
+        val base = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+              .as("toks"))
+          .filter(size(col("toks")) > 0)
+        base.select(col("doc_id"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+              .as(Seq("chunk_id", "st")),
+            col("toks"))
+          .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+            size(slice(col("toks"), col("st") + 1, lit(winSize)))
+              .cast(LongType).as("n_tokens"),
+            md5(array_join(slice(col("toks"), col("st") + 1, lit(winSize)), " "))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+             |st AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(0, n - 1, 48)) AS start
+             |  FROM nz)
+             |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+             |  CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+             |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

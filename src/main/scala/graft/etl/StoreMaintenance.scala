@@ -70,6 +70,41 @@ object StoreMaintenance {
       after.map(Files.size(_)).sum)
   }
 
+  /** Morton (Z-order) interleave of two non-negative integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Rows
+    * close in Z-value are close in BOTH dimensions, which is what makes
+    * sorting by this key a multi-dimensional clustering: after a
+    * Z-ordered write, a range predicate on either (or both) columns
+    * touches few files instead of striping across all of them. Pure
+    * shift/mask arithmetic — codegen'd, no UDF. */
+  def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-order-clustered rewrite: range-partition on the Morton key (so
+    * each output file owns a CONTIGUOUS z-range → a compact region in
+    * both dimensions), sort within partitions for tight parquet
+    * row-group min/max stats, write `numFiles` files. At 100 TB this is
+    * the layout that lets two-dimensional range scans (time × host,
+    * user × day) skip most of the store from footer stats alone — a
+    * single-column sort can only localize one of the two. */
+  def zorderWrite(df: DataFrame, a: String, b: String, bits: Int,
+                  numFiles: Int, path: String): Unit =
+    df.withColumn("_z", zorderKey(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(path)
+
   /** Read a store whose files carry EVOLVED schemas: the scan exposes
     * the union of all file schemas (`mergeSchema`), and any column
     * listed in `expect` that no file carries at all is patched in as a

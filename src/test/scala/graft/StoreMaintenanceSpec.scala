@@ -68,4 +68,42 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(byId(2L).contains(9.9))    // new file: real value survives
     assert(df.filter(col("brand_new").isNotNull).count() == 0)
   }
+
+  test("zorderKey interleaves bits (hand-computed)") {
+    // a=5 (101), b=3 (011), 3 bits: positions 0..5 get
+    // a0=1,b0=1,a1=0,b1=1,a2=1,b2=0 → 011011₂ = 27
+    val got = Seq((5, 3)).toDF("a", "b")
+      .select(StoreMaintenance.zorderKey(col("a"), col("b"), 3)).as[Long].head()
+    assert(got == 27L)
+  }
+
+  test("zorder layout localizes two-dimensional range scans") {
+    // 64×64 grid; a y-range query must touch every x-sorted file but
+    // only the z-files whose contiguous z-range covers small y
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val df = grid.toDF("x", "y")
+    val zdir = Files.createTempDirectory("graft_zorder").resolve("z")
+    val xdir = Files.createTempDirectory("graft_zorder").resolve("x")
+    StoreMaintenance.zorderWrite(df, "x", "y", bits = 6, numFiles = 8,
+      path = zdir.toString)
+    df.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(xdir.toString)
+
+    // per-file bounding boxes, from the data itself (what parquet
+    // footer min/max stats would expose to a scan planner)
+    def filesHit(dir: String): Int = {
+      val boxes = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+      // query: all x, y in [0, 15]
+      boxes.count(r => r.getAs[Int]("y0") <= 15)
+    }
+    val zHit = filesHit(zdir.toString)
+    val xHit = filesHit(xdir.toString)
+    assert(xHit == 8, s"x-sorted layout should stripe y across all files, hit $xHit")
+    assert(zHit <= 3, s"z-ordered layout should bound the y-range to few files, hit $zHit")
+  }
 }
