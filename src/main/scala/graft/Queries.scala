@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 
 import graft.analytics._
+import graft.etl.ChangeCapture
 import graft.ext._
 
 /** Driver-facing query registry: one entry per SURVEY §2 operator (plus
@@ -2784,7 +2785,64 @@ object Queries {
              |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
              |  CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
              |  md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
-             |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("q100_snapshot_diff",
+      (s, dir) => {
+        // CDC derivation: recover the change stream between two
+        // snapshot versions — one full-outer join on the key, null-
+        // pattern classification, unchanged rows dropped. Snapshot B is
+        // a deterministic mutation of orders (every 11th key deleted,
+        // every 7th repriced, every 17th re-keyed as an insert), so the
+        // oracle reconstructs the identical pair.
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val snapA = base.select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast(LongType).as("price_fp"))
+        val snapB = base.filter(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            when(col("o_orderkey") % 7 === 0,
+              floor((col("o_totalprice") + 1.0) * 100))
+              .otherwise(floor(col("o_totalprice") * 100))
+              .cast(LongType).as("price_fp"))
+          .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_orderstatus"),
+              floor(col("o_totalprice") * 100).cast(LongType).as("price_fp")))
+        ChangeCapture.diff(snapA, snapB, "o_orderkey")
+          .filter(col("change") =!= "unchanged")
+          .select(col("o_orderkey"), col("change"),
+            col("old.o_orderstatus").as("old_status"),
+            col("new.o_orderstatus").as("new_status"),
+            col("old.price_fp").as("old_price_fp"),
+            col("new.price_fp").as("new_price_fp"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp
+             |  FROM orders),
+             |a AS (SELECT o_orderkey, o_orderstatus, price_fp FROM base),
+             |b AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 7 = 0
+             |         THEN CAST(floor((o_totalprice + 1.0) * 100) AS BIGINT)
+             |         ELSE price_fp END AS price_fp
+             |  FROM base WHERE o_orderkey % 11 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_orderstatus, price_fp
+             |  FROM base WHERE o_orderkey % 17 = 0)
+             |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+             |       WHEN b.o_orderkey IS NULL THEN 'delete'
+             |       ELSE 'update' END AS change,
+             |  a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+             |  a.price_fp AS old_price_fp, b.price_fp AS new_price_fp
+             |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+             |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+             |   OR a.o_orderstatus <> b.o_orderstatus
+             |   OR a.price_fp <> b.price_fp
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
