@@ -86,6 +86,77 @@ object Queries {
        |SELECT id AS node_id, pr AS rank_fp FROM r$iters ORDER BY node_id""".stripMargin
   }
 
+  /** SCD2 state intervals from the event log (shared by q96/q101):
+    * consecutive repeats collapsed, half-open [valid_from, valid_to)
+    * windows, NULL open end. Two windows + a filter on one key. */
+  private def eventStateIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), col("tss"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_from", col("tss"))
+      .withColumn("valid_to", lead(col("tss"), 1).over(w))
+  }
+
+  /** Oracle CTE prefix mirroring [[eventStateIntervals]]. */
+  private val scd2OracleCtes: String =
+    """s AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, event_type AS state, tss,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
+      |  FROM s),
+      |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> state),
+      |iv AS (
+      |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
+      |    tss AS valid_from, lead(tss) OVER w AS valid_to
+      |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id))"""
+
+  /** The two deterministic snapshot versions of `orders` shared by the
+    * CDC queries (q100/q102): every 11th key deleted, every 7th
+    * repriced (+1.00 before fixed-point conversion, so both engines run
+    * the identical IEEE ops), every 17th re-keyed as an insert. */
+  private def ordersSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val snapA = base.select(col("o_orderkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast(LongType).as("price_fp"))
+    val snapB = base.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 7 === 0,
+          floor((col("o_totalprice") + 1.0) * 100))
+          .otherwise(floor(col("o_totalprice") * 100))
+          .cast(LongType).as("price_fp"))
+      .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast(LongType).as("price_fp")))
+    (snapA, snapB)
+  }
+
+  /** Oracle CTE prefix mirroring [[ordersSnapshots]]. */
+  private val snapshotOracleCtes: String =
+    """base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp
+      |  FROM orders),
+      |a AS (SELECT o_orderkey, o_orderstatus, price_fp FROM base),
+      |b AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 7 = 0
+      |         THEN CAST(floor((o_totalprice + 1.0) * 100) AS BIGINT)
+      |         ELSE price_fp END AS price_fp
+      |  FROM base WHERE o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderstatus, price_fp
+      |  FROM base WHERE o_orderkey % 17 = 0)"""
+
   /** Table load + repartition to cluster parallelism: the right plan
     * when a narrow scan of few files feeds CPU-bound per-row work
     * (regex/tokenize/hash) — a single parquet row group is one split, so
@@ -2650,37 +2721,17 @@ object Queries {
         // windows, NULL open end + is_current flag. Two windows + a
         // filter, all on the SAME key → the plan re-sorts after the
         // change filter but never reshuffles.
-        val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
-        t(s, dir, "events")
-          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
-          .select(col("user_id"), col("event_id"),
-            col("event_type").as("state"), col("tss"))
-          .withColumn("prev_state", lag(col("state"), 1).over(w))
-          .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
-          .withColumn("version", row_number().over(w).cast(LongType))
-          .withColumn("valid_from", col("tss"))
-          .withColumn("valid_to", lead(col("tss"), 1).over(w))
+        eventStateIntervals(s, dir)
           .withColumn("is_current",
             when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)))
           .select("user_id", "version", "state", "valid_from", "valid_to",
             "is_current")
           .orderBy("user_id", "version")
       },
-      Some("""WITH s AS (
-             |  SELECT user_id, event_id, event_type AS state,
-             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
-             |  FROM events),
-             |c AS (
-             |  SELECT user_id, event_id, state, tss,
-             |    lag(state) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
-             |  FROM s),
-             |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> state)
-             |SELECT user_id,
-             |  CAST(row_number() OVER w AS BIGINT) AS version, state,
-             |  tss AS valid_from, lead(tss) OVER w AS valid_to,
-             |  CAST(CASE WHEN lead(tss) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-             |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
-             |ORDER BY user_id, version""".stripMargin)),
+      Some(s"""WITH $scd2OracleCtes
+             |SELECT user_id, version, state, valid_from, valid_to,
+             |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM iv ORDER BY user_id, version""".stripMargin)),
 
     Q("q97_cube_totals",
       (s, dir) => {
@@ -2792,23 +2843,9 @@ object Queries {
         // CDC derivation: recover the change stream between two
         // snapshot versions — one full-outer join on the key, null-
         // pattern classification, unchanged rows dropped. Snapshot B is
-        // a deterministic mutation of orders (every 11th key deleted,
-        // every 7th repriced, every 17th re-keyed as an insert), so the
-        // oracle reconstructs the identical pair.
-        val base = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        val snapA = base.select(col("o_orderkey"), col("o_orderstatus"),
-          floor(col("o_totalprice") * 100).cast(LongType).as("price_fp"))
-        val snapB = base.filter(col("o_orderkey") % 11 =!= 0)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            when(col("o_orderkey") % 7 === 0,
-              floor((col("o_totalprice") + 1.0) * 100))
-              .otherwise(floor(col("o_totalprice") * 100))
-              .cast(LongType).as("price_fp"))
-          .unionByName(base.filter(col("o_orderkey") % 17 === 0)
-            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-              col("o_orderstatus"),
-              floor(col("o_totalprice") * 100).cast(LongType).as("price_fp")))
+        // a deterministic mutation of orders (see ordersSnapshots), so
+        // the oracle reconstructs the identical pair.
+        val (snapA, snapB) = ordersSnapshots(s, dir)
         ChangeCapture.diff(snapA, snapB, "o_orderkey")
           .filter(col("change") =!= "unchanged")
           .select(col("o_orderkey"), col("change"),
@@ -2818,20 +2855,7 @@ object Queries {
             col("new.price_fp").as("new_price_fp"))
           .orderBy("o_orderkey")
       },
-      Some("""WITH base AS (
-             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
-             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp
-             |  FROM orders),
-             |a AS (SELECT o_orderkey, o_orderstatus, price_fp FROM base),
-             |b AS (
-             |  SELECT o_orderkey, o_orderstatus,
-             |    CASE WHEN o_orderkey % 7 = 0
-             |         THEN CAST(floor((o_totalprice + 1.0) * 100) AS BIGINT)
-             |         ELSE price_fp END AS price_fp
-             |  FROM base WHERE o_orderkey % 11 <> 0
-             |  UNION ALL
-             |  SELECT o_orderkey + 10000000, o_orderstatus, price_fp
-             |  FROM base WHERE o_orderkey % 17 = 0)
+      Some(s"""WITH $snapshotOracleCtes
              |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
              |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
              |       WHEN b.o_orderkey IS NULL THEN 'delete'
@@ -2842,7 +2866,61 @@ object Queries {
              |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
              |   OR a.o_orderstatus <> b.o_orderstatus
              |   OR a.price_fp <> b.price_fp
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q101_interval_lookup",
+      (s, dir) => {
+        // Point-in-interval lookup: each error event resolved to the
+        // SCD2 state interval containing it. Because a key's intervals
+        // are non-overlapping AND contiguous, the naive BETWEEN join is
+        // reformulated as an as-of join on valid_from — one ordered
+        // window instead of an O(events × versions) inequality join.
+        // The oracle IS the naive BETWEEN join: the hash-match proves
+        // the reformulation, including empty [t,t) intervals losing to
+        // the later same-second version.
+        val iv = eventStateIntervals(s, dir)
+          .groupBy(col("user_id"), col("valid_from"))
+          .agg(max(struct(col("version"), col("state"))).as("iv"))
+          .select(col("user_id"), col("valid_from").as("tss"), col("iv"))
+        val errors = t(s, dir, "events")
+          .filter(col("event_type") === "error")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+          .select(col("event_id"), col("user_id"), col("tss"))
+        EventOps.asOfJoin(errors, iv, "user_id", "tss", "iv")
+          .select(col("event_id"), col("user_id"), col("tss"),
+            col("asof_value.version").as("version"),
+            col("asof_value.state").as("state"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH $scd2OracleCtes,
+             |err AS (SELECT event_id, user_id, tss FROM s WHERE event_type = 'error')
+             |SELECT e.event_id, e.user_id, e.tss, i.version, i.state
+             |FROM err e JOIN iv i
+             |  ON i.user_id = e.user_id AND i.valid_from <= e.tss
+             |  AND (e.tss < i.valid_to OR i.valid_to IS NULL)
+             |ORDER BY e.event_id""".stripMargin)),
+
+    Q("q102_incremental_agg",
+      (s, dir) => {
+        // Incremental view maintenance: the per-status (count, sum)
+        // aggregate of snapshot B produced WITHOUT scanning B — base
+        // aggregate over A plus ±deltas derived from the q100 change
+        // stream. The oracle recomputes the aggregate from B directly;
+        // the hash-match proves maintenance ≡ recompute. At 100 TB the
+        // delta path is O(changes) vs a full rescan.
+        val (snapA, snapB) = ordersSnapshots(s, dir)
+        val baseAgg = snapA.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum("price_fp").as("sum_price_fp"))
+        val changes = ChangeCapture.diff(snapA, snapB, "o_orderkey")
+          .filter(col("change") =!= "unchanged")
+        ChangeCapture.maintainSumCount(baseAgg, changes,
+            "o_orderstatus", "price_fp")
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH $snapshotOracleCtes
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_fp) AS BIGINT) AS sum_price_fp
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

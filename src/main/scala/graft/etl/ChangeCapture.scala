@@ -34,4 +34,33 @@ object ChangeCapture {
       .select(coalesce(col("_ka"), col("_kb")).as(key), col("change"),
         col("_av").as("old"), col("_bv").as("new"))
   }
+
+  /** Incremental maintenance of a (group → count, sum) materialized
+    * aggregate from a [[diff]] change stream: every change row becomes
+    * ±contributions (delete/update retract the old row, insert/update
+    * add the new one), the deltas aggregate — a change-stream-sized
+    * job — and one outer join merges them into the base. The 100 TB
+    * point: the base table is never rescanned; the work is O(changes),
+    * and groups whose count drops to zero disappear exactly as a
+    * recompute would drop them.
+    *
+    * `baseAgg` columns: (group, n, sumCol); `changes` is [[diff]]
+    * output whose old/new structs carry `groupField` and `valueField`. */
+  def maintainSumCount(baseAgg: DataFrame, changes: DataFrame,
+                       groupField: String, valueField: String): DataFrame = {
+    val Seq(g, n, sm) = baseAgg.columns.toSeq
+    val retract = changes.filter(col("change").isin("delete", "update"))
+      .select(col(s"old.$groupField").as(g),
+        lit(-1L).as("dn"), (-col(s"old.$valueField")).as("ds"))
+    val add = changes.filter(col("change").isin("insert", "update"))
+      .select(col(s"new.$groupField").as(g),
+        lit(1L).as("dn"), col(s"new.$valueField").as("ds"))
+    val delta = retract.unionByName(add)
+      .groupBy(g).agg(sum("dn").as("dn"), sum("ds").as("ds"))
+    baseAgg.join(delta, Seq(g), "full_outer")
+      .select(col(g),
+        (coalesce(col(n), lit(0L)) + coalesce(col("dn"), lit(0L))).as(n),
+        (coalesce(col(sm), lit(0L)) + coalesce(col("ds"), lit(0L))).as(sm))
+      .filter(col(n) > 0)
+  }
 }

@@ -22,4 +22,23 @@ class ChangeCaptureSpec extends AnyFunSuite {
     assert(got == Map(1L -> "delete", 2L -> "unchanged", 3L -> "update",
       4L -> "unchanged", 5L -> "insert"))
   }
+
+  test("maintainSumCount applies deltas, drops emptied groups, adds new ones") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L))
+      .toDF("k", "g", "v")
+    // y vanishes (deleted), z appears (insert), one x repriced, one x
+    // moved to z (group-changing update)
+    val b = Seq((1L, "x", 11L), (2L, "z", 20L), (5L, "z", 50L))
+      .toDF("k", "g", "v")
+    val baseAgg = a.groupBy(col("g"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("s"))
+    val changes = ChangeCapture.diff(a, b, "k")
+      .filter(col("change") =!= "unchanged")
+    val got = ChangeCapture.maintainSumCount(baseAgg, changes, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute over b: x -> (1, 11), z -> (2, 70); y gone
+    assert(got == Map("x" -> (1L, 11L), "z" -> (2L, 70L)))
+  }
 }
