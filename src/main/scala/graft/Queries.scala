@@ -2920,7 +2920,161 @@ object Queries {
       Some(s"""WITH $snapshotOracleCtes
              |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(price_fp) AS BIGINT) AS sum_price_fp
-             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q103_session_paths",
+      (s, dir) => {
+        // Top session paths: the first five event types of each
+        // 6-hour-gap session concatenated into a path string, counted
+        // corpus-wide. Sessionize + rank + per-session aggregation all
+        // partition on the user key (one exchange), then a path-sized
+        // count. collect_list order is NOT deterministic in a
+        // distributed shuffle, so the path is rebuilt by array_sort
+        // over (tss, event_id, type) structs — the same total order the
+        // oracle's ORDER BY inside string_agg uses.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+        val sess = EventOps.sessionize(ev, col("user_id"), col("tss"),
+          col("event_id"), gapSec = 21600L)
+        val w = Window.partitionBy("user_id", "session_seq")
+          .orderBy("tss", "event_id")
+        sess.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .groupBy("user_id", "session_seq")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("tss"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, tss, event_id, event_type,
+             |    CASE WHEN lag(tss) OVER w IS NULL
+             |           OR tss - lag(tss) OVER w > 21600 THEN 1 ELSE 0 END AS new_s
+             |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+             |sess AS (
+             |  SELECT user_id, tss, event_id, event_type,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tss, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM flagged),
+             |r AS (
+             |  SELECT user_id, session_seq, event_type, tss, event_id,
+             |    row_number() OVER (PARTITION BY user_id, session_seq
+             |      ORDER BY tss, event_id) AS rn
+             |  FROM sess),
+             |p AS (
+             |  SELECT user_id, session_seq,
+             |    string_agg(event_type, '>' ORDER BY tss, event_id) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
+
+    Q("q104_weighted_sample",
+      (s, dir) => {
+        // Deterministic weight-proportional corpus sample (longer docs
+        // more likely kept): portable-hash uniform vs weight/max as an
+        // integer cross-multiplication — no float ratio, no RNG state,
+        // identical rows on every run/engine/partitioning. The max is a
+        // 1-row broadcast; the filter is a narrow scan projection.
+        TrainingSetOps.weightedSample(
+            t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+            col("doc_id"), col("n_chars"))
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH mx AS (SELECT max(n_chars) AS maxw FROM documents)
+             |SELECT doc_id, n_chars
+             |FROM documents, mx
+             |WHERE ((('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 15))::BIGINT
+             |        % ${PortableHash.P}) % 1000000) * maxw < n_chars * 1000000
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("q105_cms_freq",
+      (s, dir) => {
+        // Count-Min frequency estimation, deterministically: a 4×64
+        // counter table deliberately narrower than the vocabulary so
+        // collisions exercise the min-over-depth bound (est ≥ true).
+        // The (term, n) frame persists — it feeds the counter build,
+        // the query set, and the truth join, and its lineage is the
+        // corpus tokenization.
+        val tf = tp(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term").agg(count(lit(1)).as("true_n"))
+          .persist()
+        val counters = SketchOps.cmsCounters(tf, col("term"), col("true_n"),
+          depth = 4, width = 64)
+        SketchOps.cmsEstimate(counters, tf.select(col("term")), col("term"),
+            depth = 4, width = 64)
+          .join(tf, col("item") === col("term"))
+          .select(col("item").as("term"), col("true_n"), col("est_n"))
+          .orderBy("term")
+      },
+      Some {
+        val cs = PortableHash.coeffs(4)
+        val branches = cs.zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT term, true_n, $i AS d, ((h * ${a}::BIGINT + $b) % ${PortableHash.P}) % 64 AS bucket FROM hh"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           |  FROM documents),
+           |tf AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS true_n
+           |  FROM toks WHERE term <> '' GROUP BY 1),
+           |hh AS (SELECT term, true_n,
+           |         ${PortableHash.baseSql("term || ':cms'")} AS h FROM tf),
+           |bk AS (
+           |  $branches),
+           |counters AS (
+           |  SELECT d, bucket, CAST(sum(true_n) AS BIGINT) AS cnt
+           |  FROM bk GROUP BY 1, 2),
+           |est AS (
+           |  SELECT b.term, min(c.cnt) AS est_n
+           |  FROM bk b JOIN counters c USING (d, bucket) GROUP BY 1)
+           |SELECT t.term, t.true_n, CAST(e.est_n AS BIGINT) AS est_n
+           |FROM tf t JOIN est e ON e.term = t.term ORDER BY t.term""".stripMargin
+      }),
+
+    Q("q106_hll_distinct",
+      (s, dir) => {
+        // HyperLogLog cardinality, deterministically: registers from
+        // the portable 60-bit hash (rho via bin()-length — no clz/log
+        // primitive), harmonic sum in EXACT fixed point (Σ 2^(54−Mj)
+        // as longs), one IEEE division at the end — so the estimate
+        // hash-gates against DuckDB running the identical pipeline.
+        // The register build is one map-side-combined 256-group max.
+        val ev = t(s, dir, "events").select(col("event_id"))
+        val est = SketchOps.hllEstimate(
+          SketchOps.hllRegisters(ev, col("event_id"), b = 10), b = 10)
+        est.crossJoin(broadcast(ev.agg(countDistinct(col("event_id")).as("exact_n"))))
+          .select(r4(col("est_raw")).as("est_distinct"), col("v_zero"),
+            col("exact_n"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':hll'), 1, 15))::BIGINT) AS h
+             |  FROM events),
+             |r AS (
+             |  SELECT h % 1024 AS bucket,
+             |    CASE WHEN h // 1024 = 0 THEN 51
+             |         ELSE 51 - length(bin(h // 1024)) END AS rho
+             |  FROM h),
+             |reg AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY 1),
+             |agg AS (
+             |  SELECT CAST(sum(1::BIGINT << CAST(54 - mj AS INT)) AS BIGINT) AS sp,
+             |    count(*) AS present
+             |  FROM reg)
+             |SELECT
+             |  floor((${SketchOps.hllNumerator(10)} /
+             |    CAST(sp + (1024 - present) * (1::BIGINT << 54) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             |    AS est_distinct,
+             |  CAST(1024 - present AS BIGINT) AS v_zero,
+             |  (SELECT CAST(count(DISTINCT event_id) AS BIGINT) FROM events) AS exact_n
+             |FROM agg""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

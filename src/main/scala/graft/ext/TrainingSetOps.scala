@@ -201,6 +201,23 @@ object TrainingSetOps {
       .drop("__rn")
   }
 
+  /** Weight-proportional deterministic Bernoulli sample: row kept iff
+    * its portable-hash uniform falls below weight/maxWeight, so the
+    * heaviest row is always kept and every other row survives with
+    * probability proportional to its weight — same rows on every run,
+    * engine, and cluster size. The comparison is pure integer
+    * cross-multiplication (no float ratio), and maxWeight is a 1-row
+    * broadcast; the filter itself is a narrow projection over the
+    * corpus scan. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     salt: String = "wsample"): DataFrame = {
+    val mx = df.agg(max(weight).as("__maxw"))
+    val u = PortableHash.base(concat(id.cast("string"), lit(":" + salt)))
+    df.crossJoin(broadcast(mx))
+      .filter((u % 1000000L) * col("__maxw") < weight * 1000000L)
+      .drop("__maxw")
+  }
+
   /** Deterministic training shuffle order: a stable pseudo-random total
     * order from the portable (id, salt) hash. Narrow projection; the
     * actual global ordering happens in the consumer's range-partitioned
