@@ -3074,7 +3074,61 @@ object Queries {
              |    AS est_distinct,
              |  CAST(1024 - present AS BIGINT) AS v_zero,
              |  (SELECT CAST(count(DISTINCT event_id) AS BIGINT) FROM events) AS exact_n
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    Q("q107_hll_by_group",
+      (s, dir) => {
+        // Approximate distinct-per-group: active user-days per event
+        // type via grouped HLL registers — state is 256 registers per
+        // group instead of shuffling every (group, user, day) pair,
+        // which is the count(DISTINCT) replacement that matters at
+        // 100 TB. Exact counts ride along for the error column; the
+        // whole output (estimates included) hash-gates because the
+        // register pipeline is portable-hash deterministic.
+        val ev = t(s, dir, "events")
+          .withColumn("ud", concat(col("user_id").cast("string"), lit("@"),
+            expr("unix_timestamp(date_trunc('second', ts)) div 86400")))
+          .select(col("event_type"), col("ud"))
+        val est = SketchOps.hllEstimateBy(
+          SketchOps.hllRegistersBy(ev, col("event_type"), col("ud"), b = 8), b = 8)
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("ud")).as("exact_n"))
+        est.join(exact, col("g") === col("event_type"))
+          .select(col("event_type"), r4(col("est_raw")).as("est_user_days"),
+            col("exact_n"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(user_id AS VARCHAR) || '@' ||
+             |    CAST(CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) // 86400 AS VARCHAR) AS ud
+             |  FROM events),
+             |h AS (
+             |  SELECT event_type,
+             |    (('0x' || substr(md5(ud || ':hll'), 1, 15))::BIGINT) AS h,
+             |    ud
+             |  FROM ev),
+             |r AS (
+             |  SELECT event_type, h % 256 AS bucket,
+             |    CASE WHEN h // 256 = 0 THEN 53
+             |         ELSE 53 - length(bin(h // 256)) END AS rho
+             |  FROM h),
+             |reg AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type,
+             |    CAST(sum(1::BIGINT << CAST(54 - mj AS INT)) AS BIGINT) AS sp,
+             |    count(*) AS present
+             |  FROM reg GROUP BY 1),
+             |exact AS (
+             |  SELECT event_type, CAST(count(DISTINCT ud) AS BIGINT) AS exact_n
+             |  FROM ev GROUP BY 1)
+             |SELECT a.event_type,
+             |  floor((${SketchOps.hllNumerator(8)} /
+             |    CAST(sp + (256 - present) * (1::BIGINT << 54) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             |    AS est_user_days,
+             |  e.exact_n
+             |FROM agg a JOIN exact e ON e.event_type = a.event_type
+             |ORDER BY a.event_type""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

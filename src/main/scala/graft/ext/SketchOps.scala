@@ -83,6 +83,40 @@ object SketchOps {
     * accumulation order; the single closing division is IEEE-portable.
     * Raw estimate only (no small-range linear-counting correction,
     * which would need ln): callers pick b so n ≳ 2.5·2^b. */
+  /** Grouped HLL registers: (group, bucket, mj) — one map-side-combined
+    * aggregation; state is m registers PER GROUP, the approximate
+    * answer to "distinct per key" that at 100 TB replaces a
+    * count(DISTINCT) whose exact form must shuffle every (group, item)
+    * pair. */
+  def hllRegistersBy(df: DataFrame, group: Column, item: Column, b: Int,
+                     salt: String = "hll"): DataFrame = {
+    val m = 1L << b
+    val w = 60 - b
+    val h = PortableHash.long60(concat(item.cast("string"), lit(":" + salt)))
+    df.select(group.as("g"), h.as("_h"))
+      .select(col("g"), (col("_h") % m).as("bucket"), expr(s"_h div ${m}L").as("_w"))
+      .select(col("g"), col("bucket"),
+        when(col("_w") === 0, lit(w + 1))
+          .otherwise(lit(w) - length(bin(col("_w"))) + 1).as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("mj"))
+  }
+
+  /** Per-group raw estimates from [[hllRegistersBy]] output — the same
+    * exact fixed-point harmonic sum as [[hllEstimate]], one row per
+    * group. */
+  def hllEstimateBy(registers: DataFrame, b: Int): DataFrame = {
+    val m = 1L << b
+    val num = hllNumerator(b)
+    registers
+      .groupBy("g")
+      .agg(sum(expr("shiftleft(1L, cast(54 - mj as int))")).as("_sp"),
+        count(lit(1)).as("_present"))
+      .select(col("g"),
+        (lit(num) / (col("_sp") + (lit(m) - col("_present")) * lit(1L << 54))
+          .cast("double")).as("est_raw"),
+        (lit(m) - col("_present")).as("v_zero"))
+  }
+
   /** αm·m²·2⁵⁴ — the estimate numerator, exposed so oracle SQL embeds
     * the IDENTICAL double literal (Double.toString round-trips). */
   def hllNumerator(b: Int): Double = {
