@@ -3128,7 +3128,77 @@ object Queries {
              |    AS est_user_days,
              |  e.exact_n
              |FROM agg a JOIN exact e ON e.event_type = a.event_type
-             |ORDER BY a.event_type""".stripMargin))
+             |ORDER BY a.event_type""".stripMargin)),
+
+    Q("q108_large_orders",
+      (s, dir) => {
+        // TPC-H Q18 shape: orders whose total line quantity crosses a
+        // threshold, joined back to customer detail. The HAVING
+        // pre-aggregation reduces lineitem to order keys BEFORE any
+        // join — the join-back input is the filtered key set, never the
+        // fact table; customer attaches by broadcast.
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(floor(col("l_quantity") * 100).cast(LongType)).as("qty_fp"))
+          .filter(col("qty_fp") > 15000L)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, dir, "customer")
+            .select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("odate"),
+            floor(col("o_totalprice") * 100).cast(LongType).as("total_fp"),
+            col("qty_fp"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey,
+             |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_fp
+             |  FROM lineitem GROUP BY 1
+             |  HAVING CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) > 15000)
+             |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+             |  CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS odate,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_fp,
+             |  b.qty_fp
+             |FROM orders o
+             |JOIN big b ON b.l_orderkey = o.o_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    Q("q109_supplier_part_counts",
+      (s, dir) => {
+        // TPC-H Q16 shape: distinct supplier count per (brand, type,
+        // size) excluding a blocklisted supplier set (NOT IN → left
+        // anti join on the KEY set). The distinct-agg shuffles
+        // (brand,type,size,supplier) once; the blocklist is a tiny
+        // broadcast anti join applied before it.
+        val blocked = t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val offers = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+        offers
+          .join(broadcast(t(s, dir, "part")
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""WITH blocked AS (
+             |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+             |offers AS (
+             |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+             |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM blocked))
+             |SELECT p.p_brand, p.p_type, p.p_size,
+             |  CAST(count(DISTINCT o.l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM offers o JOIN part p ON p.p_partkey = o.l_partkey
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
