@@ -3198,7 +3198,54 @@ object Queries {
              |  CAST(count(DISTINCT o.l_suppkey) AS BIGINT) AS supplier_cnt
              |FROM offers o JOIN part p ON p.p_partkey = o.l_partkey
              |GROUP BY 1, 2, 3
-             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    Q("q110_sketch_merge",
+      (s, dir) => {
+        // Sketch mergeability, proven: HLL registers built SEPARATELY
+        // over two overlapping event partitions, merged by per-bucket
+        // max — while the oracle builds one register set over the UNION
+        // directly. The hash-match proves merge(build(A), build(B)) ≡
+        // build(A ∪ B), which is what lets partial sketches build
+        // map-side per partition/day/source and combine in a tiny
+        // reduce at 100 TB.
+        val ev = t(s, dir, "events")
+        val partA = ev.filter(col("event_id") % 3 =!= 0).select(col("event_id"))
+        val partB = ev.filter(col("event_id") % 2 === 0).select(col("event_id"))
+        val merged = SketchOps.hllMerge(
+          SketchOps.hllRegisters(partA, col("event_id"), b = 10),
+          SketchOps.hllRegisters(partB, col("event_id"), b = 10))
+        val exact = partA.unionByName(partB).distinct()
+          .agg(count(lit(1)).as("exact_n"))
+        SketchOps.hllEstimate(merged, b = 10)
+          .crossJoin(broadcast(exact))
+          .select(r4(col("est_raw")).as("est_distinct"), col("v_zero"),
+            col("exact_n"))
+      },
+      Some(s"""WITH u AS (
+             |  SELECT event_id FROM events WHERE event_id % 3 <> 0
+             |  UNION
+             |  SELECT event_id FROM events WHERE event_id % 2 = 0),
+             |h AS (
+             |  SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':hll'), 1, 15))::BIGINT) AS h
+             |  FROM u),
+             |r AS (
+             |  SELECT h % 1024 AS bucket,
+             |    CASE WHEN h // 1024 = 0 THEN 51
+             |         ELSE 51 - length(bin(h // 1024)) END AS rho
+             |  FROM h),
+             |reg AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY 1),
+             |agg AS (
+             |  SELECT CAST(sum(1::BIGINT << CAST(54 - mj AS INT)) AS BIGINT) AS sp,
+             |    count(*) AS present
+             |  FROM reg)
+             |SELECT
+             |  floor((${SketchOps.hllNumerator(10)} /
+             |    CAST(sp + (1024 - present) * (1::BIGINT << 54) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             |    AS est_distinct,
+             |  CAST(1024 - present AS BIGINT) AS v_zero,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS exact_n
+             |FROM agg""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -83,6 +83,15 @@ object SketchOps {
     * accumulation order; the single closing division is IEEE-portable.
     * Raw estimate only (no small-range linear-counting correction,
     * which would need ln): callers pick b so n ≳ 2.5·2^b. */
+  /** Merge register sets: max per bucket. Because registers are
+    * max-mergeable, merge(build(A), build(B)) ≡ build(A ∪ B) — the
+    * property that lets partial sketches build map-side per partition
+    * (or per day, per source) and combine in a tiny reduce. q110's
+    * oracle builds from the union directly, so the hash-match PROVES
+    * the equivalence. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max("mj").as("mj"))
+
   /** Grouped HLL registers: (group, bucket, mj) — one map-side-combined
     * aggregation; state is m registers PER GROUP, the approximate
     * answer to "distinct per key" that at 100 TB replaces a
