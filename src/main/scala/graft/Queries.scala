@@ -3245,7 +3245,64 @@ object Queries {
              |    AS est_distinct,
              |  CAST(1024 - present AS BIGINT) AS v_zero,
              |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS exact_n
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    Q("q111_funnel_pattern",
+      (s, dir) => {
+        // CEP-style three-step pattern (error → click → purchase, each
+        // hop within 24 h) by COMPOSING two as-of joins: purchases take
+        // their latest click, surviving rows take that click's latest
+        // error. Each hop is one ordered window over a union — never an
+        // inequality self-join — so the pattern match stays
+        // shuffle-linear in the event volume. The oracle chains two
+        // native ASOF JOINs with the same gates.
+        val ev = t(s, dir, "events")
+          .withColumn("tss", unix_timestamp(date_trunc("second", col("ts"))))
+        def typed(tpe: String) = ev.filter(col("event_type") === tpe)
+          .groupBy(col("user_id"), col("tss"))
+          .agg(max(col("event_id")).as(tpe + "_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("tss"))
+        val clicks = typed("click")
+          .select(col("user_id"), col("tss"),
+            struct(col("tss").as("ctss"), col("click_id")).as("cv"))
+        val errors = typed("error")
+          .select(col("user_id"), col("tss"),
+            struct(col("tss").as("etss"), col("error_id")).as("ev"))
+        val withClick = EventOps.asOfJoin(purchases, clicks, "user_id", "tss", "cv")
+          .filter(col("tss") - col("asof_value.ctss") <= 86400L)
+          .select(col("purchase_id"), col("user_id"),
+            col("tss").as("ptss"), col("asof_value.ctss").as("tss"),
+            col("asof_value.click_id").as("click_id"))
+        EventOps.asOfJoin(withClick, errors, "user_id", "tss", "ev")
+          .filter(col("tss") - col("asof_value.etss") <= 86400L)
+          .select(col("purchase_id"), col("user_id"), col("click_id"),
+            col("asof_value.error_id").as("error_id"),
+            (col("ptss") - col("asof_value.etss")).as("funnel_sec"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) AS tss
+             |  FROM events),
+             |p AS (SELECT event_id AS purchase_id, user_id, tss FROM e
+             |      WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, tss, max(event_id) AS click_id
+             |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+             |er AS (SELECT user_id, tss, max(event_id) AS error_id
+             |       FROM e WHERE event_type = 'error' GROUP BY 1, 2),
+             |pc AS (
+             |  SELECT p.purchase_id, p.user_id, p.tss AS ptss,
+             |    c.tss AS ctss, c.click_id
+             |  FROM p ASOF LEFT JOIN c
+             |    ON p.user_id = c.user_id AND p.tss >= c.tss
+             |  WHERE c.click_id IS NOT NULL AND p.tss - c.tss <= 86400)
+             |SELECT pc.purchase_id, pc.user_id, pc.click_id,
+             |  er.error_id, pc.ptss - er.tss AS funnel_sec
+             |FROM pc ASOF LEFT JOIN er
+             |  ON pc.user_id = er.user_id AND pc.ctss >= er.tss
+             |WHERE er.error_id IS NOT NULL AND pc.ctss - er.tss <= 86400
+             |ORDER BY pc.purchase_id""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

