@@ -3302,7 +3302,108 @@ object Queries {
              |FROM pc ASOF LEFT JOIN er
              |  ON pc.user_id = er.user_id AND pc.ctss >= er.tss
              |WHERE er.error_id IS NOT NULL AND pc.ctss - er.tss <= 86400
-             |ORDER BY pc.purchase_id""".stripMargin))
+             |ORDER BY pc.purchase_id""".stripMargin)),
+
+    Q("q112_sole_blame_suppliers",
+      (s, dir) => {
+        // TPC-H Q21 shape: suppliers who were the SOLE returned-flag
+        // supplier on a multi-supplier order. The correlated
+        // EXISTS/NOT-EXISTS pair is reformulated as two order-level
+        // aggregates joined back (n_supp > 1 ⟺ another supplier
+        // exists; n_r_supp = 1 ∧ self R ⟺ no other R supplier) — the
+        // fact table aggregates twice but never self-joins row × row.
+        // The oracle runs the literal correlated subqueries, so the
+        // hash-match proves the reformulation.
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val r1 = li.filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey").distinct()
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        val rPerOrder = r1.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_r_supp"))
+        r1.join(perOrder.filter(col("n_supp") > 1), "l_orderkey")
+          .join(rPerOrder.filter(col("n_r_supp") === 1), "l_orderkey")
+          .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+      },
+      Some("""WITH l1 AS (
+             |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+             |  WHERE l_returnflag = 'R')
+             |SELECT s.s_suppkey, s.s_name,
+             |  CAST(count(*) AS BIGINT) AS numwait
+             |FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+             |WHERE EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY 1, 2 ORDER BY numwait DESC, s.s_suppkey""".stripMargin)),
+
+    Q("q113_market_share",
+      (s, dir) => {
+        // TPC-H Q8 shape: per order-year, the revenue share captured by
+        // suppliers of one nation among orders placed by customers of
+        // one region — a five-table join tree (all dims BROADCAST) into
+        // ONE conditional aggregation; revenue in fixed-point cents so
+        // the share ratio is a single portable division.
+        val nation = t(s, dir, "nation")
+        val customerSide = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+            col("n_regionkey"))), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"))
+        val supplierNation = t(s, dir, "supplier")
+          .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast(LongType).as("rev_fp"))
+          .join(customerSide, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supplierNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", col("rev_fp"))
+              .otherwise(lit(0L))).as("nation_rev_fp"),
+            sum(col("rev_fp")).as("total_rev_fp"))
+          .select(col("o_year"),
+            r4(col("nation_rev_fp").cast(DoubleType) /
+              col("total_rev_fp").cast(DoubleType)).as("mkt_share"),
+            col("nation_rev_fp"), col("total_rev_fp"))
+          .orderBy("o_year")
+      },
+      Some("""WITH rev AS (
+             |  SELECT year(o.o_orderdate) AS o_year,
+             |    CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) AS rev_fp,
+             |    sn.n_name AS supp_nation
+             |  FROM lineitem l
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+             |  JOIN region r ON r.r_regionkey = cn.n_regionkey
+             |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+             |  WHERE r.r_name = 'ASIA')
+             |SELECT CAST(o_year AS BIGINT) AS o_year,
+             |  floor((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_fp ELSE 0 END) AS DOUBLE) /
+             |         CAST(sum(rev_fp) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mkt_share,
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_fp ELSE 0 END) AS BIGINT) AS nation_rev_fp,
+             |  CAST(sum(rev_fp) AS BIGINT) AS total_rev_fp
+             |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

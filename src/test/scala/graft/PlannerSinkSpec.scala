@@ -49,6 +49,47 @@ class PlannerSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the fact scan at runtime") {
+    // static pruning (above) handles literal predicates; at 100 TB the
+    // other half is DPP — the partition filter is only KNOWN at
+    // runtime, derived from the dim side of a join. Spark inserts a
+    // dynamicpruning subquery on the partitioned scan; the numFiles
+    // metric proves most partitions were never read.
+    val tmp = Files.createTempDirectory("graft_dpp").resolve("fact").toString
+    (0 until 10).flatMap(p => (1 to 200).map(i => (p, i.toLong)))
+      .toDF("pk", "v")
+      .write.partitionBy("pk").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val allFiles = fact.inputFiles.length
+    assert(allFiles >= 10)
+
+    val dimPath = tmp + "_dim"
+    (0 until 10).map(p => (p, if (p == 3) "keep" else "drop"))
+      .toDF("d_pk", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter(col("tag") === "keep"),
+      col("pk") === col("d_pk"))
+    assert(joined.count() == 200)
+    val qe = joined.queryExecution
+    assert(qe.executedPlan.toString.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruning filter on the partitioned scan")
+    // AQE wraps executed stages in QueryStageExec leaves, so a plain
+    // collect never reaches the scans — descend explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(qe.executedPlan)
+      .map(_.metrics("numFiles").value).max
+    assert(scanned < allFiles / 2,
+      s"DPP should skip most partitions: scanned $scanned of $allFiles")
+  }
+
   test("empty write refused (parquet_loader.py:31-33 parity)") {
     val tmp = Files.createTempDirectory("graft_empty").toString
     val empty = Seq.empty[(Long, String)].toDF("a", "b")
