@@ -13,7 +13,9 @@ object Explain {
       if (args.length > 1) args(1).split(",").toSeq
       else Seq("q04_hourly_profile", "q05_percentile_hourly",
         "q07_smart_histogram", "q17_dim_join_rollup", "q18_fact_dim_join",
-        "q20_lag_rates", "q35_minhash_neardup", "q38_knn_bruteforce")
+        "q20_lag_rates", "q35_minhash_neardup", "q38_knn_bruteforce",
+        "q89_pagerank", "q94_tfidf_search", "q100_snapshot_diff",
+        "q113_market_share")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
