@@ -3403,7 +3403,115 @@ object Queries {
              |         CAST(sum(rev_fp) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mkt_share,
              |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_fp ELSE 0 END) AS BIGINT) AS nation_rev_fp,
              |  CAST(sum(rev_fp) AS BIGINT) AS total_rev_fp
-             |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q114_weekly_churn",
+      (s, dir) => {
+        // Weekly churn: users active in week w but absent in w+1. The
+        // distinct (user, week) activity frame self-joins shifted by
+        // one week — all frames are |users × weeks|-sized, the event
+        // table is touched once.
+        val act = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_timestamp(date_trunc('second', ts)) div 604800").as("wk"))
+          .distinct()
+        val retained = act.select(col("user_id"), col("wk"))
+          .join(act.select(col("user_id"), (col("wk") - 1).as("wk")),
+            Seq("user_id", "wk"))
+          .groupBy("wk").agg(count(lit(1)).as("n_retained"))
+        act.groupBy("wk").agg(count(lit(1)).as("n_active"))
+          .join(retained, Seq("wk"), "left")
+          .select(col("wk"), col("n_active"),
+            coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+            (col("n_active") - coalesce(col("n_retained"), lit(0L)))
+              .as("n_churned"))
+          .orderBy("wk")
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+             |  FROM events),
+             |ret AS (
+             |  SELECT a.wk, count(*) AS n_retained
+             |  FROM act a JOIN act b
+             |    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+             |  GROUP BY 1)
+             |SELECT a.wk, CAST(count(*) AS BIGINT) AS n_active,
+             |  CAST(coalesce(max(r.n_retained), 0) AS BIGINT) AS n_retained,
+             |  CAST(count(*) - coalesce(max(r.n_retained), 0) AS BIGINT) AS n_churned
+             |FROM act a LEFT JOIN ret r ON r.wk = a.wk
+             |GROUP BY a.wk ORDER BY a.wk""".stripMargin)),
+
+    Q("q115_heatmap_bins",
+      (s, dir) => {
+        // 2-D heatmap binning (hour-of-day × clamped value decile):
+        // one map-side-combined aggregation over two derived integer
+        // bin keys — the dashboard heatmap primitive.
+        t(s, dir, "events")
+          .select(
+            (expr("unix_timestamp(date_trunc('second', ts)) div 3600") % 24)
+              .as("hod"),
+            least(greatest(floor(col("value") / 10), lit(0)), lit(9))
+              .cast(LongType).as("vbin"),
+            floor(col("value") * 10000).cast(LongType).as("v_fp"))
+          .groupBy("hod", "vbin")
+          .agg(count(lit(1)).as("n"), sum("v_fp").as("sum_v_fp"))
+          .orderBy("hod", "vbin")
+      },
+      Some("""SELECT
+             |  (CAST(EXTRACT(EPOCH FROM date_trunc('second', ts)) AS BIGINT) // 3600) % 24 AS hod,
+             |  CAST(least(greatest(floor(value / 10), 0), 9) AS BIGINT) AS vbin,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_v_fp
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q116_golden_record",
+      (s, dir) => {
+        // Multi-source golden record: per key and per FIELD, take the
+        // value from the highest-priority source that has it. The Spark
+        // plan is the n-source-scalable form — union + ONE aggregation
+        // with min-over-(priority, value) structs (nulls demoted to
+        // priority 99) — while the oracle is the naive per-pair
+        // LEFT JOIN + COALESCE, so the hash-match proves the
+        // reformulation. Source A is fresher but partial (every 5th key
+        // missing entirely, every 3rd missing the balance).
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            floor(col("c_acctbal") * 100).cast(LongType).as("bal_fp"))
+        val a = base.filter(col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), lit(1L).as("prio"),
+            concat(lit("A_"), col("c_name")).as("name"),
+            when(col("c_custkey") % 3 === 0, lit(null).cast(LongType))
+              .otherwise(col("bal_fp")).as("bal_fp"))
+        val b = base.select(col("c_custkey"), lit(2L).as("prio"),
+          col("c_name").as("name"), col("bal_fp"))
+        a.unionByName(b)
+          .groupBy("c_custkey")
+          .agg(
+            min(struct(
+              when(col("name").isNull, lit(99L)).otherwise(col("prio")).as("p"),
+              col("name").as("v"))).as("gn"),
+            min(struct(
+              when(col("bal_fp").isNull, lit(99L)).otherwise(col("prio")).as("p"),
+              col("bal_fp").as("v"))).as("gb"))
+          .select(col("c_custkey"), col("gn.v").as("golden_name"),
+            col("gb.v").as("golden_bal_fp"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_fp
+             |  FROM customer),
+             |a AS (
+             |  SELECT c_custkey, 'A_' || c_name AS name,
+             |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE bal_fp END AS bal_fp
+             |  FROM base WHERE c_custkey % 5 <> 0),
+             |b AS (SELECT c_custkey, c_name AS name, bal_fp FROM base)
+             |SELECT b.c_custkey,
+             |  COALESCE(a.name, b.name) AS golden_name,
+             |  COALESCE(a.bal_fp, b.bal_fp) AS golden_bal_fp
+             |FROM b LEFT JOIN a ON a.c_custkey = b.c_custkey
+             |ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
