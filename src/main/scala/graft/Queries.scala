@@ -3511,7 +3511,36 @@ object Queries {
              |  COALESCE(a.name, b.name) AS golden_name,
              |  COALESCE(a.bal_fp, b.bal_fp) AS golden_bal_fp
              |FROM b LEFT JOIN a ON a.c_custkey = b.c_custkey
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    Q("q117_decimal_totals",
+      (s, dir) => {
+        // True DECIMAL arithmetic (the money path most engines expose
+        // directly, complementing this repo's fixed-point-long
+        // convention): prices quantized to DECIMAL(18,2) at the scan,
+        // then exact decimal sums — Spark's Decimal aggregation and
+        // DuckDB's produce the same digits in any accumulation order,
+        // so the totals hash-gate with no rounding wrapper at all.
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice").cast("decimal(18,2)").as("price"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(BigDecimal(1)).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(18,4)").as("disc_price"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("price").cast("decimal(18,2)").as("sum_price"),
+            sum("disc_price").cast("decimal(18,4)").as("sum_disc_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |        AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
