@@ -3540,7 +3540,62 @@ object Queries {
              |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
              |        AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q118_salted_agg",
+      (s, dir) => {
+        // Skew-safe aggregation: hot keys are salted into sub-
+        // partitions, partial-summed, then combined — the two-phase
+        // shape for non-combinable or buffer-heavy aggregates where
+        // one reducer would otherwise own the whole hot key. Sums are
+        // fixed-point longs, so salting cannot change the answer — and
+        // the oracle is the PLAIN single-phase GROUP BY, proving it.
+        SkewOps.saltedSum(
+            t(s, dir, "events")
+              .select(col("event_type"),
+                floor(col("value") * 10000).cast(LongType).as("v_fp")),
+            "event_type", "v_fp", salt = 16)
+          .select(col("event_type"), col("sum_v_fp"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_v_fp
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q119_share_of_region",
+      (s, dir) => {
+        // Percent-of-total within group (the BI "ratio to report"):
+        // nation revenue as a share of its region — one aggregation to
+        // nation grain, then a region-partitioned window sum; the
+        // share is a single portable division over exact longs.
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast(LongType))
+            .as("rev_fp"))
+        rev.withColumn("region_rev_fp",
+            sum(col("rev_fp")).over(Window.partitionBy("r_name")))
+          .select(col("r_name"), col("n_name"), col("rev_fp"),
+            r4(col("rev_fp").cast(DoubleType) /
+              col("region_rev_fp").cast(DoubleType)).as("share"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT r.r_name, n.n_name,
+             |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_fp
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |  JOIN region r ON r.r_regionkey = n.n_regionkey
+             |  GROUP BY 1, 2)
+             |SELECT r_name, n_name, rev_fp,
+             |  floor((CAST(rev_fp AS DOUBLE) /
+             |         CAST(sum(rev_fp) OVER (PARTITION BY r_name) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS share
+             |FROM rev ORDER BY r_name, n_name""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
