@@ -3595,7 +3595,42 @@ object Queries {
              |SELECT r_name, n_name, rev_fp,
              |  floor((CAST(rev_fp AS DOUBLE) /
              |         CAST(sum(rev_fp) OVER (PARTITION BY r_name) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS share
-             |FROM rev ORDER BY r_name, n_name""".stripMargin))
+             |FROM rev ORDER BY r_name, n_name""".stripMargin)),
+
+    Q("q120_linear_scorer",
+      (s, dir) => {
+        // Batch inference of a linear quality model: integer features ×
+        // integer weights → an exact logit per document, thresholded —
+        // the shape of every "apply a trained linear/logistic scorer at
+        // corpus scale" job. A narrow codegen'd projection (no shuffle
+        // until the final sort); ranking by the raw logit is
+        // monotone-equivalent to the sigmoid, which is what keeps the
+        // whole output oracle-able.
+        val nTokens = TextOps.tokenCount(col("text")).cast(LongType)
+        val stopHits = TextOps
+          .wordSetHits(col("text"),
+            Seq("the", "a", "of", "and", "to", "in", "is", "that"))
+          .cast(LongType)
+        val nDigits = regexp_count(col("text"), lit("[0-9]")).cast(LongType)
+        tp(s, dir, "documents")
+          .select(col("doc_id"),
+            (lit(3L) * col("n_chars") + lit(5L) * nTokens -
+              lit(2L) * nDigits + lit(11L) * stopHits).as("logit_fp"))
+          .withColumn("keep",
+            when(col("logit_fp") >= 3000L, lit(1L)).otherwise(lit(0L)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+             |    len(regexp_extract_all(text, '[0-9]')) AS n_digits
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(3 * n_chars + 5 * n_tokens - 2 * n_digits + 11 * stop_hits AS BIGINT) AS logit_fp,
+             |  CAST(CASE WHEN 3 * n_chars + 5 * n_tokens - 2 * n_digits + 11 * stop_hits >= 3000
+             |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -78,16 +78,10 @@ object StoreMaintenance {
     * touches few files instead of striping across all of them. Pure
     * shift/mask arithmetic — codegen'd, no UDF. */
   def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-                bits: Int): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
-  }
+                bits: Int): org.apache.spark.sql.Column =
+    // one loop-codegen'd expression node (constant code size) instead
+    // of the 6·bits-node shift/mask/or tree the Column-fold produced
+    graft.functions.BitExpressions.interleaveBits(a, b, bits)
 
   /** Z-order-clustered rewrite: range-partition on the Morton key (so
     * each output file owns a CONTIGUOUS z-range → a compact region in

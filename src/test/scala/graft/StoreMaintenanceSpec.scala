@@ -77,6 +77,31 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(got == 27L)
   }
 
+  test("InterleaveBits codegen matches the Column-composition form and survives ordering codegen") {
+    import graft.etl.{StoreMaintenance => SM}
+    // composition reference, rebuilt inline (the operator now uses the
+    // loop-codegen expression)
+    def foldKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int): org.apache.spark.sql.Column =
+      (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y)).toDF("x", "y")
+    val mismatches = grid.select(
+        SM.zorderKey(col("x"), col("y"), 5).as("z1"),
+        foldKey(col("x"), col("y"), 5).as("z2"))
+      .filter(col("z1") =!= col("z2")).count()
+    assert(mismatches == 0)
+    // ordering-codegen path (GenerateOrdering has no interpreted
+    // fallback — the round-4 pipe-margin lesson): sort ON the
+    // expression and take the top row
+    val top = grid.orderBy(SM.zorderKey(col("x"), col("y"), 5).desc, col("x"))
+      .limit(1).collect()(0)
+    assert((top.getInt(0), top.getInt(1)) == (31, 31))
+  }
+
   test("zorder layout localizes two-dimensional range scans") {
     // 64×64 grid; a y-range query must touch every x-sorted file but
     // only the z-files whose contiguous z-range covers small y
