@@ -3630,7 +3630,30 @@ object Queries {
              |  CAST(3 * n_chars + 5 * n_tokens - 2 * n_digits + 11 * stop_hits AS BIGINT) AS logit_fp,
              |  CAST(CASE WHEN 3 * n_chars + 5 * n_tokens - 2 * n_digits + 11 * stop_hits >= 3000
              |       THEN 1 ELSE 0 END AS BIGINT) AS keep
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    Q("q121_percentile_disc",
+      (s, dir) => {
+        // Discrete (type-1) quantiles per group: the returned values
+        // are ACTUAL data points, carried verbatim — no interpolation
+        // arithmetic, so the doubles hash-gate with no rounding
+        // wrapper. Complements q05's interpolating percentile; both
+        // engines use the SQL-standard first-cume ≥ p element.
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  quantile_disc(value, 0.5) AS p50,
+             |  quantile_disc(value, 0.9) AS p90,
+             |  quantile_disc(value, 0.99) AS p99,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
