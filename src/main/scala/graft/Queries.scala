@@ -175,6 +175,38 @@ object Queries {
     floor(c * f + 0.5) / f
   }
   private def r4(c: Column): Column = rnd(c, 4)
+  private def r6(c: Column): Column = rnd(c, 6)
+
+  /** Shared by the model-evaluation queries (q123/q124): the q120
+    * linear scorer's exact-long logit per document plus the binary
+    * lang='en' label. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = TextOps.tokenCount(col("text")).cast(LongType)
+    val stopHits = TextOps
+      .wordSetHits(col("text"),
+        Seq("the", "a", "of", "and", "to", "in", "is", "that"))
+      .cast(LongType)
+    val nDigits = regexp_count(col("text"), lit("[0-9]")).cast(LongType)
+    tp(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(3L) * col("n_chars") + lit(5L) * nTokens -
+          lit(2L) * nDigits + lit(11L) * stopHits).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+  }
+
+  /** Oracle CTE mirroring [[scoredDocs]] (ends with table `sc`). */
+  private val scoredDocsCte: String =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars, lang,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+      |    len(regexp_extract_all(text, '[0-9]')) AS n_digits
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(3 * n_chars + 5 * n_tokens - 2 * n_digits + 11 * stop_hits AS BIGINT) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      |  FROM f)""".stripMargin
 
   /** Dimensionality of the test embeddings table (fixed by TESTDATA.md);
     * the hyperplane-LSH queries and their generated oracle SQL share it. */
@@ -3653,7 +3685,202 @@ object Queries {
              |  quantile_disc(value, 0.9) AS p90,
              |  quantile_disc(value, 0.99) AS p99,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q122_concurrency_timeline",
+      (s, dir) => {
+        // Sweep-line concurrency: per-day user sessions (first→last
+        // event of the day) swept to a boundary timeline, then reduced
+        // to the day's peak. Each interval lives inside its day, so
+        // the running sum is a DAY-partitioned window — never a global
+        // single-partition sort; the ±1 deltas aggregate to (day, ts)
+        // grain first (map-side combined, deterministic sweep keys).
+        val iv = t(s, dir, "events")
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("second", col("ts"))).as("tss"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+          .groupBy("user_id", "day_epoch")
+          .agg(min(col("tss")).as("s_start"), max(col("tss")).as("s_end"))
+        EventOps.concurrencyProfile(iv, Seq("day_epoch"))
+          .groupBy("day_epoch")
+          .agg(max(col("open")).as("max_concurrent"),
+            count(lit(1)).as("n_boundaries"))
+          .orderBy("day_epoch")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', min(ts))) AS BIGINT) AS s_start,
+             |    CAST(EXTRACT(EPOCH FROM date_trunc('second', max(ts))) AS BIGINT) AS s_end
+             |  FROM events GROUP BY 1, 2),
+             |d AS (
+             |  SELECT day_epoch, s_start AS ts, 1 AS dd FROM iv
+             |  UNION ALL SELECT day_epoch, s_end AS ts, -1 AS dd FROM iv),
+             |a AS (SELECT day_epoch, ts, sum(dd) AS delta FROM d GROUP BY 1, 2),
+             |r AS (SELECT day_epoch,
+             |        sum(delta) OVER (PARTITION BY day_epoch ORDER BY ts) AS open
+             |      FROM a)
+             |SELECT day_epoch, CAST(max(open) AS BIGINT) AS max_concurrent,
+             |  CAST(count(*) AS BIGINT) AS n_boundaries
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q123_model_auc",
+      (s, dir) => {
+        // Exact ROC AUC of the q120 linear quality scorer against the
+        // lang='en' label — the eval step of every "score a corpus"
+        // job. Integer rank-sum over score-grain aggregates (ties
+        // counted as half-pairs, kept exact by doubling); the one
+        // division happens once, at the end, on exact longs.
+        EvalOps.aucExact(scoredDocs(s, dir), col("score"), col("label"))
+          .select(col("auc_num2"), col("auc_den2"), r6(col("auc")).as("auc"))
+      },
+      Some(s"""$scoredDocsCte,
+             |g AS (SELECT score AS sc, CAST(sum(label) AS BIGINT) AS np,
+             |        CAST(sum(1 - label) AS BIGINT) AS nn
+             |      FROM sc GROUP BY 1),
+             |c AS (SELECT sc, np, nn,
+             |        CAST(sum(nn) OVER (ORDER BY sc) AS BIGINT) AS cum_nn
+             |      FROM g)
+             |SELECT
+             |  CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS auc_num2,
+             |  CAST(2 * sum(np) * sum(nn) AS BIGINT) AS auc_den2,
+             |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+             |    floor(CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS DOUBLE) /
+             |          CAST(2 * sum(np) * sum(nn) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             |  END AS auc
+             |FROM c""".stripMargin)),
+
+    Q("q124_scorer_confusion",
+      (s, dir) => {
+        // Threshold confusion metrics for the same scorer/label: four
+        // exact counts in ONE narrow aggregation pass, ratios derived
+        // from the longs by one fixed division each.
+        EvalOps.confusionAt(scoredDocs(s, dir), col("score"), col("label"),
+            threshold = 3000L)
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            r6(col("precision")).as("precision"), r6(col("recall")).as("recall"),
+            r6(col("f1")).as("f1"))
+      },
+      Some(s"""$scoredDocsCte,
+             |m AS (SELECT
+             |  CAST(sum(CASE WHEN label = 1 AND score >= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |  CAST(sum(CASE WHEN label = 0 AND score >= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |  CAST(sum(CASE WHEN label = 1 AND score < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |  CAST(sum(CASE WHEN label = 0 AND score < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM sc)
+             |SELECT tp, fp, fn, tn,
+             |  CASE WHEN tp + fp > 0 THEN floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS precision,
+             |  CASE WHEN tp + fn > 0 THEN floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS recall,
+             |  CASE WHEN 2 * tp + fp + fn > 0 THEN floor(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS f1
+             |FROM m""".stripMargin)),
+
+    Q("q125_grouped_ols",
+      (s, dir) => {
+        // Per-nation least-squares fit (discount vs quantity) from the
+        // five sufficient statistics — regression as ONE map-side-
+        // combined aggregation; slope/intercept exact-integer fractions
+        // plus one final division.
+        val base = t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            floor(col("l_quantity")).cast(LongType).as("x"),
+            floor(col("l_discount") * 100).cast(LongType).as("y"))
+        RegressionOps.groupedOls(base, Seq("n_name"), col("x"), col("y"))
+          .select(col("n_name"), col("n"), col("slope_num"), col("slope_den"),
+            col("icept_num"), r6(col("slope")).as("slope"),
+            r6(col("intercept")).as("intercept"))
+          .orderBy("n_name")
+      },
+      Some("""WITH b AS (
+             |  SELECT n_name, CAST(floor(l_quantity) AS BIGINT) AS x,
+             |         CAST(floor(l_discount * 100) AS BIGINT) AS y
+             |  FROM lineitem
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey),
+             |g AS (
+             |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM b GROUP BY 1)
+             |SELECT n_name, n,
+             |  n * sxy - sx * sy AS slope_num,
+             |  n * sxx - sx * sx AS slope_den,
+             |  sy * sxx - sx * sxy AS icept_num,
+             |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+             |    floor(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             |  END AS slope,
+             |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+             |    floor(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             |  END AS intercept
+             |FROM g ORDER BY n_name""".stripMargin)),
+
+    Q("q126_setsim_join",
+      (s, dir) => {
+        // Exact-recall near-dup pairs via prefix-filtered set-similarity
+        // join over distinct 3-gram shingle sets (Jaccard >= 0.6 as the
+        // rational 6/10 — integer verify, no float boundary rows). The
+        // oracle runs the naive all-pairs join, so the hash-match IS the
+        // completeness proof for the prefix blocking.
+        val docs = tp(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            array_distinct(TextOps.shingles(col("text"), 3)).as("toks"))
+        SetSimJoinOps.jaccardJoin(docs, tNum = 6, tDen = 10)
+          .withColumn("jaccard",
+            r4(col("inter").cast(DoubleType) / col("uni").cast(DoubleType)))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |d AS (
+             |  SELECT id, list_distinct(CASE WHEN len(w) >= 3
+             |    THEN list_transform(generate_series(0, len(w) - 3),
+             |           i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(w, ' ')] END) AS toks
+             |  FROM t),
+             |p AS (
+             |  SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+             |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+             |  FROM d a JOIN d b ON a.id < b.id)
+             |SELECT id_a, id_b, inter, uni,
+             |  floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |FROM p WHERE inter * 10 >= uni * 6 ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q127_bloom_semijoin",
+      (s, dir) => {
+        // Explicit Bloom runtime filter ahead of a semi-join: the build
+        // side's key set folds into a 4 KiB bitset (distributed bit_or,
+        // driver holds only index metadata), the probe side prunes with
+        // a narrow k-hash projection BEFORE the exact join kills the
+        // false positives. Oracle = the plain semi-join: the hash-match
+        // proves the prune is answer-preserving.
+        val supKeys = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("l_suppkey"))
+        val bits = BloomPruneOps.buildBits(supKeys, col("l_suppkey"),
+          mBits = 4096, k = 3)
+        t(s, dir, "lineitem")
+          .filter(BloomPruneOps.mightContain(bits, col("l_suppkey"),
+            mBits = 4096, k = 3))
+          .join(broadcast(supKeys), Seq("l_suppkey"), "left_semi")
+          .groupBy("l_suppkey")
+          .agg(sum(floor(col("l_quantity")).cast(LongType)).as("qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey,
+             |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem
+             |WHERE l_suppkey IN (
+             |  SELECT s_suppkey FROM supplier
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  WHERE n_name = 'NATION_7')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -132,6 +132,38 @@ object EventOps {
       .drop("_n")
   }
 
+  /** Sweep-line concurrency profile: how many intervals are open after
+    * each boundary event, per group. Intervals must be self-contained in
+    * their group (e.g. daily sessions swept per day) so each group's
+    * sweep is independent — that is what keeps the running sum a
+    * group-partitioned window instead of a global single-partition sort.
+    *
+    * End-EXCLUSIVE: an interval contributes +1 at `s_start` and -1 at
+    * `s_end`, so a zero-length interval is never counted as open.
+    * Deltas are aggregated to (group, ts) grain first (map-side
+    * combinable, one shuffle), which also makes the sweep key unique —
+    * the running sum is then order-deterministic in any engine.
+    *
+    * Output: group cols + `ts` (boundary) + `delta` + `open` (count of
+    * open intervals in [ts, next boundary)).
+    */
+  def concurrencyProfile(intervals: DataFrame,
+                         groupCols: Seq[String]): DataFrame = {
+    val gc = groupCols.map(col)
+    val deltas = intervals.select(
+      gc :+ explode(array(
+        struct(col("s_start").as("ts"), lit(1L).as("d")),
+        struct(col("s_end").as("ts"), lit(-1L).as("d")))).as("_e"): _*)
+      .select(gc :+ col("_e.ts").as("ts") :+ col("_e.d").as("d"): _*)
+    val perTs = deltas.groupBy((groupCols :+ "ts").map(col): _*)
+      .agg(sum(col("d")).as("delta"))
+    // grouping keys ⊇ window partition key → the window reuses the
+    // aggregation's hash partitioning (no second exchange)
+    val w = Window.partitionBy(gc: _*).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perTs.withColumn("open", sum(col("delta")).over(w))
+  }
+
   /** For each interval, how many OTHER intervals overlap it
     * (`a.start <= b.end && b.start <= a.end`, ids differing).
     *

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (the PPJoin
+  * family's core idea): all pairs of documents whose distinct-token
+  * Jaccard is ≥ t, WITHOUT the all-pairs join and WITHOUT the
+  * probabilistic recall loss of the MinHash/LSH path ([[DedupOps]]) —
+  * this is the exact-recall complement for thresholds high enough that
+  * prefixes stay short.
+  *
+  * Prefix principle: order every document's distinct tokens by one
+  * GLOBAL total order (rarest-first: ascending document frequency,
+  * ties by token). If Jaccard(A,B) ≥ t then
+  * |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ ≥ ⌈t·|A|⌉, so A can miss at most
+  * |A| − ⌈t·|A|⌉ of its own tokens from the intersection — the first
+  * p(A) = |A| − ⌈t·|A|⌉ + 1 tokens of A must contain an intersection
+  * token, and symmetrically for B. Under a shared total order the
+  * SMALLEST intersection token is in both prefixes, so joining on
+  * prefix tokens finds every qualifying pair: the blocking is
+  * complete, which the driver query's naive-all-pairs oracle proves by
+  * hash-match.
+  *
+  * The threshold is a rational num/den so the verify — den·|A∩B| ≥
+  * num·|A∪B| — is exact integer arithmetic (no float boundary rows).
+  *
+  * Scale shape: token-frequency aggregation (map-side combined) +
+  * one join back on the token key; per-doc prefix explode is bounded
+  * by (1−t)·|doc| tokens; the candidate join shuffles (token, doc)
+  * pairs — bounded by prefix-token occupancy, rarest-first keeping
+  * hot tokens out of prefixes; verify is a narrow projection on
+  * carried token arrays (no join-back — the q37 lesson).
+  */
+object SetSimJoinOps {
+
+  /** Pairs (id_a < id_b, inter, uni) with den·inter ≥ num·uni over
+    * distinct-token sets. `docs` must carry (`id`, `toks`) with `toks`
+    * an array of DISTINCT tokens (callers: `array_distinct` upstream).
+    */
+  def jaccardJoin(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val tok = docs.select(col("id"), explode(col("toks")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first global order, materialized per doc as a re-sorted
+    // token array: sort_array over (df, tok) structs is deterministic
+    // because tokens are distinct within a doc
+    val ordered = tok.join(freq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("id"),
+        expr("transform(ts, s -> s.tok)").as("toks"),
+        size(col("ts")).as("n"))
+    // prefix length p = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b
+    // both self-join branches read this — materialize once or Catalyst
+    // inlines the whole tokenize→freq-join→re-sort pipeline twice
+    // (the same lesson as DedupOps' q37 signature reuse)
+    val prefix = ordered.withColumn("p",
+      col("n") - floor((col("n") * tNum + tDen - 1) / tDen) + 1)
+      .select(col("id"), col("toks"), col("n"),
+        explode(slice(col("toks"), lit(1), col("p"))).as("ptok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = prefix.select(col("ptok"), col("id").as("id_a"),
+      col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = prefix.select(col("ptok"), col("id").as("id_b"),
+      col("toks").as("toks_b"), col("n").as("n_b"))
+    val cand = a.join(b, Seq("ptok")).filter(col("id_a") < col("id_b"))
+      // a pair may share several prefix tokens — one row per pair;
+      // the aggregated arrays are identical across the group so any
+      // representative works
+      .groupBy("id_a", "id_b")
+      .agg(first(col("toks_a")).as("toks_a"), first(col("n_a")).as("n_a"),
+        first(col("toks_b")).as("toks_b"), first(col("n_b")).as("n_b"))
+    cand
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("id_a"), col("id_b"),
+        col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+  }
+}
