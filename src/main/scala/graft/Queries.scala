@@ -3855,10 +3855,12 @@ object Queries {
         // driver holds only index metadata), the probe side prunes with
         // a narrow k-hash projection BEFORE the exact join kills the
         // false positives. Oracle = the plain semi-join: the hash-match
-        // proves the prune is answer-preserving.
+        // proves the prune is answer-preserving. NATION_19 is populated
+        // at every test scale (sf0.001 has only 10 suppliers total, so
+        // most nations are empty there — the smoke suite needs rows).
         val supKeys = t(s, dir, "supplier")
           .join(broadcast(t(s, dir, "nation")
-            .filter(col("n_name") === "NATION_7")),
+            .filter(col("n_name") === "NATION_19")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey").as("l_suppkey"))
         val bits = BloomPruneOps.buildBits(supKeys, col("l_suppkey"),
@@ -3879,7 +3881,7 @@ object Queries {
              |WHERE l_suppkey IN (
              |  SELECT s_suppkey FROM supplier
              |  JOIN nation ON n_nationkey = s_nationkey
-             |  WHERE n_name = 'NATION_7')
+             |  WHERE n_name = 'NATION_19')
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 

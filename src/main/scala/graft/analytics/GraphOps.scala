@@ -94,7 +94,6 @@ object GraphOps {
       .withColumn("level", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = levels
-    val cached = scala.collection.mutable.ListBuffer(levels)
     var depth = 0
     var exhausted = false
     while (depth < maxDepth && !exhausted) {
@@ -114,7 +113,6 @@ object GraphOps {
       // rounds would each still cost a join + anti-join over the full
       // edge list for zero new nodes
       exhausted = next.count() == 0
-      cached += next
       levels = levels.union(next)
       frontier = next
     }
@@ -126,8 +124,10 @@ object GraphOps {
     * observation is weighted by the seconds until the key's NEXT
     * observation (the last one carries no weight — its duration is
     * unknown). One `lead` window + one aggregation, both on the same
-    * key → a single shuffle. Sums are exact longs; the one double
-    * division at the end is IEEE-correctly-rounded in every engine. */
+    * key → a single shuffle. Returns exact-long sufficient sums
+    * `(key, wsum, dsum)` — the caller performs the single portable
+    * double division wsum/dsum (q92 does; keeping the division out of
+    * here lets callers round for hash-gating first). */
   def timeWeightedAvg(df: DataFrame, key: Column, ts: Column, tie: Column,
                       valueFp: Column): DataFrame = {
     df.select(key.as("key"), ts.as("ts"), tie.as("tie"), valueFp.as("v"))

@@ -29,14 +29,43 @@ object EvalOps {
     * `auc_den2` = 2·n_pos·n_neg, `auc` = num2/den2 (caller rounds for
     * hash-gating). Degenerate inputs (no positives or no negatives)
     * return den2 = 0 and a NULL auc.
+    *
+    * The cumulative negative count is NOT a global `Window.orderBy`
+    * (which single-partitions the whole score-grain set — fatal for a
+    * continuous double score whose grain ≈ the corpus). It is the
+    * two-phase bucketed cumsum: scores bucketize by an order-preserving
+    * affine map from the broadcast (min,max) — monotone, so
+    * (bucket ASC, s ASC) IS the global score order — the within-bucket
+    * cumsum windows partition-by-bucket, and the cross-bucket offset
+    * comes from a window over the ≤`buckets`-row rollup (the only
+    * unpartitioned window, bounded by the bucket count, never by data).
+    * Scores must be finite (model outputs; NaN/±Inf break the affine
+    * bucket map).
     */
-  def aucExact(scored: DataFrame, score: Column, label: Column): DataFrame = {
+  def aucExact(scored: DataFrame, score: Column, label: Column,
+               buckets: Int = 1024): DataFrame = {
     val byScore = scored.groupBy(score.as("s"))
       .agg(sum(when(label === 1, 1L).otherwise(0L)).as("np"),
         sum(when(label === 1, 0L).otherwise(1L)).as("nn"))
-    val w = Window.orderBy(col("s"))
+    val stats = byScore.agg(min(col("s")).as("__smin"), max(col("s")).as("__smax"))
+    val sd = col("s").cast(DoubleType)
+    val qb = when(col("__smax") <= col("__smin"), lit(0L)).otherwise(
+      least(greatest(floor((sd - col("__smin").cast(DoubleType)) /
+          (col("__smax").cast(DoubleType) - col("__smin").cast(DoubleType)) * buckets),
+        lit(0L)), lit(buckets.toLong - 1))).cast("long")
+    val bucketed = byScore.crossJoin(broadcast(stats))
+      .withColumn("__qb", qb).drop("__smin", "__smax")
+    val wIn = Window.partitionBy("__qb").orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byScore.withColumn("cum_nn", sum(col("nn")).over(w))
+    val withCum = bucketed.withColumn("__cumIn", sum(col("nn")).over(wIn))
+    val perBucket = withCum.groupBy("__qb").agg(max(col("__cumIn")).as("__btot"))
+    val wAbove = Window.orderBy(col("__qb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val above = perBucket
+      .withColumn("__above", coalesce(sum(col("__btot")).over(wAbove), lit(0L)))
+      .select("__qb", "__above")
+    withCum.join(broadcast(above), Seq("__qb"))
+      .withColumn("cum_nn", col("__above") + col("__cumIn"))
       .agg(
         sum(col("np") * (lit(2L) * (col("cum_nn") - col("nn")) + col("nn")))
           .as("auc_num2"),

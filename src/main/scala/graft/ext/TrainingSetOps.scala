@@ -143,16 +143,22 @@ object TrainingSetOps {
         tokens.cast(LongType).as("n_tokens"))
       .withColumn("qb",
         least(floor(col("q") * buckets), lit(buckets.toLong - 1)).cast(LongType))
-    val perBucket = base.groupBy("qb").agg(sum("n_tokens").as("btok"))
+    // Both consumers of `base` (the per-bucket totals and the final
+    // within-bucket cumsum) hang off the SAME hash(qb) window below:
+    // the bucket total is max(running sum) per bucket, so the plan has
+    // one canonical Exchange(hash(qb)) subtree and Spark's exchange
+    // reuse evaluates the (expensive — quality/token scoring) input
+    // scan once instead of twice. Measured 2× on q57's regex-heavy base.
+    val wIn = Window.partitionBy("qb").orderBy(col("q").desc, col("doc_id"))
+    val withCum = base.withColumn("cumIn", sum("n_tokens").over(wIn))
+    val perBucket = withCum.groupBy("qb").agg(max("cumIn").as("btok"))
     val wAbove = Window.orderBy(col("qb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val above = perBucket
       .withColumn("above", coalesce(sum("btok").over(wAbove), lit(0L)))
       .select("qb", "above")
-    val wIn = Window.partitionBy("qb").orderBy(col("q").desc, col("doc_id"))
-    base.join(broadcast(above), Seq("qb"))
-      .withColumn("cum", col("above") + sum("n_tokens").over(wIn))
-      .filter(col("cum") <= budget)
+    withCum.join(broadcast(above), Seq("qb"))
+      .filter(col("above") + col("cumIn") <= budget)
       .select("doc_id", "q", "n_tokens")
   }
 
@@ -208,7 +214,16 @@ object TrainingSetOps {
     * engine, and cluster size. The comparison is pure integer
     * cross-multiplication (no float ratio), and maxWeight is a 1-row
     * broadcast; the filter itself is a narrow projection over the
-    * corpus scan. */
+    * corpus scan.
+    *
+    * Preconditions (caller-owned, same headroom contract as
+    * [[graft.analytics.RegressionOps]]' integer sums): weights must be
+    * non-negative longs with `max(weight) < Long.MaxValue / 1e6` —
+    * the `(u % 1e6) * maxWeight` cross-multiplication overflows past
+    * that (~9.2e12) and silently corrupts keep decisions. The uniform
+    * also carries a ~0.05% modulo bias (PortableHash's modulus is not
+    * a multiple of 1e6) — irrelevant for curation sampling, but don't
+    * use this as a statistical RNG. */
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      salt: String = "wsample"): DataFrame = {
     val mx = df.agg(max(weight).as("__maxw"))

@@ -1,5 +1,7 @@
 package graft.planner
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,8 +27,11 @@ object TimeBoundedScan {
 
   /** Plan metadata, the Spark analogue of the reference's QueryPlan JSON
     * (lambda_handler.py:89-95): files touched after pruning + estimated
-    * bytes + resulting task-partition count. */
-  case class ScanPlan(files: Long, estimatedBytes: Long, taskPartitions: Int)
+    * bytes + resulting task-partition count + exact row count from
+    * parquet footer metadata (`rows` — the reference manifest's
+    * per-chunk `recordCount`, lambda_handler.py:80-95; no data scan). */
+  case class ScanPlan(files: Long, estimatedBytes: Long, taskPartitions: Int,
+                      rows: Long)
 
   /** Scan an hour-partitioned table (layout written by
     * `ParquetSink.writeHourPartitioned`) restricted to [start, end].
@@ -67,18 +72,29 @@ object TimeBoundedScan {
     val e = java.time.LocalDateTime.parse(end, fmt)
     var files = 0L
     var bytes = 0L
+    var rows = 0L
     while (!t.isAfter(e)) {
       val dir = new org.apache.hadoop.fs.Path(base,
         s"year=${t.getYear}/month=${t.getMonthValue}/day=${t.getDayOfMonth}/hour=${t.getHour}")
       if (fs.exists(dir)) {
         fs.listStatus(dir).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .foreach { s => files += 1; bytes += s.getLen }
+          .foreach { s =>
+            files += 1; bytes += s.getLen
+            // row count from the footer (block metadata only — a few KiB
+            // read per file, never column data); parquet-hadoop ships in
+            // Spark's own classpath
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, hconf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try rows += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            finally reader.close()
+          }
       }
       t = t.plusHours(1)
     }
     val maxPartitionBytes = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
       .stripSuffix("b").toLong
     val tasks = math.max(1, math.ceil(bytes.toDouble / maxPartitionBytes).toInt)
-    ScanPlan(files, bytes, tasks)
+    ScanPlan(files, bytes, tasks, rows)
   }
 }

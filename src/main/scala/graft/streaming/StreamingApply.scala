@@ -23,12 +23,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * manifest commit replaces the swap — the distributed merge below is
   * the part that stays. The foreachBatch checkpoint makes the apply
   * effectively exactly-once: a replayed batch re-derives the same
-  * merged store.
+  * merged store, and [[recover]] repairs the one non-atomic window (a
+  * crash between the two swap moves leaves the base stranded at
+  * `._apply_bak`; replaying against a missing base would silently
+  * rebuild the store from batch rows alone).
   */
 object StreamingApply {
 
-  private[streaming] def applyBatch(batch: DataFrame, key: String,
+  private def rmTree(p: java.nio.file.Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
+  /** Crash recovery, run at every batch start before touching data:
+    *  - base missing but `._apply_bak` present → the previous run died
+    *    between the two swap moves; restore the bak as the base (the
+    *    checkpointed batch replays against the true base).
+    *  - base present and `._apply_bak` present → died during bak
+    *    cleanup (swap already complete); finish deleting the bak.
+    *  - any leftover `._apply_tmp` is an incomplete rewrite → drop it
+    *    (also unwedges the next swap's `Files.move` onto that name).
+    */
+  private[graft] def recover(store: String): Unit = {
+    val dir = Paths.get(store)
+    val bak = Paths.get(store + "._apply_bak")
+    val tmp = Paths.get(store + "._apply_tmp")
+    if (Files.exists(bak)) {
+      if (!Files.exists(dir)) Files.move(bak, dir, StandardCopyOption.ATOMIC_MOVE)
+      else rmTree(bak)
+    }
+    if (Files.exists(tmp)) rmTree(tmp)
+  }
+
+  private[graft] def applyBatch(batch: DataFrame, key: String,
                                     seqCol: String, store: String): Unit = {
+    recover(store)
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
@@ -49,7 +76,7 @@ object StreamingApply {
       val bak = Paths.get(store + "._apply_bak")
       Files.move(dir, bak, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      Files.walk(bak).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      rmTree(bak)
     } else Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
   }
 

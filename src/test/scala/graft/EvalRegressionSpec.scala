@@ -53,6 +53,41 @@ class EvalRegressionSpec extends AnyFunSuite {
     assert(den == 0L && a.isEmpty)
   }
 
+  test("aucExact on continuous double scores: exact vs brute force, " +
+    "and the score-grain cumsum window is never unpartitioned") {
+    // deterministic pseudo-random continuous scores: score grain ==
+    // corpus size, the case where a global-window cumsum would
+    // single-partition the whole set
+    val rows = (1 to 2000).map { i =>
+      val h = ((i * 2654435761L) & 0x7fffffffL).toDouble / 0x7fffffffL.toDouble
+      val s = h * 10.0 - 5.0
+      val l = if (((i * 40503L) % 997L) < 997L * (1.0 / (1.0 + math.exp(-s)))) 1L else 0L
+      (s, l)
+    }
+    val df = rows.toDF("score", "label")
+    val res = EvalOps.aucExact(df, col("score"), col("label"))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num2 = pos.iterator
+      .map(p => 2L * neg.count(n => p > n) + neg.count(n => p == n).toLong).sum
+    val den2 = 2L * pos.size * neg.size
+    val r = res.collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (num2, den2))
+    // Plan shape: any unpartitioned logical Window must sit above the
+    // ≤buckets-row __qb rollup aggregate (never over the score-grain
+    // set), and the score-grain cumsum window is partitioned.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = res.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    assert(wins.exists(_.partitionSpec.nonEmpty))
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val overBucketRollup = w.child.collect { case a: Aggregate => a }
+        .exists(_.groupingExpressions.exists(_.references.exists(_.name == "__qb")))
+      assert(overBucketRollup,
+        s"unpartitioned window over a non-bucket-rollup input:\n$w")
+    }
+  }
+
   // ── EvalOps.confusionAt ─────────────────────────────────────────────
 
   test("confusionAt computes exact counts and guarded ratios") {

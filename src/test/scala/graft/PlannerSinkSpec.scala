@@ -41,6 +41,12 @@ class PlannerSinkSpec extends AnyFunSuite {
       "2024-01-01 02:00:00", "2024-01-01 04:00:00")
     assert(plan.files == scanned)
     assert(plan.estimatedBytes > 0 && plan.taskPartitions >= 1)
+    // footer-derived row count = rows in the pruned hour partitions
+    // (partition grain — the reference manifest's recordCount; row-level
+    // ts trimming inside the boundary hours happens at scan time)
+    val hourRows = events.filter(date_trunc("hour", col("ts")).between(
+      lit("2024-01-01 02:00:00"), lit("2024-01-01 04:00:00"))).count()
+    assert(plan.rows == hourRows && plan.rows > 0)
   }
 
   test("unbounded scan is rejected (reference contract B3)") {

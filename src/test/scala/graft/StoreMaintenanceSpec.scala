@@ -129,8 +129,13 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     val zHit = filesHit(zdir.toString)
     val xHit = filesHit(xdir.toString)
     assert(xHit == 8, s"x-sorted layout should stripe y across all files, hit $xHit")
-    // range-partition boundaries come from sampling, so allow one file
-    // of slack around the ideal 2 — the claim is locality vs. all 8
-    assert(zHit <= 4, s"z-ordered layout should bound the y-range to few files, hit $zHit")
+    // RangePartitioner boundaries come from sampling whose seed varies
+    // with RDD id (= session history), so the exact file count drifts
+    // run-to-run: the CLAIM is locality — a y-range query touches at
+    // most ~half the z-ordered files where the x-sort touches all 8.
+    // Ideal here is 2; ≤4 absorbs boundary drift without weakening the
+    // locality claim below 2× vs the x-sorted stripe.
+    assert(zHit <= 4 && zHit * 2 <= xHit,
+      s"z-ordered layout should bound the y-range to few files, hit $zHit of 8 (x-sort hit $xHit)")
   }
 }

@@ -31,4 +31,42 @@ class StreamingApplySpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
     assert(got == Map(1L -> 11L, 3L -> 30L))
   }
+
+  test("recover restores a base stranded mid-swap and clears stale tmp/bak") {
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_apply_rec")
+    val store = root.resolve("store").toString
+
+    // build a real base (same shape applyBatch writes: payload + seq),
+    // then simulate a crash between the two swap moves: base moved to
+    // ._apply_bak, tmp never promoted
+    Seq((1L, 10L, 0L)).toDF("k", "v", "seq").write.parquet(store)
+    F.move(Paths.get(store), Paths.get(store + "._apply_bak"),
+      StandardCopyOption.ATOMIC_MOVE)
+    F.createDirectories(Paths.get(store + "._apply_tmp"))
+    F.writeString(Paths.get(store + "._apply_tmp/garbage"), "partial")
+
+    // next batch: recovery must restore the base BEFORE merging, so the
+    // pre-crash row survives alongside the replayed batch row
+    val batch = Seq((2L, "insert", 20L, 1L)).toDF("k", "change", "v", "seq")
+    StreamingApply.applyBatch(batch, "k", "seq", store)
+    val got = spark.read.parquet(store).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L))
+    assert(!F.exists(Paths.get(store + "._apply_bak")))
+    assert(!F.exists(Paths.get(store + "._apply_tmp")))
+
+    // crash during bak cleanup (swap complete, bak leftover): the next
+    // batch must drop the stale bak instead of wedging on Files.move
+    F.createDirectories(Paths.get(store + "._apply_bak"))
+    F.writeString(Paths.get(store + "._apply_bak/garbage"), "stale")
+    StreamingApply.applyBatch(
+      Seq((3L, "insert", 30L, 2L)).toDF("k", "change", "v", "seq"),
+      "k", "seq", store)
+    val got2 = spark.read.parquet(store).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(got2 == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    assert(!F.exists(Paths.get(store + "._apply_bak")))
+  }
 }
