@@ -14,9 +14,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // default 2: report steady-state latency (min), not first-run JIT/
-    // codegen warmup — profiling showed warmup dominates single runs
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // default 3: report steady-state latency (min), not first-run JIT/
+    // codegen warmup — profiling showed warmup dominates single runs,
+    // and min-of-3 with the reported spread makes cross-round per-query
+    // comparisons attributable (box noise vs real regression)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,14 +50,20 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, ok, times.min)
+      (name, ok, times.min, times.max)
     }
-    val qs = results.map { case (k, ok, v) => "\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, ok, v, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, false, _) => "\"" + k + "\"" }
+    // per-query run-to-run spread (max/min of the repeats, 2 decimals):
+    // a query whose min moved >2x across rounds while its spread stayed
+    // ~1.0x is a real regression, not box noise
+    val spread = results.map { case (k, ok, mn, mx) =>
+      "\"" + k + "\":" + (if (ok && mn > 0) f"${mx / mn}%.2f" else "-1")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, true, v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, true, v, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"repeat":$repeat,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

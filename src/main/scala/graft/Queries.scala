@@ -3882,7 +3882,46 @@ object Queries {
              |  SELECT s_suppkey FROM supplier
              |  JOIN nation ON n_nationkey = s_nationkey
              |  WHERE n_name = 'NATION_19')
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q128_map_metadata",
+      (s, dir) => {
+        // MapType as a first-class metadata column: per-user event-type
+        // count maps built with map_from_entries, then genuinely
+        // map-operated on — higher-order map_filter (hot types only),
+        // element_at lookup, size() — before exploding back to rows.
+        // The OUTPUT is the exploded canonical (key, value) form: DuckDB
+        // ≤1.x round-trips parquet MAP unreliably (the STATUS.md map
+        // blocker), so the oracle gates the exploded representation —
+        // the map semantics are still what's being proven, relationally
+        // re-derived on the oracle side.
+        val counts = t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val maps = counts.groupBy("user_id")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("event_type"), col("n")))))
+            .as("m"))
+        maps
+          .withColumn("n_types", size(col("m")).cast(LongType))
+          .withColumn("n_clicks", coalesce(element_at(col("m"), "click"), lit(0L)))
+          .withColumn("hot", map_filter(col("m"), (_, v) => v >= 20L))
+          .select(col("user_id"), col("n_types"), col("n_clicks"),
+            explode(col("hot")).as(Seq("etype", "n_events")))
+          .orderBy("user_id", "etype")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |u AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS n_clicks
+             |  FROM c GROUP BY 1)
+             |SELECT c.user_id, u.n_types, u.n_clicks,
+             |  c.event_type AS etype, c.n AS n_events
+             |FROM c JOIN u USING (user_id)
+             |WHERE c.n >= 20
+             |ORDER BY 1, 4""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

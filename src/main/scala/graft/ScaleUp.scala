@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicates the sf0.1 test tables
+  * `factor`× with key offsets, producing an sf≈(0.1·factor) directory
+  * the bench can point at (`SPARK_GRAFT_SF_DIR`). Used for the "would
+  * this constant survive 100×?" rehearsal — NOT for correctness gating
+  * (oracles stay on the driver-generated sf0.01).
+  *
+  * Replication semantics:
+  *  - all BIGINT entity keys are offset per copy (copy·stride) so joins
+  *    fan out realistically instead of colliding;
+  *  - foreign keys get the SAME stride as the table they reference, so
+  *    referential structure is preserved copy-locally;
+  *  - `documents.text` gets a copy-salt token appended — otherwise every
+  *    doc becomes a 100-member exact-dup class and the dedup/similarity
+  *    queries degenerate into quadratic within-class pair storms that no
+  *    real corpus exhibits;
+  *  - `embeddings.embedding` vectors are kept bit-identical (ANN work
+  *    scales with corpus size; duplicate vectors only add benign ties);
+  *  - region/nation stay fixed (TPC-H does not scale dimensions).
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stride per keyed table: a round power of ten above the sf0.1 key
+    // domain, so offset keys stay readable and never collide
+    val strides = Map(
+      "customer" -> 100000L, "supplier" -> 10000L, "part" -> 100000L,
+      "orders" -> 1000000L, "events" -> 1000000L,
+      "documents" -> 10000L, "embeddings" -> 10000L)
+    // foreign keys reference their owning table's stride
+    val keyCols: Map[String, Seq[(String, String)]] = Map(
+      "customer" -> Seq("c_custkey" -> "customer"),
+      "supplier" -> Seq("s_suppkey" -> "supplier"),
+      "part" -> Seq("p_partkey" -> "part"),
+      "orders" -> Seq("o_orderkey" -> "orders", "o_custkey" -> "customer"),
+      "lineitem" -> Seq("l_orderkey" -> "orders", "l_partkey" -> "part",
+        "l_suppkey" -> "supplier"),
+      "events" -> Seq("event_id" -> "events", "user_id" -> "customer"),
+      "documents" -> Seq("doc_id" -> "documents"),
+      "embeddings" -> Seq("vec_id" -> "embeddings"))
+
+    def replicate(name: String, df: DataFrame, copies: Int): DataFrame = {
+      val fanned = df.withColumn("__copy",
+        explode(sequence(lit(0L), lit(copies.toLong - 1))))
+      val keyed = keyCols(name).foldLeft(fanned) { case (d, (c, owner)) =>
+        d.withColumn(c, col(c) + col("__copy") * strides(owner))
+      }
+      val salted =
+        if (name == "documents")
+          keyed.withColumn("text",
+            concat(col("text"), lit(" rep"), col("__copy")))
+        else keyed
+      salted.drop("__copy")
+    }
+
+    for (t <- Seq("region", "nation")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t: copied")
+    }
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+                  "events", "documents", "embeddings")) {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val files = math.max(4, (base.count() * factor / 2000000L).toInt)
+      replicate(t, base, factor)
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t: x$factor -> $files files")
+    }
+    spark.stop()
+  }
+}

@@ -342,7 +342,16 @@ object DedupOps {
     * detected by a changed-row count. This is the standard way
     * components survive a 100 TB edge list — no driver-side union-find,
     * no collect. */
-  def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    resolveClustersCounted(pairs, maxIters)._1
+
+  /** [[resolveClusters]] plus the number of propagate/compress rounds it
+    * took to converge — the observable for the O(log diameter) claim
+    * (the chain-graph spec pins rounds ≤ log₂(diameter)+2: each round's
+    * compress reads the SAME round's propagated labels, so label reach
+    * roughly doubles per round even on a path graph). */
+  private[graft] def resolveClustersCounted(pairs: DataFrame,
+                                            maxIters: Int = 25): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     // both edge directions from ONE pass over `pairs` (an explode, not
     // a self-union — the union re-derived the caller's whole candidate
@@ -391,8 +400,10 @@ object DedupOps {
       // (A two-hop pointer-jumping variant was measured at sf0.1:
       // 6.1 s vs 5.7 s across q44/q47/q48 — dup-cluster graphs are
       // near-cliques that converge in ~2 rounds, so the extra same-key
-      // join per round is pure overhead. Chain-diameter graphs would
-      // tip the other way; this operator serves the dedup pipelines.)
+      // join per round is pure overhead. Large-diameter graphs do NOT
+      // tip the other way: because this one-hop compress reads the SAME
+      // round's propagated labels, reach still ~doubles per round — a
+      // 1024-node chain converges in ≤ log₂(d)+2 rounds, spec-pinned.)
       val parent = prop.select(col("id").as("label"), col("label").as("plabel"))
       // lazy checkpoint: the convergence count below is the action that
       // materializes it, so each round runs ONE job (eager checkpoint +
@@ -408,7 +419,7 @@ object DedupOps {
       done = changed == 0
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), iter)
   }
 
   /** End-to-end near-dedup of an EMBEDDING corpus: hyperplane-LSH

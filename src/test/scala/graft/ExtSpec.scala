@@ -155,6 +155,21 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length == n && out.forall(_.getLong(1) == 0L))
   }
 
+  test("resolveClusters: chain round count is logarithmic in the diameter") {
+    // the O(log d) claim, measured: each round's compress step reads the
+    // SAME round's propagated labels, so label reach ~doubles per round.
+    // A 1024-node path is the worst case for plain propagation (would
+    // need ~1024 rounds); the bar is log₂(diameter)+2.
+    val n = 1024
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = DedupOps.resolveClustersCounted(pairs, maxIters = 64)
+    val out = labels.collect()
+    assert(out.length == n && out.forall(_.getLong(1) == 0L))
+    val bound = (math.log(n - 1) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"chain of diameter ${n - 1} took $rounds rounds (bound $bound)")
+  }
+
   test("nearDedup end-to-end keeps one doc per planted near-dup cluster") {
     val kept = DedupOps.nearDedup(docs, col("doc_id"), col("text"),
       shingleSize = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.8)
