@@ -68,14 +68,17 @@ object ScaleUp {
       salted.drop("__copy")
     }
 
+    // Tables.load, not raw read: events carries INT64 TIMESTAMP(NANOS)
+    // that plain Spark reads reject; the rehearsal copy lands as µs,
+    // which every query treats identically (second-grain truncations)
     for (t <- Seq("region", "nation")) {
-      spark.read.parquet(s"$src/$t.parquet")
+      Tables.load(spark, src, t)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t: copied")
     }
     for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
                   "events", "documents", "embeddings")) {
-      val base = spark.read.parquet(s"$src/$t.parquet")
+      val base = Tables.load(spark, src, t)
       val files = math.max(4, (base.count() * factor / 2000000L).toInt)
       replicate(t, base, factor)
         .repartition(files)
