@@ -25,6 +25,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries
@@ -56,14 +57,21 @@ object Bench {
       .mkString("{", ",", "}")
     // per-query run-to-run spread (max/min of the repeats, 2 decimals):
     // a query whose min moved >2x across rounds while its spread stayed
-    // ~1.0x is a real regression, not box noise
+    // ~1.0x is a real regression, not box noise. Locale.ROOT: the JVM
+    // default locale may use a comma decimal separator, which would
+    // corrupt the JSON.
     val spread = results.map { case (k, ok, mn, mx) =>
-      "\"" + k + "\":" + (if (ok && mn > 0) f"${mx / mn}%.2f" else "-1")
+      "\"" + k + "\":" + (if (ok && mn > 0)
+        String.format(java.util.Locale.ROOT, "%.2f", (mx / mn): java.lang.Double)
+      else "-1")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, true, v, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"repeat":$repeat,"failed":$failed,"sf":"$sfDir"}""")
+    // per-query times LAST: a tail-truncating log capture then clips the
+    // (re-derivable) spread map, not the primary measurement (round 5's
+    // BENCH file lost the times map to exactly this)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"sf":"$sfDir","spread":$spread,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -27,15 +27,19 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
-    val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, factorS.toInt)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     // stride per keyed table: a round power of ten above the sf0.1 key
     // domain, so offset keys stay readable and never collide
     val strides = Map(
@@ -85,6 +89,5 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t: x$factor -> $files files")
     }
-    spark.stop()
   }
 }

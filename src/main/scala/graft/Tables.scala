@@ -15,14 +15,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
-    // TimestampType (µs) rejects outright; read nanos as long and
-    // truncate to µs (PARQUET_TYPE_ILLEGAL otherwise). All downstream
+    // events.parquet (driver-generated) carries INT64 TIMESTAMP(NANOS)
+    // which Spark's TimestampType (µs) rejects outright; every session
+    // builder sets spark.sql.legacy.parquet.nanosAsLong=true so it
+    // lands as a long, truncated to µs here. All downstream
     // comparisons use second-or-coarser truncations, so the lost
-    // sub-µs digits are never observable.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // sub-µs digits are never observable. The conversion is
+    // schema-gated, not name-gated: a rewritten events table (e.g.
+    // ScaleUp output) already carries TimestampType and round-trips
+    // untouched.
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }

@@ -14,6 +14,7 @@ object Verify {
       // DuckDB/Polars-parity null-on-error semantics (SURVEY §2 P9)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,20 +39,31 @@ object EvalOps {
     * cumsum windows partition-by-bucket, and the cross-bucket offset
     * comes from a window over the ≤`buckets`-row rollup (the only
     * unpartitioned window, bounded by the bucket count, never by data).
-    * Scores must be finite (model outputs; NaN/±Inf break the affine
-    * bucket map).
+    * Non-finite scores are routed deterministically around the affine
+    * map, preserving Spark's global double order (-Inf < finite <
+    * +Inf < NaN): -Inf → bucket 0, +Inf and NaN → the top bucket,
+    * where the within-bucket `ORDER BY s` puts them back in exactly
+    * that order. min/max for the affine map are computed over finite
+    * scores only, so one stray NaN can no longer corrupt every finite
+    * bucket assignment.
     */
   def aucExact(scored: DataFrame, score: Column, label: Column,
                buckets: Int = 1024): DataFrame = {
     val byScore = scored.groupBy(score.as("s"))
       .agg(sum(when(label === 1, 1L).otherwise(0L)).as("np"),
         sum(when(label === 1, 0L).otherwise(1L)).as("nn"))
-    val stats = byScore.agg(min(col("s")).as("__smin"), max(col("s")).as("__smax"))
     val sd = col("s").cast(DoubleType)
-    val qb = when(col("__smax") <= col("__smin"), lit(0L)).otherwise(
+    val isFinite = !isnan(sd) && sd =!= Double.PositiveInfinity &&
+      sd =!= Double.NegativeInfinity
+    val stats = byScore.agg(
+      min(when(isFinite, sd)).as("__smin"), max(when(isFinite, sd)).as("__smax"))
+    val qbFinite = when(col("__smax") <= col("__smin"), lit(0L)).otherwise(
       least(greatest(floor((sd - col("__smin").cast(DoubleType)) /
           (col("__smax").cast(DoubleType) - col("__smin").cast(DoubleType)) * buckets),
         lit(0L)), lit(buckets.toLong - 1))).cast("long")
+    val qb = when(isnan(sd) || sd === Double.PositiveInfinity, lit(buckets.toLong - 1))
+      .when(sd === Double.NegativeInfinity, lit(0L))
+      .otherwise(qbFinite)
     val bucketed = byScore.crossJoin(broadcast(stats))
       .withColumn("__qb", qb).drop("__smin", "__smax")
     val wIn = Window.partitionBy("__qb").orderBy(col("s"))

@@ -88,6 +88,38 @@ class EvalRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("aucExact routes NaN/±Inf scores by Spark's global double order") {
+    // Spark total order: -Inf < finite < +Inf < NaN. Brute force with
+    // java.lang.Double.compare (the same total order) is the oracle;
+    // the bucketed path must agree exactly even though the affine
+    // bucket map is undefined for non-finite scores. Also checks the
+    // finite scores still spread across buckets (a NaN min/max would
+    // have collapsed the affine map entirely).
+    val rows: Seq[(Double, Long)] = Seq(
+      (Double.NaN, 0L), (Double.PositiveInfinity, 1L),
+      (Double.NegativeInfinity, 0L), (Double.NegativeInfinity, 1L),
+      (-3.5, 0L), (-1.0, 1L), (0.0, 0L), (2.5, 1L), (7.25, 1L), (7.25, 0L))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num2 = pos.iterator.map { p =>
+      2L * neg.count(n => java.lang.Double.compare(p, n) > 0) +
+        neg.count(n => java.lang.Double.compare(p, n) == 0).toLong
+    }.sum
+    val den2 = 2L * pos.size * neg.size
+    val df = rows.toDF("score", "label")
+    val r = EvalOps.aucExact(df, col("score"), col("label")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (num2, den2))
+  }
+
+  test("aucExact survives an all-non-finite score column") {
+    val df = Seq((Double.NaN, 1L), (Double.PositiveInfinity, 0L),
+      (Double.NegativeInfinity, 1L)).toDF("score", "label")
+    val r = EvalOps.aucExact(df, col("score"), col("label")).collect()(0)
+    // -Inf(pos) loses to +Inf(neg): 0 wins; NaN(pos) beats +Inf(neg):
+    // 2; den2 = 2*2*1 = 4 → auc = 0.5
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == (2L, 4L, 0.5))
+  }
+
   // ── EvalOps.confusionAt ─────────────────────────────────────────────
 
   test("confusionAt computes exact counts and guarded ratios") {

@@ -71,6 +71,7 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     val guarded = SparkSession.builder()
       .master("local[4]")
       .withExtensions(new TimeBoundExtensions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     try {
       guarded.conf.set("spark.graft.timeBound.paths", "events.parquet")
