@@ -41,7 +41,8 @@ object GraphOps {
     *
     * Returns (id, pr) with pr in fixed-point `scale` units. */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               release: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,14 +65,15 @@ object GraphOps {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("pr"))
     }
-    // The cached edge/degree/node frames stay registered: Spark's
-    // CacheManager keys cache entries by analyzed-plan equality, so
-    // repeated calls over the same input REUSE one entry apiece rather
-    // than accumulating (measured: an eager-checkpoint-then-unpersist
-    // variant cost ~4s extra per call at sf0.1 and forfeited all
-    // cross-call reuse). Callers that truly need the memory back can
-    // spark.catalog.clearCache().
-    ranks
+    // The cached edge/degree/node frames stay registered by default:
+    // Spark's CacheManager keys cache entries by analyzed-plan equality,
+    // so repeated calls over the same input REUSE one entry apiece
+    // rather than accumulating (measured: an eager-checkpoint-then-
+    // unpersist variant cost ~4s extra per call at sf0.1 and forfeited
+    // all cross-call reuse). Long-lived services calling over CHANGING
+    // inputs pass release=true to get a materialized result and the
+    // per-call caches back (graft.CachePolicy.finish).
+    graft.CachePolicy.finish(release, Seq(e, outdeg, nodes))(ranks)
   }
 
   /** Multi-source BFS: minimum hop distance from any node in `sources`
@@ -80,19 +82,39 @@ object GraphOps {
     * against the edge list (never the full visited set), dedups the
     * next frontier, and anti-joins the visited set so every node is
     * labeled with its first-discovery (= minimum) level. Frontiers are
-    * persisted because each is referenced twice (expansion + union);
-    * the visited set is a union chain of at most `maxDepth` small
-    * frames. Nodes beyond `maxDepth` are absent from the result.
+    * persisted because each is referenced twice (expansion + union).
+    *
+    * Every `compactEvery` rounds, BOTH the visited set and the current
+    * frontier are checkpointed (localCheckpoint — on a cluster,
+    * reliable checkpoint), truncating their Catalyst plans to leaves.
+    * The truncation is load-bearing, not cosmetic: the frontier's
+    * anti-join child embeds the previous visited set, whose union-chain
+    * plan embeds the previous frontier — so the logical plan DOUBLES
+    * every round (trees, not DAGs; persist caches data, never plans).
+    * Unchecked, depth 20 is a million-node plan tree and analysis
+    * itself OOMs long before data size matters. Compaction resets that
+    * growth to one leaf each window, bounding the plan at 2^compactEvery
+    * copies of the (tiny) per-round subplan and the anti-join fan-in at
+    * `compactEvery` frames — the same lineage discipline as
+    * [[graft.ext.DedupOps.resolveClusters]]. Below `compactEvery`
+    * rounds (the common small-diameter case, e.g. q90's maxDepth 4)
+    * no checkpoint ever happens and the plan-keyed CacheManager reuse
+    * across repeated calls is exactly what it was.
+    * Nodes beyond `maxDepth` are absent from the result.
     *
     * Returns (id, level). */
-  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+                compactEvery: Int = 8, release: Boolean = false): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val caches = scala.collection.mutable.Buffer[DataFrame](e)
+    val ckFrames = scala.collection.mutable.Buffer[DataFrame]()
     var levels = sources.select(col("id").cast("long").as("id"))
       .distinct()
       .withColumn("level", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    caches += levels
     var frontier = levels
     var depth = 0
     var exhausted = false
@@ -108,16 +130,35 @@ object GraphOps {
         .join(levels, Seq("id"), "left_anti")
         .withColumn("level", lit(depth.toLong))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += next
       // materializes the round's cache AND stops the loop once the
       // frontier drains — on a small-diameter graph the remaining
       // rounds would each still cost a join + anti-join over the full
       // edge list for zero new nodes
       exhausted = next.count() == 0
       levels = levels.union(next)
-      frontier = next
+      if (depth % compactEvery == 0 && !exhausted) {
+        // lazy checkpoints: the next round's frontier count is the
+        // action that materializes both, so compaction adds no extra job
+        levels = levels.localCheckpoint(eager = false)
+        frontier = next.localCheckpoint(eager = false)
+        ckFrames += levels
+        ckFrames += frontier
+      } else frontier = next
     }
-    // caches stay registered — see the CacheManager note in pageRank
-    levels
+    // caches stay registered by default — see the note in pageRank.
+    // On release, the checkpoint blocks (which CacheManager does not
+    // track — localCheckpoint persists at the RDD layer) are freed via
+    // their LogicalRDD handles once the result is materialized.
+    if (!release) levels
+    else {
+      val out = graft.CachePolicy.finish(release = true, caches.toSeq)(levels)
+      ckFrames.foreach(_.queryExecution.logical.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      })
+      out
+    }
   }
 
   /** Duration-weighted mean of a fixed-point value per key: each

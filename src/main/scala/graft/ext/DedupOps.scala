@@ -105,7 +105,8 @@ object DedupOps {
     * plus the estimated Jaccard from full signature agreement. */
   def minhashCandidatePairs(df: DataFrame, id: Column, text: Column,
                             shingleSize: Int = 3, numHashes: Int = 32,
-                            bands: Int = 8, portable: Boolean = true): DataFrame = {
+                            bands: Int = 8, portable: Boolean = true,
+                            release: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persisted: both band-join branches read ONE MinHash derivation
     // from cache (lazy persist — AQE-safe; r1 measured that an eager
@@ -121,13 +122,14 @@ object DedupOps {
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = keyed.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
+    graft.CachePolicy.finish(release, Seq(sigs))(pairs)
   }
 
   /** MinHash signatures with the document text carried through the
@@ -162,7 +164,8 @@ object DedupOps {
   def minhashVerifiedPairs(df: DataFrame, id: Column, text: Column,
                            shingleSize: Int = 3, numHashes: Int = 32,
                            bands: Int = 8, estThreshold: Double = 0.5,
-                           portable: Boolean = true): DataFrame = {
+                           portable: Boolean = true,
+                           release: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashWithText(df, id, text, shingleSize, numHashes, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -174,7 +177,7 @@ object DedupOps {
       col("doc_id").as("id_a"), col("sig").as("sig_a"), col("text").as("text_a"))
     val b = keyed.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"), col("text").as("text_b"))
-    a.join(b, Seq("band", "bucket"))
+    val verified = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -184,6 +187,7 @@ object DedupOps {
       .filter(col("est_jaccard") >= estThreshold)
       .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingleSize))
       .select("id_a", "id_b", "est_jaccard", "jaccard")
+    graft.CachePolicy.finish(release, Seq(sigs))(verified)
   }
 
   /** Jaccard similarity of two ALREADY-MATERIALIZED distinct shingle
@@ -270,7 +274,8 @@ object DedupOps {
     * maxHamming < bands for completeness within the candidate set. */
   def simhashNearDupPairs(df: DataFrame, id: Column, text: Column,
                           maxHamming: Int = 3, bands: Int = 4,
-                          portable: Boolean = true): DataFrame = {
+                          portable: Boolean = true,
+                          release: Boolean = false): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole completeness needs maxHamming ($maxHamming) < bands ($bands)")
     val bits = 64 / bands
@@ -287,12 +292,13 @@ object DedupOps {
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = keyed.select(col("band"), col("block"),
       col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "block"))
+    val pairs = a.join(b, Seq("band", "block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+    graft.CachePolicy.finish(release, Seq(sigs))(pairs)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed
@@ -303,7 +309,8 @@ object DedupOps {
     * exactness is traded for the bucket join's scalability. */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
                             threshold: Double, dim: Int,
-                            signBits: Int = 8, seed: Long = 7L): DataFrame = {
+                            signBits: Int = 8, seed: Long = 7L,
+                            release: Boolean = false): DataFrame = {
     // persisted: the a/b join branches read ONE bucket+norm pass from
     // cache instead of re-deriving the (wide, codegen'd) hyperplane
     // projection over the full corpus twice
@@ -316,12 +323,13 @@ object DedupOps {
       col("v").as("va"), col("vn").as("na"))
     val b = bucketed.select(col("bucket"), col("vid").as("id_b"),
       col("v").as("vb"), col("vn").as("nb"))
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         SimilarityOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    graft.CachePolicy.finish(release, Seq(bucketed))(pairs)
   }
 
   // ── Cluster resolution: pairs → connected components → keep-one ────
@@ -384,6 +392,10 @@ object DedupOps {
     }
     var iter = 0
     var done = false
+    // superseded round checkpoints are unpersisted as soon as the next
+    // round has materialized past them — without this, a long-iterating
+    // resolution leaves one registered RDD per round until GC
+    var prevCk: Option[DataFrame] = None
     while (!done && iter < maxIters) {
       iter += 1
       // propagate: candidate label = min(own, min over neighbours)
@@ -415,6 +427,8 @@ object DedupOps {
       initCache.foreach(_.unpersist()) // round 1 has materialized past it
       initCache = None
       val changed = next.filter(col("label") =!= col("old")).count()
+      prevCk.foreach(_.unpersist(false)) // this count materialized past it
+      prevCk = Some(next)
       labels = next.select("id", "label")
       done = changed == 0
     }
@@ -429,8 +443,10 @@ object DedupOps {
     * a~c below it still merge transitively). */
   def nearDedupEmbeddings(df: DataFrame, id: Column, vec: Column,
                           threshold: Double, dim: Int,
-                          signBits: Int = 8, seed: Long = 7L): DataFrame = {
-    val pairs = embeddingNearDupPairs(df, id, vec, threshold, dim, signBits, seed)
+                          signBits: Int = 8, seed: Long = 7L,
+                          release: Boolean = false): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, id, vec, threshold, dim, signBits, seed,
+      release = release)
       .select("id_a", "id_b")
     val losers = resolveClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -445,9 +461,10 @@ object DedupOps {
     * collects anywhere). */
   def nearDedup(df: DataFrame, id: Column, text: Column,
                 shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                jaccardThreshold: Double = 0.8): DataFrame = {
+                jaccardThreshold: Double = 0.8,
+                release: Boolean = false): DataFrame = {
     val pairs = minhashVerifiedPairs(df, id, text, shingleSize, numHashes, bands,
-      estThreshold = 0.5)
+      estThreshold = 0.5, release = release)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val losers = resolveClusters(pairs)

@@ -179,6 +179,28 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.contains(2L) && kept.contains(4L))
   }
 
+  test("nearDedup with release=true matches default output and frees its caches") {
+    // distinct fixture (salted ids) → distinct analyzed plans → no
+    // CacheManager entry sharing with the other dedup tests
+    val salted = docs.withColumn("doc_id", col("doc_id") + 1000L)
+    val expect = DedupOps.nearDedup(docs, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0) + 1000L).toSet
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val kept = DedupOps.nearDedup(salted, col("doc_id"), col("text"),
+      shingleSize = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.8,
+      release = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expect)
+    // the released call may leave behind only the frames that back its
+    // (lazy) result: the checkpointed pairs frame and the final
+    // resolveClusters label checkpoint — 2 RDDs, reclaimed when the
+    // result is GC'd. The signature cache and every superseded round
+    // checkpoint must be gone.
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 2, s"nearDedup(release=true) leaked ${added.size} caches")
+  }
+
   test("nearDedupEmbeddings: transitive chain collapses to the min-id vector") {
     // a~b and b~c exceed the threshold, a~c does NOT (cos 50° ≈ 0.64):
     // only transitive resolution keeps exactly one of {a,b,c}

@@ -43,6 +43,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("bfsLevels: deep chain stays correct and the Catalyst plan is " +
+    "bounded by the compaction window, not doubled per round") {
+    // 15-node path 0→1→…→14 explored to its full diameter. The
+    // frontier's anti-join embeds the visited set, which embeds the
+    // previous frontier — plans are trees, so without compaction the
+    // node count doubles per round (2^14 × per-round subplan ≈ 400k
+    // nodes here; at q90's graph sizes analysis OOMs before data does).
+    // Compaction at round 8 resets growth, so the final plan carries at
+    // most 2^(14-8) copies of the tiny per-round subplan.
+    val chain = (0L until 14L).map(i => (i, i + 1)).toDF("src", "dst")
+    val levels = GraphOps.bfsLevels(chain, Seq(0L).toDF("id"),
+      maxDepth = 14, compactEvery = 8)
+    val got = levels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 14L).map(i => i -> i).toMap)
+    val planNodes = levels.queryExecution.analyzed.collect { case _ => 1 }.sum
+    assert(planNodes < 10000,
+      s"visited-set plan grew exponentially with depth: $planNodes nodes")
+  }
+
+  test("release=true frees every per-call cache; default keeps them registered") {
+    val sc = spark.sparkContext
+    // unique literals → unique analyzed plans → no CacheManager sharing
+    // with other tests' registered entries
+    val edges = Seq((101L, 102L), (102L, 103L), (103L, 101L), (103L, 104L))
+      .toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    val pr = GraphOps.pageRank(edges, iters = 2, release = true)
+    val bfs = GraphOps.bfsLevels(edges, Seq(101L).toDF("id"), maxDepth = 3,
+      release = true)
+    assert(pr.count() == 4 && bfs.count() == 4)
+    // result frames are localCheckpoint-materialized (one registered RDD
+    // each, reclaimed when the frames are GC'd); every intermediate
+    // edge/degree/node/frontier cache the calls created is gone
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 2, s"leaked caches: ${added.size - 2}")
+  }
+
   test("timeWeightedAvg: last observation carries no weight") {
     val ev = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L), (1L, 40L, 3L, 5L),
       (2L, 0L, 4L, 7L)) // single-event key → no output row
