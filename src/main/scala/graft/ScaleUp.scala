@@ -14,12 +14,23 @@ import org.apache.spark.sql.functions._
   *    fan out realistically instead of colliding;
   *  - foreign keys get the SAME stride as the table they reference, so
   *    referential structure is preserved copy-locally;
-  *  - `documents.text` gets a copy-salt token appended — otherwise every
-  *    doc becomes a 100-member exact-dup class and the dedup/similarity
-  *    queries degenerate into quadratic within-class pair storms that no
-  *    real corpus exhibits;
-  *  - `embeddings.embedding` vectors are kept bit-identical (ANN work
-  *    scales with corpus size; duplicate vectors only add benign ties);
+  *  - `documents.text`: every 3rd token is replaced by a copy marker,
+  *    so every 3-token shingle of a copy covers a mutated position —
+  *    copies of one doc share NO shingles (Jaccard 0 at any doc
+  *    length), while the copies of a planted dup cluster mutate
+  *    identically and stay a cluster. Dup-cluster COUNT scales
+  *    ×factor, cluster SIZE stays real — a trailing-salt variant
+  *    (round 5) left copies as mutual near-dups and turned every doc
+  *    into a factor-sized LSH clique, which made candidate pairs grow
+  *    quadratically in the factor (q35 measured 49× time for 10×
+  *    data) — a storm no real corpus exhibits;
+  *  - `embeddings.embedding`: each copy applies a signed cyclic shift
+  *    (coordinates rotated by `copy`, signs flipped per (copy, i)
+  *    hash) — an exact isometry, so within-copy dot products (planted
+  *    near-dup pairs, cluster geometry) are bit-preserved, while
+  *    cross-copy cosines of formerly-identical vectors decorrelate to
+  *    ≈0, below the sign-LSH thresholds. Bit-identical replication
+  *    (round 5) made every vector a factor-sized cosine-1 clique;
   *  - region/nation stay fixed (TPC-H does not scale dimensions).
   *
   * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
@@ -64,11 +75,24 @@ object ScaleUp {
       val keyed = keyCols(name).foldLeft(fanned) { case (d, (c, owner)) =>
         d.withColumn(c, col(c) + col("__copy") * strides(owner))
       }
-      val salted =
-        if (name == "documents")
+      val salted = name match {
+        case "documents" =>
           keyed.withColumn("text",
-            concat(col("text"), lit(" rep"), col("__copy")))
-        else keyed
+            when(col("__copy") === 0, col("text")).otherwise(
+              concat_ws(" ", transform(split(col("text"), "\\s+"),
+                (t, i) => when(pmod(i, lit(3)) === 0,
+                  concat(lit("r"), col("__copy"))).otherwise(t)))))
+        case "embeddings" =>
+          val d = size(col("embedding"))
+          keyed.withColumn("embedding",
+            when(col("__copy") === 0, col("embedding")).otherwise(
+              transform(sequence(lit(0), d - 1), i =>
+                element_at(col("embedding"),
+                  (pmod(i + col("__copy"), d) + 1).cast("int")) *
+                when(pmod(xxhash64(col("__copy"), i), lit(2)) === 0, lit(1.0f))
+                  .otherwise(lit(-1.0f)))))
+        case _ => keyed
+      }
       salted.drop("__copy")
     }
 

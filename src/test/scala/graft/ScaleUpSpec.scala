@@ -48,6 +48,46 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count() == 0)
   }
 
+  test("similarity structure scales linearly: clusters replicate, copies are not mutual dups") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.DedupOps
+    // near-dup candidate pairs must be exactly factor x the base count:
+    // each planted cluster re-appears once per copy, and copies of one
+    // doc (jaccard ~= 0.25 after marker mutation) never pair up. The
+    // round-5 trailing salt failed this — every doc became a
+    // factor-clique and pairs grew quadratically (q35: 49x time for
+    // 10x data at the sf10 rehearsal).
+    def textPairs(dir: String) = DedupOps.minhashCandidatePairs(
+      Tables.load(spark, dir, "documents"), col("doc_id"), col("text"))
+      .filter(col("est_jaccard") >= 0.5).count()
+    assert(textPairs(out) == 3 * textPairs(src))
+    // embeddings: the per-copy signed shift is an isometry, so the
+    // round-5 disaster mode (every vector a factor-sized cosine-1
+    // clique with its own copies) is what must be pinned dead: copies
+    // of the SAME vector never pair (measured cross-copy self-cosine
+    // tops out ~0.33, below the 0.4 threshold). Rotated UNRELATED
+    // vectors may coincidentally land within threshold across blocks —
+    // those are true pairs of the scaled dataset, bounded by the exact
+    // cosine verify; require them rare relative to corpus size.
+    val dim = Tables.load(spark, src, "embeddings")
+      .select(size(col("embedding"))).first().getInt(0)
+    val vp = DedupOps.embeddingNearDupPairs(
+      Tables.load(spark, out, "embeddings"), col("vec_id"), col("embedding"),
+      threshold = 0.4, dim = dim, signBits = 6)
+    val stride = 10000L
+    val sameVecCrossCopy = vp.filter(
+      pmod(col("id_a"), lit(stride)) === pmod(col("id_b"), lit(stride)) &&
+        floor(col("id_a") / stride) =!= floor(col("id_b") / stride)).count()
+    assert(sameVecCrossCopy == 0,
+      "copies of one vector paired up — the factor-clique storm is back")
+    val crossBlock = vp.filter(
+      floor(col("id_a") / stride) =!= floor(col("id_b") / stride)).count()
+    val nScaled = Tables.load(spark, out, "embeddings").count()
+    assert(crossBlock < nScaled / 10,
+      s"$crossBlock cross-block coincidence pairs for $nScaled vectors")
+    assert(vp.count() > 0)
+  }
+
   test("a representative events bench query runs against the scaled dir") {
     // q04 is the flagship hourly profile — the exact query family the
     // rehearsal exists for; rows>0 proves the swapped SF dir is usable
