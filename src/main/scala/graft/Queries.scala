@@ -1841,8 +1841,14 @@ object Queries {
         val d = tp(s, dir, "documents")
         val norm = d.select(col("doc_id"),
           TextOps.normalize(col("text")).as("text")).persist()
-        val bench = norm.filter(pmod(col("doc_id"), lit(50)) === 0)
-          .select(col("text").as("btext"))
+        // bench set derives from the RAW frame, not the norm cache: the
+        // broadcast subquery that builds its shingles runs before
+        // anything else, and reading through `norm` would serialize the
+        // full-corpus normalize + cache population onto the broadcast's
+        // critical path (measured 25 s of q68's sf10 cold run) — here
+        // it normalizes only the 2% benchmark slice
+        val bench = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(TextOps.normalize(col("text")).as("btext"))
         val clean = norm.join(
           TrainingSetOps.contaminationFlags(norm, col("doc_id"), col("text"),
               bench, col("btext"), k = 5)
