@@ -109,6 +109,24 @@ object SimilarityOps {
   def signBucket(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
     Hyperplanes.bucket(vec, dim, bits, seed)
 
+  /** The sign-LSH bit count that keeps expected bucket occupancy near
+    * `targetBucket` vectors: ceil(log2(n / targetBucket)), clamped.
+    * The bucketed pair joins are Θ(n²/2^bits) comparisons, so `bits`
+    * MUST grow with the corpus — the round-6 sf10 rehearsal measured
+    * the same 500k-vector join at 12 s with 6 bits and 1.9 s with 14
+    * (BENCH_sf10.json). Fixed-bit callers (oracle-pinned queries) are
+    * the small-corpus configuration; services sizing for an unknown n
+    * should pass `autoSignBits(corpus.count())`. More bits trade
+    * recall for that bound — recover recall by unioning several
+    * `seed`s, which multiplies work linearly, never quadratically. */
+  def autoSignBits(n: Long, targetBucket: Long = 1000L,
+                   minBits: Int = 4, maxBits: Int = 24): Int = {
+    require(n >= 0 && targetBucket > 0)
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   /** Exact brute-force cosine top-k.
     * `queries`: (qid, qvec); `corpus`: (cid, cvec). Returns
     * (qid, cid, cosine, rank) with rank 1..k per query, deterministic

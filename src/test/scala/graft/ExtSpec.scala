@@ -179,6 +179,18 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.contains(2L) && kept.contains(4L))
   }
 
+  test("autoSignBits: occupancy-targeted, monotone, clamped") {
+    import graft.ext.SimilarityOps.autoSignBits
+    assert(autoSignBits(0) == 4 && autoSignBits(1000) == 4) // min clamp
+    assert(autoSignBits(500000) == 9)   // 500k/1000 -> 2^9 buckets
+    assert(autoSignBits(5000000) == 13) // the sf100 regime
+    assert(autoSignBits(1L << 60) == 24) // max clamp
+    // monotone in n, antitone in targetBucket
+    assert(autoSignBits(1 << 20) <= autoSignBits(1 << 22))
+    assert(autoSignBits(1 << 20, targetBucket = 100) >=
+      autoSignBits(1 << 20, targetBucket = 10000))
+  }
+
   test("nearDedup with release=true matches default output and frees its caches") {
     // distinct fixture (salted ids) → distinct analyzed plans → no
     // CacheManager entry sharing with the other dedup tests
