@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
 
 import graft.analytics._
 import graft.etl.ChangeCapture
@@ -3935,7 +3935,33 @@ object Queries {
              |  c.event_type AS etype, c.n AS n_events
              |FROM c JOIN u USING (user_id)
              |WHERE c.n >= 20
-             |ORDER BY 1, 4""".stripMargin))
+             |ORDER BY 1, 4""".stripMargin)),
+
+    Q("q129_semantic_dedup",
+      (s, dir) => {
+        // SemDeDup: k-means-cluster the embeddings (the SAME cached IVF
+        // fit q41/q70 search with), then greedily drop any vector whose
+        // cosine to a lower-id cluster mate is >= tau. The pair join
+        // never leaves a cluster — nlist bounds the quadratic term.
+        val corpus = tp(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.semanticDedup(corpus, tau = 0.4, nlist = 16,
+            cacheKey = Some(s"embeddings:$dir"))
+          .select(col("cid").as("vec_id"),
+            col("centroid_id").cast(IntegerType).as("cluster"))
+          .orderBy("vec_id")
+      },
+      // q41's full IVF-fit re-derivation, then the same greedy
+      // within-cluster prune relationally in SQL
+      Some(s"""$ivfOracleCtes,
+           |dropped AS (
+           |  SELECT DISTINCT b.cid FROM asgF a JOIN asgF b
+           |    ON a.kid = b.kid AND a.cid < b.cid
+           |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+           |SELECT a.cid AS vec_id, CAST(a.kid AS INT) AS cluster
+           |FROM asgF a LEFT JOIN dropped d ON d.cid = a.cid
+           |WHERE d.cid IS NULL
+           |ORDER BY vec_id""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -377,6 +377,38 @@ object SimilarityOps {
     ivfTopK(queries, model, k, nprobe)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings with the IVF
+    * spherical-k-means fit, then drop every document whose cosine to a
+    * LOWER-id document in the SAME cluster is ≥ `tau` (greedy
+    * keep-first — deterministic, relationally expressible, and equal
+    * to SemDeDup's keep-one-per-semantic-group up to representative
+    * choice). Returns the surviving (cid, cvec, centroid_id) rows.
+    *
+    * Scale shape: the pair join is confined to cluster mates —
+    * Θ(n²/nlist) comparisons — so `nlist` MUST grow with the corpus
+    * (SemDeDup runs ~10⁵ clusters at billion scale; size for expected
+    * cluster occupancy the way [[autoSignBits]] sizes sign-LSH
+    * buckets). The fit is shared via `cacheKey` exactly like the ANN
+    * queries: one persisted index serves both search and dedup. */
+  def semanticDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val model = cacheKey match {
+      case Some(key) => ivfFitCached(key, corpus, nlist)
+      case None => ivfFit(corpus, nlist)
+    }
+    val a = model.assigned.select(col("centroid_id"), col("cid").as("id_a"),
+      col("cvec").as("v_a"), col("cnorm").as("n_a"))
+    val b = model.assigned.select(col("centroid_id"), col("cid").as("id_b"),
+      col("cvec").as("v_b"), col("cnorm").as("n_b"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")) >= tau)
+      .select(col("id_b").as("cid")).distinct()
+    model.assigned.join(dropped, Seq("cid"), "left_anti")
+      .select(col("cid"), col("cvec"), col("centroid_id"))
+  }
+
   /** IVF search over an int8-QUANTIZED inverted file: probe selection
     * stays fp32 (query × centroid literals — full precision is free on
     * the tiny query side), but the inverted-file payload that the probe

@@ -179,6 +179,23 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.contains(2L) && kept.contains(4L))
   }
 
+  test("semanticDedup: greedy within-cluster prune keeps the lowest id") {
+    import graft.ext.SimilarityOps
+    // nlist=1 pins every vector to one cluster, isolating the prune
+    // rule from the k-means fit (which q129's oracle re-derives)
+    val rows = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(0.99f, 0.14f, 0f, 0f)), // cos(10,11) ≈ 0.990 → dropped
+      (20L, Array(0f, 0f, 1f, 0f)),       // orthogonal to 10/11 → kept
+      (21L, Array(0f, 0f, 0.1f, 0.99f)))  // cos(20,21) ≈ 0.10 → kept
+    val df = rows.toDF("cid", "cvec")
+    val out = SimilarityOps.semanticDedup(df, tau = 0.9, nlist = 1)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(10L, 20L, 21L))
+    // tau above every pairwise cosine → nothing dropped
+    val all = SimilarityOps.semanticDedup(df, tau = 0.9999, nlist = 1)
+    assert(all.count() == 4)
+  }
+
   test("autoSignBits: occupancy-targeted, monotone, clamped") {
     import graft.ext.SimilarityOps.autoSignBits
     assert(autoSignBits(0) == 4 && autoSignBits(1000) == 4) // min clamp
