@@ -38,20 +38,34 @@ import graft.ext.DedupOps
   * Index maintenance is LSM-shaped so per-batch I/O is O(batch), not
   * O(index): each micro-batch appends its survivors as one immutable
   * SEGMENT directory (`seg-<batchId>`, staged then atomically
-  * renamed), and once the store holds `maxSegments` segments the next
-  * batch folds everything into a single compacted segment
-  * (`seg-<batchId>-c`) using the same tmp-rewrite → whole-store
-  * atomic-swap + crash-repair discipline as the CDC apply. Replay of a
-  * micro-batch after a pre-checkpoint crash is detected by its batchId
-  * segment (plain or compacted) already existing and is skipped —
-  * segment contents are deterministic, so skip ≡ rewrite (effectively
-  * exactly-once). Only the newest batchId can ever be replayed, and a
-  * later batch's compaction implies the earlier checkpoint committed,
-  * so a compacted-away segment is never the replay target. At 100 TB
-  * the segment append becomes a table-format manifest commit, the
-  * compaction a background rewrite, and the (band, bucket) lookup a
-  * state-store/bucketed-table point join; the dataflow below is the
-  * part that stays.
+  * renamed), then size-TIERED compaction runs: whenever `mergeFactor`
+  * segments share a size class (floor log₂ of their byte size), they
+  * fold into one segment named after their newest member
+  * (`seg-<batchId>-c`), cascading upward like LSM level merges.
+  * Untouched segments are HARD-LINKED into the rebuilt store (same
+  * inode, zero data copied — the local stand-in for a table-format
+  * manifest that re-points at unchanged data files), so a large
+  * compacted segment is never rewritten when small fresh ones merge:
+  * amortized maintenance I/O per document is O(log n) rewrites over
+  * the index's lifetime, and the segment count stays
+  * O(mergeFactor · log n). `maxSegments` remains a hard backstop
+  * (full fold) for pathological size distributions. Every rebuild
+  * uses the same tmp-rewrite → whole-store atomic-swap + crash-repair
+  * discipline as the CDC apply. Replay of a micro-batch after a
+  * pre-checkpoint crash is detected by its batchId segment (plain or
+  * compacted) already existing and is skipped — segment contents are
+  * deterministic, so skip ≡ rewrite (effectively exactly-once). Only
+  * the newest batchId can ever be replayed; it is the max-named
+  * stream segment, so any merge group containing it names the merged
+  * segment `seg-<batchId>-c`, preserving the replay marker; a merge
+  * that does NOT contain it implies a later batch ran, whose
+  * checkpoint commit makes the merged-away ids unreplayable. (Ad-hoc
+  * `seg-adhoc-*` segments only ever merge with each other — their
+  * names sort after every numeric batchId and carry no replay
+  * contract.) At 100 TB the segment append becomes a table-format
+  * manifest commit, the tiered fold a background rewrite, and the
+  * (band, bucket) lookup a state-store/bucketed-table point join; the
+  * dataflow below is the part that stays.
   */
 object StreamingNearDedup {
 
@@ -104,17 +118,40 @@ object StreamingNearDedup {
     Files.move(segTmp, Paths.get(store, name), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Fold every existing segment plus `survivors` into one compacted
-    * segment, swapped in wholesale (tmp store → bak → live, crash
-    * windows repaired by [[recover]]). */
-  private def compactInto(spark: SparkSession, survivors: DataFrame,
-                          store: String, name: String): Unit = {
-    val merged = readIndex(spark, store)
-      .map(_.unionByName(survivors)).getOrElse(survivors)
+  private def segBytes(p: Path): Long =
+    Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  /** Recreate `src`'s tree at `dst` with hard links to the data files:
+    * same inodes, zero bytes copied — the local-FS stand-in for a
+    * table-format manifest re-pointing at unchanged files. */
+  private def linkTree(src: Path, dst: Path): Unit =
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.createLink(t, p)
+    }
+
+  /** Merged segment carries its newest member's name + `-c`, so a merge
+    * containing the newest batchId preserves the replay marker. */
+  private def mergedName(group: Seq[Path]): String =
+    group.map(_.getFileName.toString).max.stripSuffix("-c") + "-c"
+
+  /** Replace the `drop` segments with `merged` published as `name`,
+    * hard-linking every untouched segment into the rebuilt store, then
+    * whole-store atomic swap (tmp store → bak → live; crash windows
+    * repaired by [[recover]]). Only the dropped segments' bytes are
+    * rewritten. */
+  private def rebuildStore(merged: DataFrame, store: String,
+                           drop: Set[String], name: String): Unit = {
     val tmpData = Paths.get(store + "._apply_tmp_data")
     val tmpStore = Paths.get(store + "._apply_tmp")
+    // materialize BEFORE touching the live store: `merged` reads the
+    // very segment files the swap will retire
     merged.write.mode("overwrite").parquet(tmpData.toString)
     Files.createDirectories(tmpStore)
+    listSegments(store).filterNot(s => drop(s.getFileName.toString))
+      .foreach(s => linkTree(s, tmpStore.resolve(s.getFileName.toString)))
     Files.move(tmpData, tmpStore.resolve(name), StandardCopyOption.ATOMIC_MOVE)
     val dir = Paths.get(store)
     if (Files.exists(dir)) {
@@ -125,10 +162,38 @@ object StreamingNearDedup {
     } else Files.move(tmpStore, dir, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Size-tiered maintenance: while any `mergeFactor` segments of the
+    * same kind (stream vs ad-hoc) share a size class (floor log₂
+    * bytes), fold them into one segment — cascading upward as merged
+    * segments graduate classes, LSM-style. If the count still exceeds
+    * `maxSegments` afterwards (pathological size spread), full-fold. */
+  private[graft] def maintain(spark: SparkSession, store: String,
+                              maxSegments: Int, mergeFactor: Int): Unit = {
+    var repeat = true
+    while (repeat) {
+      val segs = listSegments(store)
+      val group = segs.groupBy { s =>
+        val kind = s.getFileName.toString.startsWith("seg-adhoc")
+        (kind, 63 - java.lang.Long.numberOfLeadingZeros(math.max(segBytes(s), 1L)))
+      }.values.find(_.size >= mergeFactor)
+      group match {
+        case Some(g) =>
+          rebuildStore(spark.read.parquet(g.map(_.toString): _*), store,
+            g.map(_.getFileName.toString).toSet, mergedName(g))
+        case None =>
+          if (segs.size > maxSegments)
+            rebuildStore(spark.read.parquet(segs.map(_.toString): _*), store,
+              segs.map(_.getFileName.toString).toSet, mergedName(segs))
+          repeat = false
+      }
+    }
+  }
+
   private[graft] def processBatch(batch: DataFrame, indexStore: String,
                                   shingleSize: Int, numHashes: Int, bands: Int,
                                   jaccardThreshold: Double, batchId: Long = -1L,
-                                  maxSegments: Int = 8): Unit = {
+                                  maxSegments: Int = 8,
+                                  mergeFactor: Int = 4): Unit = {
     recover(indexStore)
     // replay short-circuit: this batch's segment (plain or compacted)
     // already published means the batch fully applied before the
@@ -181,19 +246,20 @@ object StreamingNearDedup {
 
     val surv = survivors.persist()
     try {
-      val segs = listSegments(indexStore)
-      if (segs.size + 1 > maxSegments) {
-        // fold the whole store + this batch into one segment; name it
-        // by this batchId so a replay still short-circuits
-        compactInto(spark, surv, indexStore,
-          segName(math.max(batchId, 0L), compacted = true))
-      } else if (batchId >= 0) {
+      if (batchId >= 0) {
         // publish even an empty segment: it is the replay marker
         appendSegment(surv, indexStore, segName(batchId, compacted = false))
       } else if (!surv.isEmpty) {
-        // ad-hoc (non-streaming) call: no replay contract, skip empties
-        appendSegment(surv, indexStore, f"seg-adhoc-${segs.size}%06d")
+        // ad-hoc (non-streaming) call: no replay contract, skip
+        // empties; probe for a free name (maintenance shrinks counts,
+        // so the size alone can collide with a survivor of a merge)
+        val name = Iterator.from(listSegments(indexStore).size)
+          .map(i => f"seg-adhoc-$i%06d")
+          .find(n => !Files.exists(Paths.get(indexStore, n)) &&
+            !Files.exists(Paths.get(indexStore, n + "-c"))).get
+        appendSegment(surv, indexStore, name)
       }
+      maintain(spark, indexStore, maxSegments, mergeFactor)
     } finally surv.unpersist()
   }
 
@@ -202,12 +268,14 @@ object StreamingNearDedup {
     * available, then stops; read results with [[emitted]]. */
   def start(docs: DataFrame, indexStore: String, checkpointDir: String,
             shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-            jaccardThreshold: Double = 0.8, maxSegments: Int = 8): StreamingQuery =
+            jaccardThreshold: Double = 0.8, maxSegments: Int = 8,
+            mergeFactor: Int = 4): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) =>
         processBatch(batch, indexStore, shingleSize, numHashes, bands,
-          jaccardThreshold, batchId = id, maxSegments = maxSegments))
+          jaccardThreshold, batchId = id, maxSegments = maxSegments,
+          mergeFactor = mergeFactor))
       .trigger(Trigger.AvailableNow())
       .start()
 }

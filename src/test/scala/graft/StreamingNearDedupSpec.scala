@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -112,6 +114,58 @@ class StreamingNearDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(streamed == batch)
     assert(streamed == Set((1L, tA), (3L, tB), (4L, tC), (7L, tD)))
+  }
+
+  test("tiered maintenance: small segments fold together; the large one is never rewritten") {
+    val base = Files.createTempDirectory("graft_sndd_lsm")
+    val index = base.resolve("index").toString
+
+    def inodes(seg: java.nio.file.Path): Set[Long] =
+      Files.walk(seg).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.getAttribute(_, "unix:ino").asInstanceOf[Long]).toSet
+
+    // batch 0: 400 mutually-distinct docs → one LARGE segment whose
+    // size class sits far above any later tiny batch's
+    val big = (1L to 400L).map(i =>
+      (i, s"unique document number $i with entirely distinct words ${i * 7} ${i * 13} ${i * 31}"))
+    StreamingNearDedup.processBatch(big.toDF("doc_id", "text"), index,
+      3, 32, 16, 0.9, batchId = 0L, mergeFactor = 2)
+    val bigSeg = StreamingNearDedup.listSegments(index).head
+    val bigInodes = inodes(bigSeg)
+    assert(bigInodes.nonEmpty)
+
+    // batches 1..6: three distinct docs each; with mergeFactor=2 the
+    // tiny same-class segments fold among themselves (cascading), but
+    // their merged total stays classes below the large segment
+    for (i <- 1 to 6) {
+      val tiny = (1 to 3).map { j =>
+        (1000L * i + j, f"completely distinct tiny content $i%03d $j%03d alpha beta gamma")
+      }
+      StreamingNearDedup.processBatch(tiny.toDF("doc_id", "text"), index,
+        3, 32, 16, 0.9, batchId = i.toLong, mergeFactor = 2)
+    }
+
+    val segs = StreamingNearDedup.listSegments(index)
+    // 7 appends net far fewer segments: the tiered fold is running
+    assert(segs.size <= 4, s"expected tiered merging, got ${segs.map(_.getFileName)}")
+    // the large segment survives BY HARD LINK: same name, same inodes —
+    // its bytes were never rewritten by any tiny-segment fold
+    val bigAfter = segs.find(_.getFileName == bigSeg.getFileName)
+    assert(bigAfter.isDefined && inodes(bigAfter.get) == bigInodes)
+    // nothing lost or duplicated across 7 appends and every fold
+    val ids = StreamingNearDedup.emitted(spark, index)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 400 + 18 && ids.distinct.length == ids.length)
+
+    // replay of the NEWEST batch short-circuits even though its plain
+    // segment may have been folded: any merge group containing the
+    // max-named segment names the result seg-<batchId>-c
+    StreamingNearDedup.processBatch(
+      (1 to 3).map(j => (6000L + j, f"completely distinct tiny content 006 $j%03d alpha beta gamma"))
+        .toDF("doc_id", "text"),
+      index, 3, 32, 16, 0.9, batchId = 6L, mergeFactor = 2)
+    assert(StreamingNearDedup.emitted(spark, index).count() == 418)
   }
 
   test("a replayed batchId short-circuits, even for unshingleable docs") {
