@@ -33,11 +33,20 @@ import org.apache.spark.sql.functions._
   *    (round 5) made every vector a factor-sized cosine-1 clique;
   *  - region/nation stay fixed (TPC-H does not scale dimensions).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * where [tables] is an optional comma list restricting which tables
+  * are produced (dimension tables region/nation are always copied).
+  * IMPORTANT: always scale from the DRIVER-generated directory in one
+  * pass — composing two ScaleUp passes re-mutates the same every-3rd
+  * token positions, which OVERWRITES the first pass's copy markers and
+  * collapses its copies back into exact-duplicate cliques.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, factorS) = args
+    val (src, out, factorS, tablesArg) = args match {
+      case Array(s, o, f)     => (s, o, f, None)
+      case Array(s, o, f, ts) => (s, o, f, Some(ts.split(",").map(_.trim).toSet))
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,11 +55,12 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, out, factorS.toInt)
+    run(spark, src, out, factorS.toInt, tablesArg)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  def run(spark: SparkSession, src: String, out: String, factor: Int,
+          only: Option[Set[String]] = None): Unit = {
     // stride per keyed table: a round power of ten above the sf0.1 key
     // domain, so offset keys stay readable and never collide
     val strides = Map(
@@ -105,7 +115,8 @@ object ScaleUp {
       println(s"[scaleup] $t: copied")
     }
     for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
-                  "events", "documents", "embeddings")) {
+                  "events", "documents", "embeddings")
+         if only.forall(_.contains(t))) {
       val base = Tables.load(spark, src, t)
       val files = math.max(4, (base.count() * factor / 2000000L).toInt)
       replicate(t, base, factor)
