@@ -64,7 +64,8 @@ object Hyperplanes {
   * Three paths, per the standard design:
   *  - `bruteForceTopK` — exact baseline: broadcast the (small) query set
   *    against the corpus; one corpus scan, dot products via `zip_with` +
-  *    `aggregate`, per-query top-k via window. Right answer, O(|Q|·|C|).
+  *    `aggregate`, per-query top-k via the native bounded-heap
+  *    aggregate. Right answer, O(|Q|·|C|) compares but O(|Q|·k) state.
   *  - `lshTopK` — sign-LSH bucket join over random hyperplanes; only
   *    same-bucket candidates are scored. `tables` unions several
   *    independent hyperplane families for recall.
@@ -127,6 +128,25 @@ object SimilarityOps {
     math.min(maxBits, math.max(minBits, needed))
   }
 
+  /** Per-query top-k over a scored candidate frame (qid, cid, <score>),
+    * via [[graft.functions.TopKAgg.topKByScore]]: an ObjectHashAggregate
+    * with map-side partial combine whose per-group state is a k-capped
+    * heap. Identical ordering to the former
+    * `row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)`
+    * idiom (ties → lower cid; NaN sorts largest), but the shuffle
+    * carries |Q| heap buffers per partition instead of EVERY scored
+    * row, and no full-candidate sort exists in the plan — the sf100
+    * rehearsal caught the window form spending 26 min in one straggler
+    * task sorting a 2M-row query group single-threaded. */
+  private def rankTopK(scored: DataFrame, score: String, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topKByScore(col("cid"), col(score), k)
+        .as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        col("col.score").as(score), (col("pos") + 1).as("rank"))
+      .orderBy("qid", "rank")
+
   /** Exact brute-force cosine top-k.
     * `queries`: (qid, qvec); `corpus`: (cid, cvec). Returns
     * (qid, cid, cosine, rank) with rank 1..k per query, deterministic
@@ -137,12 +157,7 @@ object SimilarityOps {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "cosine", "rank")
-      .orderBy("qid", "rank")
+    rankTopK(scored, "cosine", k)
   }
 
   /** Exact top-k over int8-QUANTIZED vectors: both sides are quantized
@@ -158,14 +173,9 @@ object SimilarityOps {
     import graft.functions.VecExpressions.int8Quantize
     val qq = queries.select(col("qid"), int8Quantize(col("qvec")).as("qvec"))
     val qc = corpus.select(col("cid"), int8Quantize(col("cvec")).as("cvec"))
-    qc.crossJoin(broadcast(qq))
+    rankTopK(qc.crossJoin(broadcast(qq))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("qcos", cosine(col("qvec"), col("cvec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("qcos"), asc("cid"))))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "qcos", "rank")
-      .orderBy("qid", "rank")
+      .withColumn("qcos", cosine(col("qvec"), col("cvec"))), "qcos", k)
   }
 
   /** Approximate top-k via sign-LSH bucket join: candidates must share
@@ -222,14 +232,9 @@ object SimilarityOps {
     val cands =
       if (tables == 1) candTables.head
       else candTables.reduce(_ unionByName _).dropDuplicates("qid", "cid")
-    cands
-      .withColumn(score,
-        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc(score), asc("cid"))))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", score, "rank")
-      .orderBy("qid", "rank")
+    rankTopK(cands.withColumn(score,
+      cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
+      score, k)
   }
 
   // ── IVF ────────────────────────────────────────────────────────────
@@ -354,16 +359,12 @@ object SimilarityOps {
       .select(col("qid"), col("qvec"), l2Norm(col("qvec")).as("qnorm"),
         transform(slice(probeStructs, 1, nprobe), p => p.getField("cid"))
           .as("probe_ids"))
-    model.assigned.join(broadcast(qprobes),
+    rankTopK(model.assigned.join(broadcast(qprobes),
         array_contains(col("probe_ids"), col("centroid_id")) &&
           col("qid") =!= col("cid"))
       .withColumn("cosine",
-        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "cosine", "rank")
-      .orderBy("qid", "rank")
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
+      "cosine", k)
   }
 
   /** Convenience overload: fit (or reuse via `cacheKey`) then search. */
@@ -435,16 +436,12 @@ object SimilarityOps {
     val inv = model.assigned
       .select(col("cid"), col("centroid_id"), int8Quantize(col("cvec")).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
-    inv.join(broadcast(qprobes),
+    rankTopK(inv.join(broadcast(qprobes),
         array_contains(col("probe_ids"), col("centroid_id")) &&
           col("qid") =!= col("cid"))
       .withColumn("qcos",
-        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("qcos"), asc("cid"))))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "qcos", "rank")
-      .orderBy("qid", "rank")
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
+      "qcos", k)
   }
 
   /** Convenience overload: fit (or reuse via `cacheKey`) then search
