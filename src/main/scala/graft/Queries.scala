@@ -3961,7 +3961,256 @@ object Queries {
            |SELECT a.cid AS vec_id, CAST(a.kid AS INT) AS cluster
            |FROM asgF a LEFT JOIN dropped d ON d.cid = a.cid
            |WHERE d.cid IS NULL
-           |ORDER BY vec_id""".stripMargin))
+           |ORDER BY vec_id""".stripMargin)),
+
+    Q("q130_bm25_search",
+      (s, dir) => {
+        // BM25 ranked retrieval (k1=1.2, b=0.75) — q94's tf-idf upgraded
+        // with document-length normalization. House-style exact: the idf
+        // is the raw Robertson ratio (N-df+0.5)/(df+0.5) WITHOUT the log
+        // (the same log-free discipline as q75's lift), every double op
+        // is a correctly-rounded IEEE step written in the SAME order as
+        // the oracle SQL, and each (doc,term) contribution is floored to
+        // fixed-point BEFORE the per-doc sum — long addition is exactly
+        // associative, so the score is partitioning-independent.
+        // Plan shape: df/N/avgdl are term- and 1-row-sized (broadcast);
+        // only postings matching the query terms reach the doc_id
+        // scoring join — the standard document-at-a-time scoring
+        // shuffle. Top-50 via orderBy+limit → TakeOrdered.
+        val qTerms = Seq("join", "hash", "vector", "stream")
+        val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        def toks = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(col("term") =!= "")
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
+        val nD = col("n").cast(DoubleType)
+        val dfD = col("df").cast(DoubleType)
+        val tfD = col("tf").cast(DoubleType)
+        val avgdl = col("sum_dl").cast(DoubleType) / nD
+        val idfR = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+        val tfn = (tfD * lit(2.2)) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast(DoubleType) / avgdl)))
+        tf.filter(col("term").isin(qTerms: _*))
+          .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("c_fp", floor(idfR * tfn * lit(1000000.0)).cast(LongType))
+          .groupBy("doc_id")
+          .agg(sum("c_fp").as("score_fp"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score_fp").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+             |  FROM documents),
+             |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(
+             |      ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             |      * ((CAST(tf AS DOUBLE) * 2.2) /
+             |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+             |           (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             |      * 1000000.0) AS BIGINT) AS c_fp
+             |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+             |  WHERE term IN ('join', 'hash', 'vector', 'stream'))
+             |SELECT doc_id, CAST(sum(c_fp) AS BIGINT) AS score_fp,
+             |  CAST(count(*) AS BIGINT) AS n_terms
+             |FROM sc GROUP BY 1
+             |ORDER BY score_fp DESC, doc_id LIMIT 50""".stripMargin)),
+
+    Q("q131_sample_quantiles",
+      (s, dir) => {
+        // Grouped quantile SKETCH: a deterministic bottom-k-by-portable-
+        // hash sample per group (KMV-style — the same discipline as
+        // q104/q106), held in the native bounded-heap aggregate, then
+        // type-1 quantiles read off the sample. The scale contract the
+        // exact q121 percentile_disc cannot give: O(k) state per group
+        // through a map-side-combined ObjectHashAggregate, NO per-group
+        // sort of the input anywhere; rank error is O(1/sqrt(k)), and
+        // groups with <= k rows are EXACT (sf0.01 oracle runs partly in
+        // that regime; the spec covers the sampled regime). The sample
+        // ships ids only; values join back in one k*G-row hash join.
+        val k = 256
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val h = PortableHash.base(
+          concat(col("event_id").cast("string"), lit(":kq")))
+        val sampled = ev
+          .groupBy("event_type")
+          .agg(graft.functions.TopKAgg.topKByScore(
+            col("event_id"), -h.cast(DoubleType), k).as("tk"))
+          .select(col("event_type"), explode(col("tk.id")).as("event_id"))
+        val sv = sampled.join(ev.select("event_id", "value"), "event_id")
+        val wv = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        val ranked = sv
+          .withColumn("rn", row_number().over(wv).cast(LongType))
+          .withColumn("ns", count(lit(1))
+            .over(Window.partitionBy("event_type")).cast(LongType))
+        def atQ(p: Double, name: String) = max(when(
+          col("rn") === ceil(lit(p) * col("ns").cast(DoubleType)),
+          col("value"))).as(name)
+        ranked.groupBy("event_type")
+          .agg(max(col("ns")).as("n_sample"),
+            atQ(0.5, "p50"), atQ(0.9, "p90"), atQ(0.99, "p99"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, event_id, value,
+             |    (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':kq'), 1, 15))::BIGINT
+             |      % 2147483647) AS hv
+             |  FROM events),
+             |samp AS (
+             |  SELECT event_type, event_id, value FROM h
+             |  QUALIFY row_number() OVER (PARTITION BY event_type
+             |    ORDER BY hv, event_id) <= 256),
+             |rk AS (
+             |  SELECT event_type, value,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ns
+             |  FROM samp)
+             |SELECT event_type, max(ns) AS n_sample,
+             |  max(CASE WHEN rn = CAST(ceil(0.5 * CAST(ns AS DOUBLE)) AS BIGINT)
+             |    THEN value END) AS p50,
+             |  max(CASE WHEN rn = CAST(ceil(0.9 * CAST(ns AS DOUBLE)) AS BIGINT)
+             |    THEN value END) AS p90,
+             |  max(CASE WHEN rn = CAST(ceil(0.99 * CAST(ns AS DOUBLE)) AS BIGINT)
+             |    THEN value END) AS p99
+             |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q132_triangle_count",
+      (s, dir) => {
+        // Triangle counting over the part co-purchase graph (parts
+        // sharing an order), by DEGREE-ORDERED edge orientation: every
+        // edge points from its (degree, id)-smaller endpoint to the
+        // larger, so each triangle is counted at exactly one node and —
+        // the scale property — out-degree is bounded by O(sqrt(m)) even
+        // for hub nodes, which caps the wedge join that a naive
+        // adjacency self-join would blow up on. Wedges probe the
+        // oriented edge set in one equi-join on the (b,c) pair.
+        val pairs = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = pairs.as("x").join(pairs.as("y"), Seq("ok"))
+          .filter(col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("u"), col("y.pk").as("v"))
+          .distinct()
+        val deg = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val oriented = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("a"), col("v").as("b")))
+            .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
+          .persist()
+        val wedges = oriented.as("e1").join(oriented.as("e2"), Seq("a"))
+          .filter(col("e1.b") < col("e2.b"))
+          .select(col("e1.b").as("w1"), col("e2.b").as("w2"))
+        val tri = wedges.join(oriented,
+          col("w1") === col("a") && col("w2") === col("b"))
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(oriented.agg(count(lit(1)).as("n_edges"))))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT x.pk AS u, y.pk AS v
+             |  FROM pairs x JOIN pairs y ON x.ok = y.ok AND x.pk < y.pk),
+             |deg AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT u AS node FROM edges
+             |    UNION ALL SELECT v AS node FROM edges) GROUP BY 1),
+             |oriented AS (
+             |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |      THEN u ELSE v END AS a,
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |      THEN v ELSE u END AS b
+             |  FROM edges
+             |  JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+             |wedges AS (
+             |  SELECT e1.b AS w1, e2.b AS w2
+             |  FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a
+             |  WHERE e1.b < e2.b)
+             |SELECT CAST((SELECT count(*) FROM wedges w
+             |    JOIN oriented o ON o.a = w.w1 AND o.b = w.w2) AS BIGINT)
+             |  AS n_triangles,
+             |  CAST((SELECT count(*) FROM oriented) AS BIGINT) AS n_edges""".stripMargin)),
+
+    Q("q133_dsir_importance",
+      (s, dir) => {
+        // DSIR-shaped data selection (hashed-feature importance
+        // resampling, arXiv:2302.03169): estimate a TARGET unigram
+        // distribution (lang='en' docs) and the RAW corpus distribution
+        // over 1024 portable-hash buckets, weight every token occurrence
+        // by the add-one-smoothed probability ratio, and take the
+        // top-100 docs by summed weight. House-style exact: the ratio
+        // ((t_b+1)/(T+B)) / ((r_b+1)/(R+B)) is computed as ONE integer
+        // fixed-point division — no doubles anywhere, so the score is
+        // exact and partitioning-independent. Bucket tables are
+        // B-sized (broadcast); the only corpus-sized shuffles are the
+        // two bucket-count aggregations and the per-doc score sum.
+        val B = 1024
+        val toks = tp(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(col("term") =!= "")
+          .withColumn("bkt", PortableHash.long60(col("term")) % B)
+        val raw = toks.groupBy("bkt").agg(count(lit(1)).as("r_b"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy("bkt").agg(count(lit(1)).as("t_b"))
+        val totals = raw.agg(sum("r_b").as("rt"))
+          .crossJoin(tgt.agg(sum("t_b").as("tt")))
+        val w = raw.join(tgt, Seq("bkt"), "left")
+          .na.fill(0L, Seq("t_b"))
+          .crossJoin(broadcast(totals))
+          .select(col("bkt"), expr(
+            s"(1000000 * (t_b + 1) * (rt + $B)) div ((r_b + 1) * (tt + $B))")
+            .as("w_fp"))
+        toks.join(broadcast(w), "bkt")
+          .groupBy("doc_id")
+          .agg(sum("w_fp").as("score_fp"), count(lit(1)).as("n_tokens"))
+          .orderBy(col("score_fp").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    (('0x' || substr(md5(term), 1, 15))::BIGINT % 1024) AS bkt
+             |  FROM (
+             |    SELECT doc_id, lang,
+             |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+             |    FROM documents)
+             |  WHERE term <> ''),
+             |raw AS (SELECT bkt, count(*) AS r_b FROM toks GROUP BY 1),
+             |tgt AS (SELECT bkt, count(*) AS t_b FROM toks WHERE lang = 'en' GROUP BY 1),
+             |tot AS (
+             |  SELECT (SELECT sum(r_b) FROM raw) AS rt,
+             |         (SELECT sum(t_b) FROM tgt) AS tt),
+             |w AS (
+             |  SELECT raw.bkt,
+             |    (1000000 * (COALESCE(t_b, 0) + 1) * (rt + 1024))
+             |      // ((r_b + 1) * (tt + 1024)) AS w_fp
+             |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt CROSS JOIN tot)
+             |SELECT doc_id, CAST(sum(w_fp) AS BIGINT) AS score_fp,
+             |  CAST(count(*) AS BIGINT) AS n_tokens
+             |FROM toks JOIN w USING (bkt)
+             |GROUP BY 1 ORDER BY score_fp DESC, doc_id LIMIT 100""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
