@@ -107,13 +107,25 @@ object DedupOps {
                             shingleSize: Int = 3, numHashes: Int = 32,
                             bands: Int = 8, portable: Boolean = true,
                             release: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // persisted: both band-join branches read ONE MinHash derivation
     // from cache (lazy persist — AQE-safe; r1 measured that an eager
     // localCheckpoint and a self-alias join both LOSE, but a plain
     // persist wins, same as minhashVerifiedPairs)
     val sigs = minhashSignatures(df, id, text, shingleSize, numHashes, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairsFromSignatures(sigs, numHashes, bands, portable)
+    graft.CachePolicy.finish(release, Seq(sigs))(pairs)
+  }
+
+  /** The LSH band-join half of [[minhashCandidatePairs]], over an
+    * ALREADY-COMPUTED `(doc_id, sig)` frame — the entry point for
+    * callers that amortize the signature pass (a persisted
+    * [[SignatureStore]], a cached frame, a checkpoint). The caller owns
+    * the persistence of `sigs`; both band branches reference it twice. */
+  def candidatePairsFromSignatures(sigs: DataFrame, numHashes: Int = 32,
+                                   bands: Int = 8,
+                                   portable: Boolean = true): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val keyed = sigs
       .select(col("doc_id"), col("sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand, portable)).as("bb"))
@@ -122,14 +134,13 @@ object DedupOps {
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = keyed.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
-    graft.CachePolicy.finish(release, Seq(sigs))(pairs)
   }
 
   /** MinHash signatures with the document text carried through the
