@@ -3979,12 +3979,15 @@ object Queries {
         // shuffle. Top-50 via orderBy+limit → TakeOrdered.
         val qTerms = Seq("join", "hash", "vector", "stream")
         val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
-        def toks = docs
+        // ONE tokenize pass: doc length is the sum of the per-term
+        // counts, so dl/df/stats all derive from the persisted tf frame
+        val tf = docs
           .select(col("doc_id"),
             explode(split(lower(col("text")), "[^a-z]+")).as("term"))
           .filter(col("term") =!= "")
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist()
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
         val nD = col("n").cast(DoubleType)
@@ -4093,20 +4096,26 @@ object Queries {
     Q("q132_triangle_count",
       (s, dir) => {
         // Triangle counting over the part co-purchase graph (parts
-        // sharing an order), by DEGREE-ORDERED edge orientation: every
-        // edge points from its (degree, id)-smaller endpoint to the
-        // larger, so each triangle is counted at exactly one node and —
-        // the scale property — out-degree is bounded by O(sqrt(m)) even
-        // for hub nodes, which caps the wedge join that a naive
-        // adjacency self-join would blow up on. Wedges probe the
-        // oriented edge set in one equi-join on the (b,c) pair.
+        // co-bought in >= 2 orders — the market-basket support floor
+        // that keeps the graph REAL structure: one-off co-occurrences
+        // are noise that made every part a near-clique neighbor, 1.2M
+        // edges -> 36M wedges at sf0.1), by DEGREE-ORDERED edge
+        // orientation: every edge points from its (degree, id)-smaller
+        // endpoint to the larger, so each triangle is counted at
+        // exactly one node and — the scale property — out-degree is
+        // bounded by O(sqrt(m)) even for hub nodes, which caps the
+        // wedge join that a naive adjacency self-join would blow up
+        // on. Wedges probe the oriented edge set in one equi-join on
+        // the (b,c) pair.
         val pairs = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
         val edges = pairs.as("x").join(pairs.as("y"), Seq("ok"))
           .filter(col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("u"), col("y.pk").as("v"))
-          .distinct()
+          .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v")
         val deg = edges.select(col("u").as("node"))
           .union(edges.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -4131,8 +4140,9 @@ object Queries {
       Some("""WITH pairs AS (
              |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
              |edges AS (
-             |  SELECT DISTINCT x.pk AS u, y.pk AS v
-             |  FROM pairs x JOIN pairs y ON x.ok = y.ok AND x.pk < y.pk),
+             |  SELECT x.pk AS u, y.pk AS v
+             |  FROM pairs x JOIN pairs y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
              |deg AS (
              |  SELECT node, count(*) AS deg FROM (
              |    SELECT u AS node FROM edges
@@ -4167,14 +4177,21 @@ object Queries {
         // B-sized (broadcast); the only corpus-sized shuffles are the
         // two bucket-count aggregations and the per-doc score sum.
         val B = 1024
-        val toks = tp(s, dir, "documents")
+        // ONE tokenize pass: per-(doc, bucket) counts are persisted and
+        // every downstream frame (raw/target distributions, per-doc
+        // scores) is a rollup of that (|docs|*distinct-buckets)-sized
+        // frame — far smaller than the token stream it summarizes
+        val c = tp(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             explode(split(lower(col("text")), "[^a-z]+")).as("term"))
           .filter(col("term") =!= "")
-          .withColumn("bkt", PortableHash.long60(col("term")) % B)
-        val raw = toks.groupBy("bkt").agg(count(lit(1)).as("r_b"))
-        val tgt = toks.filter(col("lang") === "en")
-          .groupBy("bkt").agg(count(lit(1)).as("t_b"))
+          .groupBy(col("doc_id"), col("lang"),
+            (PortableHash.long60(col("term")) % B).as("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        val raw = c.groupBy("bkt").agg(sum("cnt").as("r_b"))
+        val tgt = c.filter(col("lang") === "en")
+          .groupBy("bkt").agg(sum("cnt").as("t_b"))
         val totals = raw.agg(sum("r_b").as("rt"))
           .crossJoin(tgt.agg(sum("t_b").as("tt")))
         val w = raw.join(tgt, Seq("bkt"), "left")
@@ -4183,9 +4200,10 @@ object Queries {
           .select(col("bkt"), expr(
             s"(1000000 * (t_b + 1) * (rt + $B)) div ((r_b + 1) * (tt + $B))")
             .as("w_fp"))
-        toks.join(broadcast(w), "bkt")
+        c.join(broadcast(w), "bkt")
           .groupBy("doc_id")
-          .agg(sum("w_fp").as("score_fp"), count(lit(1)).as("n_tokens"))
+          .agg(sum(col("w_fp") * col("cnt")).as("score_fp"),
+            sum("cnt").as("n_tokens"))
           .orderBy(col("score_fp").desc, col("doc_id"))
           .limit(100)
       },
