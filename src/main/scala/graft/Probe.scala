@@ -47,6 +47,24 @@ object Probe {
             emb, col("vec_id"), col("embedding"), threshold = 0.4,
             dim = dim, signBits = s.split(":").last.toInt)
             .select("id_a", "id_b"))
+      // adhoc:sigstore-update:<storeDir> — SignatureStore.update over
+      // the corpus: first run = cold signature pass + segment write,
+      // second run over the same store = steady-state (anti-join finds
+      // nothing, no write). adhoc:sigstore-pairs:<storeDir> — LSH band
+      // join STRAIGHT off the stored signatures (the amortized read
+      // path; compare against q35's recompute-everything time).
+      case s if s.startsWith("adhoc:sigstore-update:") =>
+        import org.apache.spark.sql.functions.col
+        graft.ext.SignatureStore.update(spark,
+          s.stripPrefix("adhoc:sigstore-update:"),
+          Tables.load(spark, sfDir, "documents").select("doc_id", "text"))
+      case s if s.startsWith("adhoc:sigstore-pairs:") =>
+        val sigs = graft.ext.SignatureStore
+          .read(spark, s.stripPrefix("adhoc:sigstore-pairs:"))
+          .getOrElse(sys.error("empty store"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ext.DedupOps.candidatePairsFromSignatures(sigs)
+          .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.5)
       case _ => SparkEntry.queries(name)(spark, sfDir)
     }
     val t0 = System.nanoTime()

@@ -201,6 +201,25 @@ object DedupOps {
     graft.CachePolicy.finish(release, Seq(sigs))(verified)
   }
 
+  /** [[minhashVerifiedPairs]] over PRECOMPUTED signatures (a
+    * [[SignatureStore]]) — the amortized end-to-end near-dup path: no
+    * signature recompute; texts for the exact-Jaccard verify join back
+    * from the corpus for the (candidate-sized, tiny) filtered pair set
+    * only. Output contract identical to minhashVerifiedPairs. */
+  def verifiedPairsFromSignatures(sigs: DataFrame, corpus: DataFrame,
+                                  id: Column, text: Column,
+                                  shingleSize: Int = 3, numHashes: Int = 32,
+                                  bands: Int = 8, estThreshold: Double = 0.5,
+                                  portable: Boolean = true): DataFrame = {
+    val docs = corpus.select(id.as("doc_id"), text.as("text"))
+    candidatePairsFromSignatures(sigs, numHashes, bands, portable)
+      .filter(col("est_jaccard") >= estThreshold)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("text_a"), col("text_b"), shingleSize))
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+  }
+
   /** Jaccard similarity of two ALREADY-MATERIALIZED distinct shingle
     * arrays. Callers computing similarity per candidate PAIR should
     * materialize `array_distinct(TextOps.shingles(text, k))` per

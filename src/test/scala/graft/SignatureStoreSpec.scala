@@ -60,6 +60,20 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(fromStore == direct)
   }
 
+  test("verified pairs from the store equal minhashVerifiedPairs over the corpus") {
+    val store = Files.createTempDirectory("sigstore").toString + "/s"
+    val c = docs(120)
+    val sigs = SignatureStore.update(spark, store, c)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val fromStore = DedupOps.verifiedPairsFromSignatures(
+      sigs, c, col("doc_id"), col("text")).collect().map(key).toSet
+    val direct = DedupOps.minhashVerifiedPairs(c, col("doc_id"), col("text"))
+      .collect().map(key).toSet
+    assert(fromStore == direct)
+    assert(fromStore.nonEmpty) // fixture actually exercises the path
+  }
+
   test("stale staging dir from a crashed update is ignored; compact folds and deletes") {
     val store = Files.createTempDirectory("sigstore").toString + "/s"
     SignatureStore.update(spark, store, docs(30))
