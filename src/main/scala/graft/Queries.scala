@@ -4228,7 +4228,167 @@ object Queries {
              |SELECT doc_id, CAST(sum(w_fp) AS BIGINT) AS score_fp,
              |  CAST(count(*) AS BIGINT) AS n_tokens
              |FROM toks JOIN w USING (bkt)
-             |GROUP BY 1 ORDER BY score_fp DESC, doc_id LIMIT 100""".stripMargin))
+             |GROUP BY 1 ORDER BY score_fp DESC, doc_id LIMIT 100""".stripMargin)),
+
+    Q("q134_cluster_topics",
+      (s, dir) => {
+        // Cluster topic labeling (BERTopic-style c-TF-IDF, log-free):
+        // assign every embedding to its IVF cluster — the SAME cached
+        // spherical-k-means fit q41/q70/q129 share, built once per
+        // session — join cluster ids onto the documents, and rank each
+        // cluster's terms by within-cluster relative frequency ×
+        // inverse cluster-frequency. House-style exact: the score
+        // (10000·cnt·nc) div (tot_c·cdf) is ONE integer division over
+        // exact counts — no log, no doubles — so the ranking is
+        // engine-portable. Plan shape: one tokenize pass; the
+        // per-(cluster, term) count frame is map-side combined and
+        // persisted, and every later frame (cluster totals, cluster-
+        // frequency, nc) is a rollup of it; the top-3 window partitions
+        // on cluster over vocabulary-sized frames — never corpus rows.
+        val corpus = tp(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val model = SimilarityOps.ivfFitCached(s"embeddings:$dir", corpus, nlist = 16)
+        val asg = model.assigned
+          .select(col("cid").as("doc_id"),
+            col("centroid_id").cast(IntegerType).as("cluster"))
+        val ct = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(length(col("term")) >= 4)
+          .join(asg, "doc_id")
+          .groupBy("cluster", "term").agg(count(lit(1)).as("cnt"))
+          .persist()
+        val tot = ct.groupBy("cluster").agg(sum("cnt").as("tot_c"))
+        val cdf = ct.groupBy("term").agg(count(lit(1)).as("cdf"))
+        val ncf = tot.agg(count(lit(1)).as("nc"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("score_fp").desc, col("term"))
+        ct.join(tot, "cluster").join(cdf, "term")
+          .crossJoin(broadcast(ncf))
+          .withColumn("score_fp",
+            expr("(10000 * cnt * nc) div (tot_c * cdf)"))
+          .withColumn("rank", row_number().over(w).cast(IntegerType))
+          .filter(col("rank") <= 3)
+          .select(col("cluster"), col("rank"), col("term"), col("score_fp"))
+          .orderBy("cluster", "rank")
+      },
+      // q41's full IVF-fit re-derivation, then the same c-TF-IDF rollups
+      Some(s"""$ivfOracleCtes,
+           |toksq AS (
+           |  SELECT a.kid AS cluster, t.term FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           |    FROM documents) t
+           |  JOIN asgF a ON a.cid = t.doc_id
+           |  WHERE len(t.term) >= 4),
+           |ct AS (SELECT cluster, term, count(*) AS cnt FROM toksq GROUP BY 1, 2),
+           |tot AS (SELECT cluster, sum(cnt) AS tot_c FROM ct GROUP BY 1),
+           |cdfq AS (SELECT term, count(*) AS cdf FROM ct GROUP BY 1),
+           |ncf AS (SELECT count(*) AS nc FROM tot),
+           |scored AS (
+           |  SELECT ct.cluster, ct.term,
+           |    (10000 * cnt * nc) // (tot_c * cdf) AS score_fp
+           |  FROM ct JOIN tot USING (cluster) JOIN cdfq USING (term) CROSS JOIN ncf),
+           |ranked AS (
+           |  SELECT cluster, term, score_fp,
+           |    row_number() OVER (PARTITION BY cluster
+           |      ORDER BY score_fp DESC, term) AS rank
+           |  FROM scored)
+           |SELECT CAST(cluster AS INT) AS cluster, CAST(rank AS INT) AS rank,
+           |  term, CAST(score_fp AS BIGINT) AS score_fp
+           |FROM ranked WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin)),
+
+    Q("q135_source_overlap",
+      (s, dir) => {
+        // Pairwise source-level corpus overlap — the cross-source
+        // leakage diagnostic run before mixing corpora (is 'web'
+        // contaminated with 'wiki'?): exact Jaccard of each source's
+        // DISTINCT 3-gram shingle set, computed via one self-join on
+        // the shingle key. Scale shape: the (source, shingle) distinct
+        // frame is one shuffle; the self-join fans out at most
+        // S²/2 rows per shingle (S = #sources, a handful), then
+        // map-side combines into an S²-sized pair frame — never an
+        // all-pairs document join. Zero-overlap pairs are kept (the
+        // S²-row dim-only cross join is broadcast).
+        val sh = tp(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val co = sh.as("a").join(sh.as("b"), "sh")
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        sizes.as("x").crossJoin(sizes.as("y"))
+          .filter(col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+            col("x.n").as("n_a"), col("y.n").as("n_b"))
+          .join(co, Seq("src_a", "src_b"), "left")
+          .na.fill(0L, Seq("n_common"))
+          .select(col("src_a"), col("src_b"), col("n_common"),
+            col("n_a"), col("n_b"),
+            expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+              .as("jaccard_fp"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |s3 AS (
+             |  SELECT source,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(generate_series(0, len(toks) - 3),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh3
+             |  FROM t),
+             |sh AS (SELECT DISTINCT source, unnest(sh3) AS sh FROM s3),
+             |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+             |co AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT x.source AS src_a, y.source AS src_b,
+             |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+             |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+             |  CAST((1000000 * COALESCE(n_common, 0))
+             |    // (x.n + y.n - COALESCE(n_common, 0)) AS BIGINT) AS jaccard_fp
+             |FROM sz x JOIN sz y ON x.source < y.source
+             |LEFT JOIN co ON co.src_a = x.source AND co.src_b = y.source
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    Q("q136_hard_negatives",
+      (s, dir) => {
+        // Hard-negative mining for contrastive fine-tuning: per anchor
+        // (vec_id < 16), the 10 most-similar vectors with a DIFFERENT
+        // label — q38's exact broadcast scan with the label-mismatch
+        // gate evaluated before the cosine.
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val corpus = emb.select(col("vec_id").as("cid"),
+          col("embedding").as("cvec"), col("label").as("clabel"))
+        SimilarityOps.hardNegativesTopK(queries, corpus, 10)
+          .select(col("qid"), col("cid"), r4(col("cosine")).as("cosine"),
+            col("rank"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qvec, label AS ql
+             |  FROM embeddings WHERE vec_id < 16),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id AS cid,
+             |    list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+             |      CAST(c.embedding AS DOUBLE[])) AS cos_raw
+             |  FROM embeddings c, q WHERE c.label <> q.ql),
+             |ranked AS (
+             |  SELECT qid, cid, cos_raw,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY cos_raw DESC, cid) AS rank
+             |  FROM scored)
+             |SELECT qid, cid, floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine,
+             |  CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -160,6 +160,23 @@ object SimilarityOps {
     rankTopK(scored, "cosine", k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors carrying a DIFFERENT label — the
+    * standard way to build (anchor, hard-negative) pairs for embedding
+    * fine-tuning. `queries`: (qid, qvec, qlabel); `corpus`:
+    * (cid, cvec, clabel). Same plan shape as [[bruteForceTopK]]
+    * (broadcast queries, one corpus scan, bounded-heap top-k — no
+    * full-candidate sort); the label-mismatch test is evaluated BEFORE
+    * the cosine, so same-label pairs never pay the array traversal.
+    * Swap the corpus scan for an LSH/IVF candidate stage when the
+    * corpus outgrows a single pass per query batch. */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("clabel") =!= col("qlabel"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    rankTopK(scored, "cosine", k)
+  }
+
   /** Exact top-k over int8-QUANTIZED vectors: both sides are quantized
     * by [[graft.functions.VecExpressions.Int8Quantize]] and scored by
     * the cosine of the integer CODE vectors — the per-vector scales

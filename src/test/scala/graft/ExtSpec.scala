@@ -96,6 +96,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative top-k: hits are cross-label and equal label-filtered brute force") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+      col("label").as("clabel"))
+    val out = SimilarityOps.hardNegativesTopK(q, c, 5).collect()
+    assert(out.length == 15)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall(r => labelOf(r.getLong(1)) != labelOf(r.getLong(0))))
+    for (qid <- 0L to 2L) {
+      val one = emb.filter(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val slice = emb.filter(col("label") =!= labelOf(qid))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val ref = SimilarityOps.bruteForceTopK(one, slice, 5).collect()
+        .map(r => (r.getLong(1), r.getInt(3))).toSet
+      val got = out.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getInt(3))).toSet
+      assert(got == ref)
+    }
+  }
+
   test("LSH top-k is a subset-quality approximation of brute force") {
     val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
