@@ -4388,7 +4388,134 @@ object Queries {
              |  FROM scored)
              |SELECT qid, cid, floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cosine,
              |  CAST(rank AS INT) AS rank
-             |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    Q("q137_passage_neardup",
+      (s, dir) => {
+        // Passage-level cross-document near-dup detection: q99's
+        // overlapping 64-token chunk grid, MinHash+LSH over the CHUNKS
+        // (the same portable signature pipeline as q35 — band-bucket
+        // join, never all-pairs), candidates restricted to chunks of
+        // DIFFERENT documents, rolled up to (doc_a, doc_b) with the
+        // matching-chunk count — catches documents that share an
+        // edited passage but are globally dissimilar, which
+        // whole-document MinHash (q35) misses by design. Chunk ids
+        // pack (doc_id, grid position) into one long (position <
+        // 1e6 — 48M tokens/doc); cid ordering therefore implies
+        // doc_a <= doc_b, and the cross-doc filter makes it strict.
+        val winSize = 64
+        val stride = 48
+        val chunks = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+              .as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+              .as(Seq("chunk_id", "st")),
+            col("toks"))
+          .select(
+            (col("doc_id") * 1000000L + col("chunk_id")).as("cid"),
+            array_join(slice(col("toks"), col("st") + 1, lit(winSize)), " ")
+              .as("ctext"))
+        DedupOps.minhashCandidatePairs(chunks, col("cid"), col("ctext"))
+          .filter(col("est_jaccard") >= 0.5)
+          .filter(expr("id_a div 1000000") =!= expr("id_b div 1000000"))
+          .groupBy(expr("id_a div 1000000").as("doc_a"),
+            expr("id_b div 1000000").as("doc_b"))
+          .agg(count(lit(1)).as("n_chunk_pairs"),
+            r4(max(col("est_jaccard"))).as("max_est"))
+          .orderBy("doc_a", "doc_b")
+      },
+      // q99's chunk grid + q35's full signature/band re-derivation,
+      // composed: DuckDB rebuilds every chunk signature from scratch
+      Some(s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+             |ch AS (
+             |  SELECT doc_id * 1000000 + (start // 48) AS cid,
+             |    array_to_string(toks[start + 1 : start + 64], ' ') AS ctext
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(0, n - 1, 48)) AS start FROM nz)),
+             |t AS (SELECT cid, string_split_regex(trim(ctext), '\\s+') AS toks FROM ch),
+             |s AS (
+             |  SELECT cid, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT cid, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT cid, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT cid, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.cid AS id_a, c.cid AS id_b, a.sig AS sig_a, c.sig AS sig_b
+             |  FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket AND a.cid < c.cid),
+             |f AS (
+             |  SELECT id_a // 1000000 AS doc_a, id_b // 1000000 AS doc_b,
+             |    len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est
+             |  FROM p
+             |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
+             |    AND id_a // 1000000 <> id_b // 1000000)
+             |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_chunk_pairs,
+             |  floor(max(est) * 10000.0 + 0.5) / 10000.0 AS max_est
+             |FROM f GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("q138_bigram_surprisal",
+      (s, dir) => {
+        // CCNet-style statistical quality filter, log-free: score every
+        // document by its mean bigram surprisal under the corpus's own
+        // bigram model — P(w2|w1) = n_ab / n_head(w1), surprisal kept
+        // as the exact integer reciprocal (1e6·n_head) div n_ab instead
+        // of -log p (the same no-log discipline as q75's lift), so the
+        // per-doc mean is pure long arithmetic and the ranking is
+        // engine-exact. High score = improbable transitions =
+        // boilerplate/gibberish candidates. Plan shape: ONE bigram
+        // pass, pre-aggregated per (doc, bigram) and persisted; the
+        // model tables (bigram + head counts) are vocabulary-sized
+        // rollups of it; scoring joins the per-doc frame against the
+        // model on the bigram key — corpus-sized rows never amplify.
+        val t = TextOps.tokens(col("text"))
+        val db = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(arrays_zip(
+              slice(t, lit(1), size(t) - 1),
+              slice(t, lit(2), size(t) - 1))).as("p"))
+          .select(col("doc_id"),
+            col("p").getField("0").as("t1"), col("p").getField("1").as("t2"))
+          .groupBy("doc_id", "t1", "t2").agg(count(lit(1)).as("k"))
+          .persist()
+        val big = db.groupBy("t1", "t2").agg(sum("k").as("n_ab"))
+        val hd = big.groupBy("t1").agg(sum("n_ab").as("n_head"))
+        db.join(big, Seq("t1", "t2")).join(hd, Seq("t1"))
+          .groupBy("doc_id")
+          .agg(sum(expr("k * ((1000000 * n_head) div n_ab)")).as("s_fp"),
+            sum("k").as("nb"))
+          .select(col("doc_id"), col("nb").as("n_bigrams"),
+            expr("s_fp div nb").as("avg_surprisal_fp"))
+          .orderBy(col("avg_surprisal_fp").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |bp AS (
+             |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM d),
+             |db AS (
+             |  SELECT doc_id, p[1] AS t1, p[2] AS t2, count(*) AS k
+             |  FROM bp GROUP BY 1, 2, 3),
+             |big AS (SELECT t1, t2, CAST(sum(k) AS BIGINT) AS n_ab FROM db GROUP BY 1, 2),
+             |hd AS (SELECT t1, CAST(sum(n_ab) AS BIGINT) AS n_head FROM big GROUP BY 1),
+             |sc AS (
+             |  SELECT doc_id, sum(k * ((1000000 * n_head) // n_ab)) AS s_fp,
+             |    sum(k) AS nb
+             |  FROM db JOIN big USING (t1, t2) JOIN hd USING (t1) GROUP BY 1)
+             |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+             |  CAST(s_fp // nb AS BIGINT) AS avg_surprisal_fp
+             |FROM sc ORDER BY avg_surprisal_fp DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
