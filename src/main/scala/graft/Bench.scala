@@ -35,10 +35,12 @@ object Bench {
     // shuffle warm-up otherwise lands on whichever queries the map
     // iterates first (measured: the same query's min-of-2 differs ~2x
     // by position). SPARK_GRAFT_WARMUP=0 disables.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       Seq("q04_hourly_profile", "q38_knn_bruteforce")
         .flatMap(SparkEntry.queries.get)
         .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
+      QueryCaches.drain()
+    }
     // A failed query is recorded as -1 with its name in "failed" — NOT as
     // its (fast) time-to-throw, which would make breakage look like a win.
     // Execution order is alphabetical — deterministic across runs/rounds
@@ -51,6 +53,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
+      // Release this query's inline caches before the next query starts:
+      // min-of-N above still reuses them (drain sits OUTSIDE the repeat
+      // loop), but the full sweep holds at most one query's caches, so a
+      // 138-query run no longer accumulates storage memory.
+      QueryCaches.drain()
       (name, ok, times.min, times.max)
     }
     val qs = results.map { case (k, ok, v, _) => "\"" + k + "\":" + (if (ok) v else -1) }

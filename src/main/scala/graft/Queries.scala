@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType
 import graft.analytics._
 import graft.etl.ChangeCapture
 import graft.ext._
+import graft.QueryCaches.Pinned
 
 /** Driver-facing query registry: one entry per SURVEY §2 operator (plus
   * the training-pipeline extensions), each with a DuckDB oracle where the
@@ -999,7 +1000,7 @@ object Queries {
         // re-deriving the min-md5-5-gram pipeline per row)
         val fps = tp(s, dir, "documents")
           .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .pin()
         val a = fps.select(col("fp"), col("doc_id").as("id_a"))
         val b = fps.select(col("fp"), col("doc_id").as("id_b"))
         val pairs = a.join(b, Seq("fp"))
@@ -1038,7 +1039,7 @@ object Queries {
           .select(col("doc_id"),
             TextOps.fingerprint(col("text"), 5).as("fp"),
             array_distinct(TextOps.shingles(col("text"), 3)).as("sd"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .pin()
         val a = fps.select(col("fp"), col("doc_id").as("id_a"), col("sd").as("sd_a"))
         val b = fps.select(col("fp"), col("doc_id").as("id_b"), col("sd").as("sd_b"))
         a.join(b, Seq("fp"))
@@ -1600,7 +1601,7 @@ object Queries {
           .withColumn("sc",
             greatest(graft.functions.VecExpressions.vecAbsMax(col("v")),
               lit(1e-30)) / 127.0)
-          .persist()
+          .pin()
         base.select(col("vec_id"), col("sc"), col("v"),
             graft.functions.VecExpressions.int8Quantize(col("v")).as("q"))
           .select(col("vec_id"),
@@ -1840,7 +1841,7 @@ object Queries {
         // joins — never a driver collect of data rows)
         val d = tp(s, dir, "documents")
         val norm = d.select(col("doc_id"),
-          TextOps.normalize(col("text")).as("text")).persist()
+          TextOps.normalize(col("text")).as("text")).pin()
         // bench set derives from the RAW frame, not the norm cache: the
         // broadcast subquery that builds its shingles runs before
         // anything else, and reading through `norm` would serialize the
@@ -1853,16 +1854,16 @@ object Queries {
           TrainingSetOps.contaminationFlags(norm, col("doc_id"), col("text"),
               bench, col("btext"), k = 5)
             .filter(!col("contaminated")).select("doc_id"),
-          Seq("doc_id")).persist()
+          Seq("doc_id")).pin()
         val deduped = CorpusPipeline.exactDedupKeepMin(clean,
-          col("doc_id"), col("text")).persist()
+          col("doc_id"), col("text")).pin()
         val scored = deduped.select(col("doc_id"),
           TextOps.qualityScore(col("text")).as("q"),
           TextOps.tokenCount(col("text")).as("nt"))
         val curated = TrainingSetOps.curateByBudget(scored, col("doc_id"),
           col("q"), col("nt"), budget = 8000L)
         val split = DedupOps.assignSplit(curated, col("doc_id"),
-          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).persist()
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).pin()
         val packed = TrainingSetOps.packSequencesByCount(
           split.filter(col("split") === "train"),
           col("doc_id"), col("n_tokens"), budget = 256, shards = 4)
@@ -3044,7 +3045,7 @@ object Queries {
           .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("term").agg(count(lit(1)).as("true_n"))
-          .persist()
+          .pin()
         val counters = SketchOps.cmsCounters(tf, col("term"), col("true_n"),
           depth = 4, width = 64)
         SketchOps.cmsEstimate(counters, tf.select(col("term")), col("term"),
@@ -3986,7 +3987,7 @@ object Queries {
             explode(split(lower(col("text")), "[^a-z]+")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .persist()
+          .pin()
         val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
@@ -4128,7 +4129,7 @@ object Queries {
               struct(col("u").as("a"), col("v").as("b")))
             .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
           .select(col("e.a").as("a"), col("e.b").as("b"))
-          .persist()
+          .pin()
         val wedges = oriented.as("e1").join(oriented.as("e2"), Seq("a"))
           .filter(col("e1.b") < col("e2.b"))
           .select(col("e1.b").as("w1"), col("e2.b").as("w2"))
@@ -4188,7 +4189,7 @@ object Queries {
           .groupBy(col("doc_id"), col("lang"),
             (PortableHash.long60(col("term")) % B).as("bkt"))
           .agg(count(lit(1)).as("cnt"))
-          .persist()
+          .pin()
         val raw = c.groupBy("bkt").agg(sum("cnt").as("r_b"))
         val tgt = c.filter(col("lang") === "en")
           .groupBy("bkt").agg(sum("cnt").as("t_b"))
@@ -4257,7 +4258,7 @@ object Queries {
           .filter(length(col("term")) >= 4)
           .join(asg, "doc_id")
           .groupBy("cluster", "term").agg(count(lit(1)).as("cnt"))
-          .persist()
+          .pin()
         val tot = ct.groupBy("cluster").agg(sum("cnt").as("tot_c"))
         val cdf = ct.groupBy("term").agg(count(lit(1)).as("cdf"))
         val ncf = tot.agg(count(lit(1)).as("nc"))
@@ -4314,7 +4315,7 @@ object Queries {
           .select(col("source"),
             explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .pin()
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
         val co = sh.as("a").join(sh.as("b"), "sh")
           .filter(col("a.source") < col("b.source"))
@@ -4401,7 +4402,9 @@ object Queries {
         // edited passage but are globally dissimilar, which
         // whole-document MinHash (q35) misses by design. Chunk ids
         // pack (doc_id, grid position) into one long (position <
-        // 1e6 — 48M tokens/doc); cid ordering therefore implies
+        // 1e6 — 48M tokens/doc — ENFORCED: PackedIds.packGridId
+        // raise_errors on out-of-envelope ids rather than silently
+        // colliding across documents); cid ordering therefore implies
         // doc_a <= doc_b, and the cross-doc filter makes it strict.
         val winSize = 64
         val stride = 48
@@ -4415,7 +4418,8 @@ object Queries {
               .as(Seq("chunk_id", "st")),
             col("toks"))
           .select(
-            (col("doc_id") * 1000000L + col("chunk_id")).as("cid"),
+            graft.functions.PackedIds.packGridId(col("doc_id"), col("chunk_id"))
+              .as("cid"),
             array_join(slice(col("toks"), col("st") + 1, lit(winSize)), " ")
               .as("ctext"))
         DedupOps.minhashCandidatePairs(chunks, col("cid"), col("ctext"))
@@ -4488,7 +4492,7 @@ object Queries {
           .select(col("doc_id"),
             col("p").getField("0").as("t1"), col("p").getField("1").as("t2"))
           .groupBy("doc_id", "t1", "t2").agg(count(lit(1)).as("k"))
-          .persist()
+          .pin()
         val big = db.groupBy("t1", "t2").agg(sum("k").as("n_ab"))
         val hd = big.groupBy("t1").agg(sum("n_ab").as("n_head"))
         db.join(big, Seq("t1", "t2")).join(hd, Seq("t1"))

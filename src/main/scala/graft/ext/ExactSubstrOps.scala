@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact-substring duplication profiling — the ExactSubstr side of the
+  * dedup family (Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better", arXiv:2107.06499): find every maximal token span of a
+  * document that re-occurs verbatim elsewhere in the corpus, and report
+  * per-document duplicated-span coverage. Whole-document MinHash (q35)
+  * and the chunk-grid pass (q137) both miss this shape: a boilerplate
+  * license header pasted into thousands of otherwise-unique documents
+  * never lifts whole-doc (or even chunk) Jaccard above threshold, but is
+  * exactly what ExactSubstr removes before LM training.
+  *
+  * The paper builds a corpus-wide suffix array; the Spark-first
+  * re-expression replaces it with fixed-length rolling token grams
+  * (stride 1), which detect every duplicated substring of >= `l` tokens
+  * (a duplicated span of length m >= l contains m-l+1 duplicated grams,
+  * and the island merge below reassembles them into the maximal span).
+  * Spans shorter than `l` are deliberately below the match floor, same
+  * role as the paper's 50-token threshold.
+  *
+  * Scale shape (the reason this survives 100 TB where a suffix array
+  * does not distribute):
+  *  - the gram frame is corpus-token-sized (one row per position) and
+  *    never wider than (doc_id, pos, gram);
+  *  - "occurs >= minOccurrences times" is ONE map-side-combined count
+  *    on the gram key, and feeds back as a LEFT SEMI join (no payload);
+  *  - span reassembly is a per-document window over the doc's
+  *    *duplicated* positions only — partitioned by doc_id, never global;
+  *  - nothing is all-pairs: two documents sharing a span never meet in
+  *    a join, they only co-occur under one gram key.
+  */
+object ExactSubstrOps {
+
+  /** Per-document duplicated-span profile. Output: one row per document
+    * that contains at least one duplicated gram — (doc_id, n_spans,
+    * dup_tokens, n_tokens, coverage_fp) where coverage_fp is
+    * (10000 * dup_tokens) div n_tokens (fixed-point, engine-portable).
+    *
+    * @param l              gram length in tokens — the minimum span
+    *                       length that counts as duplicated
+    * @param minOccurrences a gram is duplicated when it occurs this many
+    *                       times corpus-wide (2 = the paper's "appears
+    *                       twice"; within-doc repeats count, as they do
+    *                       in a suffix array)
+    */
+  def dupSpanProfile(docs: DataFrame, id: Column, text: Column,
+                     l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+    require(l >= 2, s"gram length must be >= 2, got $l")
+    val toks = docs
+      .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .filter(col("n_tokens") >= l)
+    // one row per grid position, stride 1: pos ranges over 0..n-l
+    val grams = toks.select(
+      col("doc_id"), col("n_tokens"),
+      posexplode(transform(
+        sequence(lit(0), size(col("toks")) - l),
+        i => array_join(slice(col("toks"), i + 1, l), " ")))
+        .as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences)
+      .select("gram")
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    // gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge
+    // overlapping or contiguous covers into maximal spans. Both frames
+    // share one (doc_id, pos) sort, so Catalyst runs them in a single
+    // WindowExec over per-document partitions.
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(l - 1).cast(LongType))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupPos
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum("new_span").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "n_tokens", "span_id")
+      .agg(min("pos").as("sp_start"),
+        (max(col("pos")) + lit(l - 1).cast(LongType)).as("sp_end"))
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("sp_end") - col("sp_start") + 1L).as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        expr("(10000 * dup_tokens) div n_tokens").as("coverage_fp"))
+  }
+}

@@ -168,6 +168,14 @@ object SimilarityOps {
     * (broadcast queries, one corpus scan, bounded-heap top-k — no
     * full-candidate sort); the label-mismatch test is evaluated BEFORE
     * the cosine, so same-label pairs never pay the array traversal.
+    * NULL-label semantics (deliberate, SQL-standard): `clabel =!= qlabel`
+    * is three-valued, so a NULL on EITHER side drops the pair — a
+    * null-labeled corpus vector is never returned as a negative, and a
+    * null-labeled query gets zero negatives. This matches the DuckDB
+    * `<>` oracle exactly (portability is why the filter is not
+    * null-safe); callers with partially-labeled corpora who want
+    * unlabeled vectors treated as cross-label should pre-fill labels
+    * (e.g. `coalesce(label, '∅')`) before calling.
     * Swap the corpus scan for an LSH/IVF candidate stage when the
     * corpus outgrows a single pass per query batch. */
   def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
