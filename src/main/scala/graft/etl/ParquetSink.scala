@@ -48,6 +48,32 @@ object ParquetSink {
       .parquet(path)
   }
 
+  /** Z-order clustered write (Delta/Iceberg `OPTIMIZE ZORDER` shape):
+    * range-partition by the Morton address of (colA, colB) and sort each
+    * file by it, so per-file min/max stats stay narrow on BOTH columns
+    * and box predicates prune files. `numFiles` sizes the layout (at
+    * scale: total bytes / target file size). The dimension ranges are
+    * computed in one tiny agg (4 longs to the driver — layout metadata,
+    * not data); the write itself is one range exchange + per-partition
+    * sort, no global sort. The z column is dropped before writing — the
+    * layout is an ORDER, not a schema change. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    numFiles: Int, path: String): Unit = {
+    if (df.isEmpty) throw EmptyWriteException(path)
+    val r = df.agg(min(colA), max(colA), min(colB), max(colB)).head()
+    val z = graft.functions.ZOrder.zAddress(
+      col(colA), lit(r.getLong(0)), lit(r.getLong(1)),
+      col(colB), lit(r.getLong(2)), lit(r.getLong(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(path)
+  }
+
   /** S8 — output path templating
     * (`FRESCO_{dataset}_ts_{folder}_v{version}_{timestamp}.parquet`,
     * base_loader.py:76-96). */

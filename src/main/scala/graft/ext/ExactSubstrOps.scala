@@ -55,18 +55,27 @@ object ExactSubstrOps {
       .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .filter(col("n_tokens") >= l)
-    // one row per grid position, stride 1: pos ranges over 0..n-l
+    // one row per grid position, stride 1: pos ranges over 0..n-l. The
+    // gram text is immediately collapsed to its 60-bit portable md5
+    // prefix (PortableHash.long60, codegen'd): the count shuffle and the
+    // semi-join feedback then move 8-byte keys instead of ~l-token
+    // strings — the dominant shuffle of this operator at scale. The
+    // DuckDB oracle groups by the equivalent hex prefix, so a (presumed
+    // astronomically unlikely) 60-bit collision would affect both
+    // engines identically.
     val grams = toks.select(
       col("doc_id"), col("n_tokens"),
       posexplode(transform(
         sequence(lit(0), size(col("toks")) - l),
-        i => array_join(slice(col("toks"), i + 1, l), " ")))
+        i => array_join(slice(col("toks"), i + 1, lit(l)), " ")))
         .as(Seq("pos", "gram")))
-    val dupGrams = grams.groupBy("gram")
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        PortableHash.long60(col("gram")).as("gkey"))
+    val dupKeys = grams.groupBy("gkey")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccurrences)
-      .select("gram")
-    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select("gkey")
+    val dupPos = grams.join(dupKeys, Seq("gkey"), "left_semi")
       .select(col("doc_id"), col("n_tokens"), col("pos"))
     // gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge
     // overlapping or contiguous covers into maximal spans. Both frames

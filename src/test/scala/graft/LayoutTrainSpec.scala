@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.ParquetSink
+import graft.ext.{ClassifierOps, ExactSubstrOps}
+import graft.functions.ZOrder
+
+/** Round-7 additions: ExactSubstr span profiling, in-engine classifier
+  * training, Z-order clustered layout. */
+class LayoutTrainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- ExactSubstrOps ------------------------------------------------
+
+  private val shared10 = "a b c d e f g h i j" // 10-token shared passage
+
+  test("dupSpanProfile merges overlapping grams into one maximal span") {
+    // two docs share a 10-token passage; with l=8 that is 3 duplicated
+    // grams per doc (positions 1..3 resp. 0..2), one island each
+    val docs = Seq(
+      (1L, s"x $shared10 y z w q r s t"),
+      (2L, s"$shared10 p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    // doc 1: span covers positions 1..10 (10 tokens); doc 2: 0..9
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 10L) // n_spans, dup_tokens
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 10L)
+    // coverage: doc 1 has 18 tokens -> (10000*10) div 18 = 5555
+    assert(out(0).getLong(4) == 5555L)
+  }
+
+  test("dupSpanProfile separates non-contiguous spans and counts within-doc repeats") {
+    // one doc containing the same 8-gram twice with a unique gap:
+    // both occurrences are duplicated grams (corpus count 2), two islands
+    val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq((7L, s"$eight u1 u2 u3 u4 $eight")).toDF("doc_id", "text")
+    val out = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L)  // two spans
+    assert(out(0).getLong(2) == 16L) // 8 + 8 duplicated tokens
+  }
+
+  test("dupSpanProfile is empty when nothing repeats") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    assert(ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text")).isEmpty)
+  }
+
+  // ---- ClassifierOps -------------------------------------------------
+
+  test("hard-sigmoid LR separates a linearly separable cloud") {
+    // y = 1 iff x1 + x2 > 0; standardized-ish inputs around +-1
+    val rows = (0 until 200).map { i =>
+      val x1 = if (i % 2 == 0) 1.0 + (i % 7) * 0.1 else -1.0 - (i % 5) * 0.1
+      val x2 = if (i % 3 == 0) 0.5 else -0.25
+      (if (x1 + x2 > 0) 1.0 else 0.0, x1, x2)
+    }
+    val f = rows.toDF("y", "x1", "x2")
+    val w = ClassifierOps.fitHardSigmoidLR(f, Seq("x1", "x2"), "y", iters = 10, lr = 2.0)
+    val scored = f.select(col("y"),
+      ClassifierOps.score(w.toSeq, Seq("x1", "x2")).as("p"))
+    val acc = scored.agg(avg(when(
+      (col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(acc >= 0.95, s"accuracy $acc with weights ${w.toSeq}")
+    assert(w(1) > 0) // the dominant feature gets a positive weight
+  }
+
+  test("hardSigmoid clamps to [0, 1] and is 0.5 at z = 0") {
+    val out = Seq(-10.0, -2.0, 0.0, 2.0, 10.0).toDF("z")
+      .select(ClassifierOps.hardSigmoid(col("z")).as("p"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(0.0, 0.0, 0.5, 1.0, 1.0))
+  }
+
+  // ---- ZOrder --------------------------------------------------------
+
+  test("interleave16 places a-bits at even and b-bits at odd positions") {
+    val out = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (3L, 1L), (0xFFFFL, 0xFFFFL))
+      .toDF("a", "b")
+      .select(ZOrder.interleave16(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(0x55555555L, 0xAAAAAAAAL, 7L, 0xFFFFFFFFL))
+  }
+
+  test("grid16 maps range edges to grid edges and clamps outliers") {
+    val out = Seq(0L, 50L, 100L, -5L, 120L).toDF("v")
+      .select(ZOrder.grid16(col("v"), lit(0L), lit(100L)).as("g"))
+      .as[Long].collect().toSeq
+    assert(out(0) == 0L && out(2) == 65535L)
+    assert(out(1) == 50L * 65535L / 100L)
+    assert(out(3) == 0L && out(4) == 65535L) // clamped
+  }
+
+  test("writeZOrdered keeps per-file min/max narrow on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    ParquetSink.writeZOrdered(li, "l_partkey", "l_suppkey", 8, s"$dir/z")
+    // insertion-order baseline: same file count, no clustering
+    li.repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/lin")
+    def meanBoxArea(path: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_partkey") - min("l_partkey")).as("pw"),
+          (max("l_suppkey") - min("l_suppkey")).as("sw"))
+      stats.agg(avg(col("pw") * col("sw"))).head().getDouble(0)
+    }
+    val (zArea, linArea) = (meanBoxArea(s"$dir/z"), meanBoxArea(s"$dir/lin"))
+    // a Z-clustered file covers a small cell of the (partkey, suppkey)
+    // grid; insertion order covers nearly the full rectangle per file
+    assert(zArea < linArea / 2, s"z=$zArea lin=$linArea")
+  }
+}
