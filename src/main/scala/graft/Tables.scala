@@ -25,8 +25,20 @@ object Tables {
     // ScaleUp output) already carries TimestampType and round-trips
     // untouched.
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // A rewritten events table (ScaleUp output): Spark 4 writes the
+      // µs timestamps with isAdjustedToUTC=false, and the reader's NTZ
+      // inference then surfaces TimestampNTZType. Every session builder
+      // pins spark.sql.session.timeZone=UTC, so the NTZ wall-clock
+      // digits ARE the UTC instant — the cast re-attaches the zone
+      // without shifting values (ScaleUpSpec pins the round trip).
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }
