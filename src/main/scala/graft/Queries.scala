@@ -4797,7 +4797,181 @@ object Queries {
              |    CAST(sum(cnt) AS BIGINT) rows_total,
              |    CAST(sum(match_cnt) AS BIGINT) rows_matched
              |  FROM fz)
-             |SELECT * FROM sl UNION ALL SELECT * FROM sz ORDER BY layout""".stripMargin))
+             |SELECT * FROM sl UNION ALL SELECT * FROM sz ORDER BY layout""".stripMargin)),
+
+    Q("q142_grouped_classifier",
+      (s, dir) => {
+        // Model-parallel classifier training: ONE independent hard-
+        // sigmoid LR per source (the "per-domain quality model" pattern),
+        // all 20 fitted simultaneously by fitGroupedHardSigmoidLR — each
+        // GD step is one broadcast join of the model-sized weights frame
+        // plus one grouped aggregation, so 10k domains would train in
+        // the same four passes. Features/labels as q140; standardization
+        // is global so weights are comparable across sources. Output:
+        // per-source weights + confusion (the cross-source spread of
+        // w_ntok/w_stop is itself a domain-shift diagnostic).
+        val txt = col("text")
+        val nt = TextOps.tokenCount(txt).cast(DoubleType)
+        val f0 = tp(s, dir, "documents")
+          .filter(TextOps.tokenCount(txt) > 0)
+          .select(
+            col("source"),
+            when(TextOps.qualityScore(txt) >= 0.7, 1.0).otherwise(0.0).as("y"),
+            nt.as("x1"),
+            TextOps.punctRatio(txt).as("x2"),
+            TextOps.stopwordRatio(txt).as("x3"),
+            (size(array_distinct(TextOps.tokens(txt))).cast(DoubleType) /
+              greatest(nt, lit(1.0))).as("x4"))
+        val stRow = f0.agg(
+          avg("x1").as("m1"), greatest(stddev_pop("x1"), lit(1e-12)).as("s1"),
+          avg("x2").as("m2"), greatest(stddev_pop("x2"), lit(1e-12)).as("s2"),
+          avg("x3").as("m3"), greatest(stddev_pop("x3"), lit(1e-12)).as("s3"),
+          avg("x4").as("m4"), greatest(stddev_pop("x4"), lit(1e-12)).as("s4"))
+        val zCols = Seq("z1", "z2", "z3", "z4")
+        val f = f0.crossJoin(broadcast(stRow))
+          .select(col("source") +: col("y") +:
+            zCols.zipWithIndex.map { case (z, i) =>
+              ((col(s"x${i + 1}") - col(s"m${i + 1}")) / col(s"s${i + 1}")).as(z)
+            }: _*)
+          .pin()
+        val wDf = ClassifierOps.fitGroupedHardSigmoidLR(
+          f, "source", zCols, "y", iters = 4, lr = 2.0)
+        val z = zCols.zipWithIndex.foldLeft(col("_w0")) { case (acc, (c, i)) =>
+          acc + col(c) * col(s"_w${i + 1}")
+        }
+        val cf = f.join(broadcast(wDf), "source")
+          .select(col("source"), col("y"), ClassifierOps.hardSigmoid(z).as("p"))
+          .groupBy("source")
+          .agg(
+            sum(when(col("p") >= 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("p") >= 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("p") < 0.5 && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("p") < 0.5 && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+        wDf.join(cf, "source")
+          .select(col("source"),
+            r4(col("_w0")).as("w_bias"), r4(col("_w1")).as("w_ntok"),
+            r4(col("_w2")).as("w_punct"), r4(col("_w3")).as("w_stop"),
+            r4(col("_w4")).as("w_ttr"),
+            col("tp"), col("fp"), col("fn"), col("tn"))
+          .orderBy("source")
+      },
+      // q140's unrolled GD with every stage grouped by source: the
+      // weights CTEs carry one row per source instead of one row total
+      Some {
+        val head =
+          """WITH toksq AS (
+            |  SELECT doc_id, source, text,
+            |    string_split_regex(trim(text), '\s+') AS t,
+            |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+            |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS DOUBLE) AS stop_hits,
+            |    CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE) AS n_punct
+            |  FROM documents),
+            |f0 AS (
+            |  SELECT source,
+            |    CASE WHEN floor((least(n_tokens / 64.0, 1.0) * 0.4
+            |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+            |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 >= 0.7
+            |      THEN 1.0 ELSE 0.0 END AS y,
+            |    n_tokens AS x1,
+            |    n_punct / greatest(length(text), 1.0) AS x2,
+            |    stop_hits / greatest(n_tokens, 1.0) AS x3,
+            |    CAST(len(list_distinct(t)) AS DOUBLE) / greatest(n_tokens, 1.0) AS x4
+            |  FROM toksq WHERE len(t) > 0),
+            |st AS (
+            |  SELECT avg(x1) m1, greatest(stddev_pop(x1), 1e-12) s1,
+            |         avg(x2) m2, greatest(stddev_pop(x2), 1e-12) s2,
+            |         avg(x3) m3, greatest(stddev_pop(x3), 1e-12) s3,
+            |         avg(x4) m4, greatest(stddev_pop(x4), 1e-12) s4
+            |  FROM f0),
+            |f AS (
+            |  SELECT source, y, (x1-m1)/s1 AS z1, (x2-m2)/s2 AS z2,
+            |         (x3-m3)/s3 AS z3, (x4-m4)/s4 AS z4
+            |  FROM f0 CROSS JOIN st),
+            |w0 AS (SELECT DISTINCT source, 0.0 wb, 0.0 w1, 0.0 w2, 0.0 w3, 0.0 w4 FROM f)""".stripMargin
+        val steps = (1 to 4).map { i =>
+          s""",
+             |p$i AS (SELECT f.source AS source, y, z1, z2, z3, z4,
+             |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
+             |  FROM f JOIN w${i - 1} USING (source)),
+             |g$i AS (SELECT source, avg(p - y) gb, avg((p-y)*z1) g1, avg((p-y)*z2) g2,
+             |  avg((p-y)*z3) g3, avg((p-y)*z4) g4 FROM p$i GROUP BY source),
+             |w$i AS (SELECT source, wb - 2.0*gb AS wb, w1 - 2.0*g1 AS w1, w2 - 2.0*g2 AS w2,
+             |  w3 - 2.0*g3 AS w3, w4 - 2.0*g4 AS w4 FROM w${i - 1} JOIN g$i USING (source))""".stripMargin
+        }.mkString
+        val tail =
+          """,
+            |sc AS (SELECT source, y,
+            |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
+            |  FROM f JOIN w4 USING (source)),
+            |cf AS (SELECT source,
+            |  CAST(count(*) FILTER (p >= 0.5 AND y = 1.0) AS BIGINT) tp,
+            |  CAST(count(*) FILTER (p >= 0.5 AND y = 0.0) AS BIGINT) fp,
+            |  CAST(count(*) FILTER (p < 0.5 AND y = 1.0) AS BIGINT) fn,
+            |  CAST(count(*) FILTER (p < 0.5 AND y = 0.0) AS BIGINT) tn
+            |  FROM sc GROUP BY source)
+            |SELECT source,
+            |  floor(wb*10000+0.5)/10000 AS w_bias, floor(w1*10000+0.5)/10000 AS w_ntok,
+            |  floor(w2*10000+0.5)/10000 AS w_punct, floor(w3*10000+0.5)/10000 AS w_stop,
+            |  floor(w4*10000+0.5)/10000 AS w_ttr, tp, fp, fn, tn
+            |FROM w4 JOIN cf USING (source) ORDER BY source""".stripMargin
+        head + steps + tail
+      }),
+
+    Q("q143_strip_dup_spans",
+      (s, dir) =>
+        // The APPLY side of q139: rebuild each affected document with
+        // its duplicated spans removed (strip-everywhere policy — see
+        // ExactSubstrOps.stripDupSpans scaladoc) and return the 50 most-
+        // reduced documents WITH the reconstructed text, so the oracle
+        // proves the actual byte-level rewrite, not just the counts.
+        ExactSubstrOps.stripDupSpans(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+          .orderBy(col("removed_tokens").desc, col("doc_id"))
+          .limit(50),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |nz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d
+             |  WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+             |dp AS (SELECT doc_id, n, pos FROM g
+             |  WHERE gkey IN (SELECT gkey FROM dup)),
+             |m AS (SELECT doc_id, n, pos,
+             |  max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM dp),
+             |mk AS (SELECT doc_id, n, pos,
+             |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM m),
+             |sp AS (SELECT doc_id, n, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM mk),
+             |spans AS (SELECT doc_id, n, span_id, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM sp GROUP BY 1, 2, 3),
+             |cov AS (SELECT doc_id, unnest(generate_series(CAST(st AS INT),
+             |    CAST(en AS INT))) AS pos FROM spans),
+             |allpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 1)) AS pos FROM nz),
+             |tokpos AS (SELECT doc_id, n, pos, t[pos + 1] AS tok FROM allpos),
+             |kept AS (SELECT k.doc_id, k.n, k.pos, k.tok FROM tokpos k
+             |  ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos),
+             |reb AS (SELECT doc_id, n,
+             |    CAST(count(*) AS BIGINT) AS kept_tokens,
+             |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+             |  FROM kept GROUP BY doc_id, n),
+             |aff AS (SELECT DISTINCT doc_id, n FROM spans)
+             |SELECT aff.doc_id, aff.n AS n_tokens,
+             |  COALESCE(kept_tokens, 0) AS kept_tokens,
+             |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
+             |  COALESCE(cleaned_text, '') AS cleaned_text
+             |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
+             |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

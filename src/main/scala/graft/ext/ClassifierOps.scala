@@ -61,4 +61,52 @@ object ClassifierOps {
   def score(w: Seq[Double], xCols: Seq[String]): Column =
     hardSigmoid(xCols.zipWithIndex
       .foldLeft(lit(w.head)) { case (acc, (c, i)) => acc + col(c) * w(i + 1) })
+
+  /** Model-parallel variant: fit one independent hard-sigmoid LR PER
+    * GROUP (per-domain quality models — the "one fastText per source"
+    * pattern), all trained simultaneously. Each iteration is ONE
+    * broadcast join (the weights frame is model-sized: |groups|×(d+1)
+    * doubles) plus ONE grouped aggregation; the driver holds only the
+    * weights map between iterations (IVF-centroid precedent), so the
+    * per-iteration plan stays FLAT — no recursive plan growth, the
+    * iterative-loop trap documented in STATUS round 6. 10k groups cost
+    * the same number of passes as one.
+    *
+    * Returns (group, w0..wd) with w0 the bias. Groups are read from
+    * `features` itself; a group's model sees only its own rows. */
+  def fitGroupedHardSigmoidLR(features: DataFrame, groupCol: String,
+                              xCols: Seq[String], yCol: String,
+                              iters: Int = 4, lr: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    require(iters >= 1 && xCols.nonEmpty)
+    val spark = features.sparkSession
+    val d = xCols.size
+    val schema = StructType(StructField(groupCol, StringType) +:
+      (0 to d).map(i => StructField(s"_w$i", DoubleType)))
+    def weightsDf(w: Map[String, Array[Double]]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          w.toSeq.sortBy(_._1).map { case (g, ws) => Row.fromSeq(g +: ws.toSeq) }, 1),
+        schema)
+    var w: Map[String, Array[Double]] =
+      features.select(groupCol).distinct().collect()
+        .map(r => r.getString(0) -> Array.fill(d + 1)(0.0)).toMap
+    for (_ <- 1 to iters) {
+      val z = (0 until d).foldLeft(col("_w0")) { (acc, i) =>
+        acc + col(xCols(i)) * col(s"_w${i + 1}")
+      }
+      val resid = hardSigmoid(z) - col(yCol)
+      val grads = features.join(broadcast(weightsDf(w)), groupCol)
+        .groupBy(groupCol)
+        .agg(avg(resid).as("_g0"),
+          (0 until d).map(i => avg(resid * col(xCols(i))).as(s"_g${i + 1}")): _*)
+        .collect()
+      w = w ++ grads.map { r =>
+        val g = r.getString(0)
+        g -> (0 to d).map(i => w(g)(i) - lr * r.getDouble(i + 1)).toArray
+      }
+    }
+    weightsDf(w)
+  }
 }

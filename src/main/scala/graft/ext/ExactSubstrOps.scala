@@ -49,7 +49,58 @@ object ExactSubstrOps {
     *                       in a suffix array)
     */
   def dupSpanProfile(docs: DataFrame, id: Column, text: Column,
-                     l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+                     l: Int = 8, minOccurrences: Long = 2L): DataFrame =
+    spanFrames(docs, id, text, l, minOccurrences)._2
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("sp_end") - col("sp_start") + 1L).as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        expr("(10000 * dup_tokens) div n_tokens").as("coverage_fp"))
+
+  /** The APPLY side of the profile: rebuild every affected document's
+    * text with its duplicated spans REMOVED (all occurrences — the
+    * C4/CCNet strip-everywhere policy rather than Lee et al.'s
+    * keep-one, which needs a canonical occurrence per span cluster; the
+    * strip-everywhere form is the one expressible without electing
+    * canonicals across documents, and is what paragraph-level dedup
+    * pipelines deploy). Output: one row per document that lost tokens —
+    * (doc_id, n_tokens, kept_tokens, removed_tokens, cleaned_text).
+    *
+    * Scale: the reconstruction is a per-document anti-join of positions
+    * against covered spans plus one per-document ordered fold
+    * (array_sort over the doc's own kept tokens) — document-sized
+    * state, never corpus-sized. */
+  def stripDupSpans(docs: DataFrame, id: Column, text: Column,
+                    l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+    val (toks, spans) = spanFrames(docs, id, text, l, minOccurrences)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
+    val kept = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned_text"))
+    // left join from the affected-docs frame, not a bare groupBy over
+    // kept rows: a FULLY duplicated document (exact-dup class member)
+    // keeps zero tokens and would otherwise vanish from the output —
+    // precisely the most-reduced doc the caller wants to see
+    spans.select(col("doc_id"), col("n_tokens")).distinct()
+      .join(rebuilt, Seq("doc_id", "n_tokens"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** Shared internals: (tokenized docs, merged maximal spans). */
+  private def spanFrames(docs: DataFrame, id: Column, text: Column,
+                         l: Int, minOccurrences: Long): (DataFrame, DataFrame) = {
     require(l >= 2, s"gram length must be >= 2, got $l")
     val toks = docs
       .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
@@ -92,11 +143,6 @@ object ExactSubstrOps {
       .groupBy("doc_id", "n_tokens", "span_id")
       .agg(min("pos").as("sp_start"),
         (max(col("pos")) + lit(l - 1).cast(LongType)).as("sp_end"))
-    spans.groupBy("doc_id", "n_tokens")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("sp_end") - col("sp_start") + 1L).as("dup_tokens"))
-      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
-        col("n_tokens"),
-        expr("(10000 * dup_tokens) div n_tokens").as("coverage_fp"))
+    (toks, spans)
   }
 }

@@ -53,6 +53,29 @@ class LayoutTrainSpec extends AnyFunSuite {
     assert(ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text")).isEmpty)
   }
 
+  test("stripDupSpans removes the shared passage and keeps the rest verbatim") {
+    val docs = Seq(
+      (1L, s"x $shared10 y z w q r s t"),
+      (2L, s"$shared10 p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = ExactSubstrOps.stripDupSpans(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(4) == "x y z w q r s t")
+    assert(out(1).getString(4) == "p q r s t u v w")
+    assert(out(0).getLong(2) == 8L && out(0).getLong(3) == 10L) // kept, removed
+  }
+
+  test("stripDupSpans reports fully duplicated docs as kept 0, empty text") {
+    val eight = "d1 d2 d3 d4 d5 d6 d7 d8"
+    val docs = Seq((1L, eight), (2L, eight)).toDF("doc_id", "text")
+    val out = ExactSubstrOps.stripDupSpans(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 8L
+      && r.getString(4) == ""))
+  }
+
   // ---- ClassifierOps -------------------------------------------------
 
   test("hard-sigmoid LR separates a linearly separable cloud") {
@@ -70,6 +93,27 @@ class LayoutTrainSpec extends AnyFunSuite {
       (col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0))).head().getDouble(0)
     assert(acc >= 0.95, s"accuracy $acc with weights ${w.toSeq}")
     assert(w(1) > 0) // the dominant feature gets a positive weight
+  }
+
+  test("grouped fit learns independent, opposite models per group") {
+    // group A: y = 1 iff x > 0; group B: y = 1 iff x < 0. A pooled model
+    // cannot fit both; independent per-group models learn opposite signs.
+    val rows = (0 until 100).flatMap { i =>
+      val x = if (i % 2 == 0) 1.0 + (i % 5) * 0.2 else -1.0 - (i % 5) * 0.2
+      Seq(("A", if (x > 0) 1.0 else 0.0, x), ("B", if (x < 0) 1.0 else 0.0, x))
+    }
+    val f = rows.toDF("g", "y", "x")
+    val w = ClassifierOps.fitGroupedHardSigmoidLR(f, "g", Seq("x"), "y",
+      iters = 8, lr = 2.0).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(w("A") > 0.5 && w("B") < -0.5, s"weights $w")
+    // and the fitted models classify their own group correctly
+    val scored = f.join(broadcast(ClassifierOps.fitGroupedHardSigmoidLR(
+        f, "g", Seq("x"), "y", iters = 8, lr = 2.0)), "g")
+      .select(col("y"),
+        ClassifierOps.hardSigmoid(col("_w0") + col("x") * col("_w1")).as("p"))
+    val acc = scored.agg(avg(when(
+      (col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"grouped accuracy $acc")
   }
 
   test("hardSigmoid clamps to [0, 1] and is 0.5 at z = 0") {
