@@ -4971,6 +4971,154 @@ object Queries {
              |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
              |  COALESCE(cleaned_text, '') AS cleaned_text
              |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
+             |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin)),
+
+    Q("q144_ann_recall",
+      (s, dir) => {
+        // The eval every ANN deployment needs: measured recall@10 of
+        // each approximate index against the exact brute-force ground
+        // truth, as ONE relational query — the approx top-k sets
+        // semi-join the exact set on (qid, cid), hits are counted, and
+        // recall is an exact fixed-point division. Reuses the very
+        // operators q38/q39/q49/q41 serve (and the same cached IVF
+        // fit), so the number measures the production indexes, not
+        // re-implementations. Scale: ground truth over a query SAMPLE
+        // (16 anchors) — the standard recall-eval protocol at corpus
+        // sizes where exact search on all queries is impossible.
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val exact = SimilarityOps.bruteForceTopK(queries, corpus, 10)
+          .select("qid", "cid").pin()
+        def recallOf(name: String, approx: DataFrame): DataFrame =
+          exact.join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+            .select(lit(name).as("method"), col("hits"), col("possible"),
+              expr("(10000 * hits) div possible").as("recall_fp"))
+        recallOf("ivf_nprobe4",
+            SimilarityOps.ivfTopK(queries, corpus, 10, nlist = 16, nprobe = 4,
+              cacheKey = Some(s"embeddings:$dir")))
+          .unionAll(recallOf("lsh_6bit",
+            SimilarityOps.lshTopK(queries, corpus, 10, dim = embDim, bits = 6)))
+          .unionAll(recallOf("lsh_multi2",
+            SimilarityOps.lshTopK(queries, corpus, 10, dim = embDim, bits = 6,
+              tables = 2)))
+          .orderBy("method")
+      },
+      // every index's oracle derivation composed (q38 exact, q39 LSH,
+      // q49 multi-table, q41 IVF incl. the full fit), reduced to
+      // (qid, cid) sets and intersected with the exact set
+      Some(s"""$ivfOracleCtes,
+           |ivs AS (
+           |  SELECT q.qid, a.cid, list_cosine_similarity(q.qv, a.v) AS cos_raw
+           |  FROM probe p JOIN q ON q.qid = p.qid JOIN asgF a ON a.kid = p.kid
+           |  WHERE a.cid <> q.qid),
+           |ivr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos_raw DESC, cid) AS rank FROM ivs),
+           |ivk AS (SELECT qid, cid FROM ivr WHERE rank <= 10),
+           |exs AS (
+           |  SELECT q.qid, c.cid, list_cosine_similarity(q.qv, c.v) AS cos_raw
+           |  FROM corpus c, q WHERE c.cid <> q.qid),
+           |exr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos_raw DESC, cid) AS rank FROM exs),
+           |exk AS (SELECT qid, cid FROM exr WHERE rank <= 10),
+           |lb AS (
+           |  SELECT vec_id, embedding,
+           |    ${Hyperplanes.bucketSql("embedding", embDim, 6)} AS bucket
+           |  FROM embeddings),
+           |lq AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM lb WHERE vec_id < 16),
+           |lsc AS (
+           |  SELECT lq.qid, c.vec_id AS cid,
+           |    list_cosine_similarity(CAST(lq.qvec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+           |  FROM lb c JOIN lq USING (bucket) WHERE c.vec_id <> lq.qid),
+           |lr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos_raw DESC, cid) AS rank FROM lsc),
+           |lk AS (SELECT qid, cid FROM lr WHERE rank <= 10),
+           |mb1 AS (
+           |  SELECT vec_id, embedding,
+           |    ${Hyperplanes.bucketSql("embedding", embDim, 6, seed = 7)} AS bucket
+           |  FROM embeddings),
+           |mb2 AS (
+           |  SELECT vec_id, embedding,
+           |    ${Hyperplanes.bucketSql("embedding", embDim, 6, seed = 8)} AS bucket
+           |  FROM embeddings),
+           |mq1 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM mb1 WHERE vec_id < 16),
+           |mq2 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM mb2 WHERE vec_id < 16),
+           |mc AS (
+           |  SELECT mq1.qid, c.vec_id AS cid, mq1.qvec, c.embedding AS cvec
+           |  FROM mb1 c JOIN mq1 USING (bucket) WHERE c.vec_id <> mq1.qid
+           |  UNION
+           |  SELECT mq2.qid, c.vec_id AS cid, mq2.qvec, c.embedding AS cvec
+           |  FROM mb2 c JOIN mq2 USING (bucket) WHERE c.vec_id <> mq2.qid),
+           |mr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+           |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(cvec AS DOUBLE[])) DESC, cid) AS rank
+           |  FROM mc),
+           |mk AS (SELECT qid, cid FROM mr WHERE rank <= 10),
+           |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exk)
+           |SELECT method, hits, possible,
+           |  CAST((10000 * hits) // possible AS BIGINT) AS recall_fp
+           |FROM (
+           |  SELECT 'ivf_nprobe4' AS method,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM exk JOIN ivk USING (qid, cid)) AS hits
+           |  UNION ALL SELECT 'lsh_6bit',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM exk JOIN lk USING (qid, cid))
+           |  UNION ALL SELECT 'lsh_multi2',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM exk JOIN mk USING (qid, cid))
+           |) CROSS JOIN poss ORDER BY method""".stripMargin)),
+
+    Q("q145_keep_one_dedup",
+      (s, dir) =>
+        // Lee-faithful keep-one ExactSubstr apply: each duplicated gram
+        // elects the corpus-min (doc_id, pos) occurrence as canonical;
+        // a position is stripped only when no covering gram occurrence
+        // is canonical — so the FIRST copy of every duplicated passage
+        // survives verbatim (q143 strips all copies). Election is one
+        // grouped min per gram key; no cross-doc pairing anywhere.
+        ExactSubstrOps.stripDupSpansKeepOne(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+          .orderBy(col("removed_tokens").desc, col("doc_id"))
+          .limit(50),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |nz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d
+             |  WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+             |dp2 AS (SELECT doc_id, n, pos, gkey FROM g
+             |  WHERE gkey IN (SELECT gkey FROM dup)),
+             |canon AS (SELECT gkey, doc_id AS cdoc, pos AS cpos FROM (
+             |  SELECT gkey, doc_id, pos,
+             |    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rn
+             |  FROM dp2) WHERE rn = 1),
+             |occf AS (SELECT d2.doc_id, d2.n, d2.pos,
+             |  CASE WHEN d2.doc_id = c.cdoc AND d2.pos = c.cpos THEN 1 ELSE 0 END AS ic
+             |  FROM dp2 d2 JOIN canon c USING (gkey)),
+             |pc AS (SELECT doc_id, n, pos + unnest(generate_series(0, 7)) AS p, ic
+             |  FROM occf),
+             |pcov AS (SELECT doc_id, n, p, max(ic) AS keep FROM pc GROUP BY 1, 2, 3),
+             |strip AS (SELECT doc_id, n, p AS pos FROM pcov WHERE keep = 0),
+             |allpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 1)) AS pos FROM nz),
+             |tokpos AS (SELECT doc_id, n, pos, t[pos + 1] AS tok FROM allpos),
+             |kept AS (SELECT k.doc_id, k.n, k.pos, k.tok FROM tokpos k
+             |  ANTI JOIN strip s ON k.doc_id = s.doc_id AND k.pos = s.pos),
+             |reb AS (SELECT doc_id, n,
+             |    CAST(count(*) AS BIGINT) AS kept_tokens,
+             |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+             |  FROM kept GROUP BY doc_id, n),
+             |aff AS (SELECT DISTINCT doc_id, n FROM strip)
+             |SELECT aff.doc_id, aff.n AS n_tokens,
+             |  COALESCE(kept_tokens, 0) AS kept_tokens,
+             |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
+             |  COALESCE(cleaned_text, '') AS cleaned_text
+             |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
              |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin))
   )
 

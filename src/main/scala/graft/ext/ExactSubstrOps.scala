@@ -59,12 +59,10 @@ object ExactSubstrOps {
         expr("(10000 * dup_tokens) div n_tokens").as("coverage_fp"))
 
   /** The APPLY side of the profile: rebuild every affected document's
-    * text with its duplicated spans REMOVED (all occurrences — the
-    * C4/CCNet strip-everywhere policy rather than Lee et al.'s
-    * keep-one, which needs a canonical occurrence per span cluster; the
-    * strip-everywhere form is the one expressible without electing
-    * canonicals across documents, and is what paragraph-level dedup
-    * pipelines deploy). Output: one row per document that lost tokens —
+    * text with its duplicated spans REMOVED (ALL occurrences — the
+    * C4/CCNet strip-everywhere policy; [[stripDupSpansKeepOne]] is the
+    * Lee-faithful keep-one alternative). Output: one row per document
+    * that lost tokens —
     * (doc_id, n_tokens, kept_tokens, removed_tokens, cleaned_text).
     *
     * Scale: the reconstruction is a per-document anti-join of positions
@@ -74,22 +72,55 @@ object ExactSubstrOps {
   def stripDupSpans(docs: DataFrame, id: Column, text: Column,
                     l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
     val (toks, spans) = spanFrames(docs, id, text, l, minOccurrences)
-    val covered = spans.select(col("doc_id"),
+    val covered = spans.select(col("doc_id"), col("n_tokens"),
       explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
+    rebuild(toks, covered)
+  }
+
+  /** Lee-faithful KEEP-ONE variant of [[stripDupSpans]]: each duplicated
+    * gram elects a CANONICAL occurrence — the corpus-wide minimum
+    * (doc_id, pos) — and a token position is stripped only when every
+    * duplicated gram covering it is non-canonical. The first copy of a
+    * duplicated passage therefore survives verbatim (an exact-dup pair
+    * keeps doc A untouched and empties doc B), which is the
+    * "all but one occurrence" semantics of the suffix-array dedup,
+    * elected relationally: one grouped min per gram key, no cross-doc
+    * pairing. Output schema matches [[stripDupSpans]]; only documents
+    * that actually lost tokens appear. */
+  def stripDupSpansKeepOne(docs: DataFrame, id: Column, text: Column,
+                           l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+    val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
+    val dupOcc = grams.join(dupKeys, Seq("gkey"), "left_semi")
+    val canon = dupOcc.groupBy("gkey")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("gkey"), col("c.doc_id").as("cdoc"), col("c.pos").as("cpos"))
+    val occFlag = dupOcc.join(canon, "gkey")
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        (col("doc_id") === col("cdoc") && col("pos") === col("cpos"))
+          .cast("int").as("ic"))
+    val stripped = occFlag
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1).cast(LongType)))
+          .as("p"), col("ic"))
+      .groupBy("doc_id", "n_tokens", "p")
+      .agg(max("ic").as("keep"))
+      .filter(col("keep") === 0)
+      .select(col("doc_id"), col("n_tokens"), col("p").as("pos"))
+    rebuild(toks, stripped)
+  }
+
+  /** Rebuild cleaned text for the docs owning `stripped` positions. */
+  private def rebuild(toks: DataFrame, stripped: DataFrame): DataFrame = {
     val kept = toks
       .select(col("doc_id"), col("n_tokens"),
         posexplode(col("toks")).as(Seq("pos", "tok")))
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .join(stripped.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_anti")
     val rebuilt = kept.groupBy("doc_id", "n_tokens")
       .agg(count(lit(1)).as("kept_tokens"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), " ").as("cleaned_text"))
-    // left join from the affected-docs frame, not a bare groupBy over
-    // kept rows: a FULLY duplicated document (exact-dup class member)
-    // keeps zero tokens and would otherwise vanish from the output —
-    // precisely the most-reduced doc the caller wants to see
-    spans.select(col("doc_id"), col("n_tokens")).distinct()
+    stripped.select(col("doc_id"), col("n_tokens")).distinct()
       .join(rebuilt, Seq("doc_id", "n_tokens"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
@@ -98,9 +129,10 @@ object ExactSubstrOps {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
-  /** Shared internals: (tokenized docs, merged maximal spans). */
-  private def spanFrames(docs: DataFrame, id: Column, text: Column,
-                         l: Int, minOccurrences: Long): (DataFrame, DataFrame) = {
+  /** Shared internals: (tokenized docs, gram frame, duplicated keys). */
+  private def gramFrames(docs: DataFrame, id: Column, text: Column,
+                         l: Int, minOccurrences: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(l >= 2, s"gram length must be >= 2, got $l")
     val toks = docs
       .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
@@ -126,6 +158,13 @@ object ExactSubstrOps {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccurrences)
       .select("gkey")
+    (toks, grams, dupKeys)
+  }
+
+  /** Shared internals: (tokenized docs, merged maximal spans). */
+  private def spanFrames(docs: DataFrame, id: Column, text: Column,
+                         l: Int, minOccurrences: Long): (DataFrame, DataFrame) = {
+    val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
     val dupPos = grams.join(dupKeys, Seq("gkey"), "left_semi")
       .select(col("doc_id"), col("n_tokens"), col("pos"))
     // gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge

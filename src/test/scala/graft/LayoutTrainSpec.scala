@@ -76,6 +76,26 @@ class LayoutTrainSpec extends AnyFunSuite {
       && r.getString(4) == ""))
   }
 
+  test("stripDupSpansKeepOne keeps the canonical copy and strips the rest") {
+    // exact-dup pair: keep-one leaves doc 1 (min id) untouched — it is
+    // absent from the output — and empties doc 2
+    val eight = "d1 d2 d3 d4 d5 d6 d7 d8"
+    val pair = Seq((1L, eight), (2L, eight)).toDF("doc_id", "text")
+    val out = ExactSubstrOps.stripDupSpansKeepOne(pair, col("doc_id"), col("text"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(0) == 2L)
+    assert(out(0).getLong(2) == 0L && out(0).getString(4) == "")
+    // shared passage: doc 1 keeps it, doc 2 loses only the passage
+    val docs = Seq(
+      (1L, s"x $shared10 y z w q r s t"),
+      (2L, s"$shared10 p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out2 = ExactSubstrOps.stripDupSpansKeepOne(docs, col("doc_id"), col("text"))
+      .collect()
+    assert(out2.length == 1 && out2(0).getLong(0) == 2L)
+    assert(out2(0).getString(4) == "p q r s t u v w")
+  }
+
   // ---- ClassifierOps -------------------------------------------------
 
   test("hard-sigmoid LR separates a linearly separable cloud") {
