@@ -5119,7 +5119,126 @@ object Queries {
              |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
              |  COALESCE(cleaned_text, '') AS cleaned_text
              |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
-             |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin))
+             |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin)),
+
+    Q("q146_preference_pairs",
+      (s, dir) => {
+        // Preference-pair mining for contrastive/DPO-style training:
+        // within each topic cluster (the SAME cached IVF fit the ANN and
+        // topic queries share — clusters proxy for "same prompt/topic"),
+        // pair the highest-quality document against the lowest-quality
+        // one. Deterministic tiebreaks (doc_id) make the extraction
+        // reproducible. Plan: assignment is the cached broadcast-argmax
+        // projection; the two rankings are per-cluster windows over
+        // corpus rows; everything downstream is cluster-count-sized.
+        val corpus = tp(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val model = SimilarityOps.ivfFitCached(s"embeddings:$dir", corpus, nlist = 16)
+        val asg = model.assigned
+          .select(col("cid").as("doc_id"),
+            col("centroid_id").cast(IntegerType).as("cluster"))
+        val scored = tp(s, dir, "documents")
+          .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+          .join(asg, "doc_id")
+        val top = Window.partitionBy("cluster")
+          .orderBy(col("q").desc, col("doc_id"))
+        val bot = Window.partitionBy("cluster")
+          .orderBy(col("q").asc, col("doc_id"))
+        val ranked = scored
+          .withColumn("rt", row_number().over(top))
+          .withColumn("rb", row_number().over(bot))
+        ranked.filter(col("rt") === 1)
+          .select(col("cluster"), col("doc_id").as("chosen_doc"),
+            col("q").as("chosen_q"))
+          .join(ranked.filter(col("rb") === 1)
+            .select(col("cluster"), col("doc_id").as("rejected_doc"),
+              col("q").as("rejected_q")), "cluster")
+          .filter(col("chosen_doc") =!= col("rejected_doc"))
+          .select(col("cluster"), col("chosen_doc"), col("chosen_q"),
+            col("rejected_doc"), col("rejected_q"),
+            rnd(col("chosen_q") - col("rejected_q"), 6).as("gap"))
+          .orderBy("cluster")
+      },
+      // q41's IVF-fit re-derivation + q31's quality rule + two
+      // per-cluster rankings
+      Some(raw"""$ivfOracleCtes,
+           |tq AS (
+           |  SELECT doc_id,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+           |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct,
+           |    length(text) AS n_len
+           |  FROM documents),
+           |qual AS (
+           |  SELECT doc_id,
+           |    floor((least(n_tokens / 64.0, 1.0) * 0.4
+           |      + greatest(1.0 - (n_punct / greatest(n_len, 1.0)) * 4.0, 0.0) * 0.3
+           |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS qv
+           |  FROM tq),
+           |sc2 AS (
+           |  SELECT a.kid AS cluster, q2.doc_id, q2.qv
+           |  FROM qual q2 JOIN asgF a ON a.cid = q2.doc_id),
+           |rk AS (
+           |  SELECT cluster, doc_id, qv,
+           |    row_number() OVER (PARTITION BY cluster ORDER BY qv DESC, doc_id) AS rt,
+           |    row_number() OVER (PARTITION BY cluster ORDER BY qv ASC, doc_id) AS rb
+           |  FROM sc2)
+           |SELECT c.cluster, c.doc_id AS chosen_doc, c.qv AS chosen_q,
+           |  r.doc_id AS rejected_doc, r.qv AS rejected_q,
+           |  floor((c.qv - r.qv) * 1000000.0 + 0.5) / 1000000.0 AS gap
+           |FROM (SELECT CAST(cluster AS INT) AS cluster, doc_id, qv FROM rk WHERE rt = 1) c
+           |JOIN (SELECT CAST(cluster AS INT) AS cluster, doc_id, qv FROM rk WHERE rb = 1) r
+           |USING (cluster)
+           |WHERE c.doc_id <> r.doc_id
+           |ORDER BY cluster""".stripMargin)),
+
+    Q("q147_skew_diagnostics",
+      (s, dir) => {
+        // Pre-join skew probe — the diagnostic run BEFORE keying a
+        // 100 TB shuffle: the per-key count distribution of each
+        // candidate join key, its hot-key pressure (max/mean,
+        // fixed-point), and the salt factor the q118 salted-agg pattern
+        // would need (ceil(max/mean), capped at 32 — more buckets than
+        // executor-slots-per-hot-key stops paying). One map-side-
+        // combined count per key column, then key-count-sized rollups;
+        // percentile_disc over the per-key counts is per-column
+        // (3 bounded groups), not per-key.
+        val li = tp(s, dir, "lineitem")
+        def dist(keyCol: String): DataFrame =
+          li.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+            .agg(
+              count(lit(1)).as("n_keys"),
+              sum("c").as("n_rows"),
+              max("c").as("max_cnt"),
+              expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+                .cast(LongType).as("p50_cnt"),
+              expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+                .cast(LongType).as("p99_cnt"))
+            .select(lit(keyCol).as("join_key"), col("n_keys"), col("n_rows"),
+              col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+              expr("(10000 * max_cnt * n_keys) div n_rows").as("hot_ratio_fp"),
+              least(lit(32L),
+                expr("((max_cnt * n_keys) + n_rows - 1) div n_rows"))
+                .as("suggested_salt"))
+        dist("l_orderkey").unionAll(dist("l_partkey"))
+          .unionAll(dist("l_suppkey"))
+          .orderBy("join_key")
+      },
+      Some("""WITH src AS (
+             |  SELECT 'l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+             |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+             |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+             |pk AS (SELECT join_key, k, count(*) AS c FROM src GROUP BY 1, 2)
+             |SELECT join_key,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(max(c) AS BIGINT) AS max_cnt,
+             |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cnt,
+             |  CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_cnt,
+             |  CAST((10000 * max(c) * count(*)) // sum(c) AS BIGINT) AS hot_ratio_fp,
+             |  CAST(least(32, ((max(c) * count(*)) + sum(c) - 1) // sum(c)) AS BIGINT)
+             |    AS suggested_salt
+             |FROM pk GROUP BY join_key ORDER BY join_key""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.ClassifierOps
+
+/** Streaming scoring for the in-engine classifiers (ClassifierOps):
+  * the train-offline / score-online split every quality-filter
+  * deployment uses. Training stays a batch job (q140/q142); the fitted
+  * weights — model-sized driver state — are baked into the streaming
+  * projection as literals (single model) or broadcast as a tiny static
+  * frame joined per micro-batch (per-group models). Both paths are
+  * STATELESS: no aggregation state, no watermark, append-mode pass-
+  * through, so throughput is scan-bound and the operator composes with
+  * any upstream streaming source or downstream sink.
+  *
+  * The scoring arithmetic is the same hard-sigmoid rational form as
+  * training, so a stream-scored document gets the bit-identical
+  * probability the batch scorer assigns — the parity specs pin stream
+  * ≡ batch on both paths.
+  */
+object StreamingScore {
+
+  /** Score a (streaming or batch) frame with one fitted weight vector
+    * (bias first) over `xCols`; appends `p` (hard-sigmoid probability)
+    * and `keep` (p >= threshold). */
+  def scored(df: DataFrame, w: Seq[Double], xCols: Seq[String],
+             threshold: Double = 0.5): DataFrame = {
+    val p = ClassifierOps.score(w, xCols)
+    df.withColumn("p", p).withColumn("keep", col("p") >= threshold)
+  }
+
+  /** Per-group variant: `weights` is the model-sized static frame
+    * produced by [[ClassifierOps.fitGroupedHardSigmoidLR]] (groupCol,
+    * _w0.._wd). The stream-static broadcast join re-resolves the frame
+    * per micro-batch, so republishing weights (a new tiny frame) takes
+    * effect without restarting the query. Rows whose group has no model
+    * are dropped by the inner join — match the fit's group universe
+    * upstream if that matters. */
+  def scoredByGroup(df: DataFrame, weights: DataFrame, groupCol: String,
+                    xCols: Seq[String], threshold: Double = 0.5): DataFrame = {
+    val z = xCols.zipWithIndex.foldLeft(col("_w0")) { case (acc, (c, i)) =>
+      acc + col(c) * col(s"_w${i + 1}")
+    }
+    df.join(broadcast(weights), groupCol)
+      .withColumn("p", ClassifierOps.hardSigmoid(z))
+      .drop(weights.columns.filter(_.startsWith("_w")).toSeq: _*)
+      .withColumn("keep", col("p") >= threshold)
+  }
+}
