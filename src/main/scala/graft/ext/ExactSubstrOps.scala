@@ -168,9 +168,10 @@ object ExactSubstrOps {
     val dupPos = grams.join(dupKeys, Seq("gkey"), "left_semi")
       .select(col("doc_id"), col("n_tokens"), col("pos"))
     // gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge
-    // overlapping or contiguous covers into maximal spans. Both frames
-    // share one (doc_id, pos) sort, so Catalyst runs them in a single
-    // WindowExec over per-document partitions.
+    // overlapping or contiguous covers into maximal spans. The island
+    // cumsum consumes the running-max frame's output, so the two Window
+    // nodes cannot fuse — but they pipeline over ONE (doc_id, pos)
+    // exchange+sort with no re-partition between them (spec-pinned).
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(l - 1).cast(LongType))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))

@@ -45,6 +45,24 @@ class LayoutTrainSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 16L) // 8 + 8 duplicated tokens
   }
 
+  test("dupSpanProfile windows share one exchange and one sort") {
+    // the island cumsum consumes the running-max window's output, so
+    // the two Window nodes cannot fuse — but they must PIPELINE over a
+    // single (doc_id, pos) exchange+sort, never re-partition or re-sort
+    // between them (PLANS.md round-7 claim, pinned here)
+    val plan = ExactSubstrOps.dupSpanProfile(
+        Seq((1L, s"x $shared10 y z"), (2L, s"$shared10 p q"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    val first = plan.indexOf("Window [")
+    val second = plan.indexOf("Window [", first + 1)
+    assert(first >= 0 && second > first, plan.take(2000))
+    val between = plan.substring(first, second)
+    assert(!between.contains("Exchange") && !between.contains("Sort ["),
+      between)
+  }
+
   test("dupSpanProfile is empty when nothing repeats") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine"),
