@@ -5238,7 +5238,184 @@ object Queries {
              |  CAST((10000 * max(c) * count(*)) // sum(c) AS BIGINT) AS hot_ratio_fp,
              |  CAST(least(32, ((max(c) * count(*)) + sum(c) - 1) // sum(c)) AS BIGINT)
              |    AS suggested_salt
-             |FROM pk GROUP BY join_key ORDER BY join_key""".stripMargin))
+             |FROM pk GROUP BY join_key ORDER BY join_key""".stripMargin)),
+
+    Q("q148_hll_overlap",
+      (s, dir) => {
+        // Sketch-algebra source overlap: the HLL counterpart of q135's
+        // exact pairwise Jaccard — per-source shingle registers built
+        // ONCE (one map-side-combined pass, m registers per source),
+        // then every pairwise union estimated by max-merging the two
+        // register sets and the intersection by inclusion-exclusion.
+        // This is the 100 TB protocol: S sources cost S sketch builds +
+        // S²·m register rows of pure algebra, while q135's exact form
+        // re-joins the corpus-sized shingle frame. Pair membership is
+        // exploded into (pair, member) rows so the merge is an
+        // EQUI-join against the register frame.
+        val b = 8
+        val m = 1L << b
+        val num = SketchOps.hllNumerator(b)
+        val sh = tp(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+          .distinct()
+        val regs = SketchOps.hllRegistersBy(sh, col("source"), col("sh"), b)
+          .withColumnRenamed("g", "source").pin()
+        def harmonic(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                     outName: String): DataFrame =
+          grouped
+            .agg(sum(expr("shiftleft(1L, cast(54 - mj as int))")).as("_sp"),
+              count(lit(1)).as("_present"))
+            .withColumn(outName,
+              lit(num) / (col("_sp") + (lit(m) - col("_present")) * lit(1L << 54))
+                .cast(DoubleType))
+            .drop("_sp", "_present")
+        val perSrc = harmonic(regs.groupBy("source"), "e")
+        val srcs = regs.select("source").distinct()
+        val pairs = srcs.as("a").crossJoin(srcs.as("b"))
+          .filter(col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        val members = pairs.select(col("src_a"), col("src_b"),
+          explode(array(col("src_a"), col("src_b"))).as("source"))
+        val unionEst = harmonic(
+          members.join(regs, "source")
+            .groupBy("src_a", "src_b", "bucket")
+            .agg(max("mj").as("mj"))
+            .groupBy("src_a", "src_b"), "e_union")
+        unionEst
+          .join(perSrc.select(col("source").as("src_a"), col("e").as("e_a")), "src_a")
+          .join(perSrc.select(col("source").as("src_b"), col("e").as("e_b")), "src_b")
+          .select(col("src_a"), col("src_b"),
+            r4(col("e_a")).as("est_a"), r4(col("e_b")).as("est_b"),
+            r4(col("e_union")).as("est_union"),
+            r4(greatest(lit(0.0), col("e_a") + col("e_b") - col("e_union")))
+              .as("est_inter"))
+          .orderBy("src_a", "src_b")
+      },
+      // q135's shingle derivation + q107's register algebra, with the
+      // pair merge re-derived over exploded (pair, member) rows
+      Some(s"""WITH t AS (
+             |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+             |  FROM documents),
+             |s3 AS (
+             |  SELECT source,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(generate_series(0, len(toks) - 3),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh3
+             |  FROM t),
+             |sh AS (SELECT DISTINCT source, unnest(sh3) AS sh FROM s3),
+             |h AS (SELECT source,
+             |    (('0x' || substr(md5(sh || ':hll'), 1, 15))::BIGINT) AS h
+             |  FROM sh),
+             |r AS (SELECT source, h % 256 AS bucket,
+             |    CASE WHEN h // 256 = 0 THEN 53
+             |         ELSE 53 - length(bin(h // 256)) END AS rho
+             |  FROM h),
+             |reg AS (SELECT source, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+             |est AS (
+             |  SELECT source,
+             |    ${SketchOps.hllNumerator(8)} /
+             |      CAST(sum(1::BIGINT << CAST(54 - mj AS INT))
+             |        + (256 - count(*)) * (1::BIGINT << 54) AS DOUBLE) AS e
+             |  FROM reg GROUP BY source),
+             |pairs AS (
+             |  SELECT a.source AS src_a, b.source AS src_b
+             |  FROM (SELECT DISTINCT source FROM reg) a
+             |  JOIN (SELECT DISTINCT source FROM reg) b ON a.source < b.source),
+             |members AS (
+             |  SELECT src_a, src_b, src_a AS source FROM pairs
+             |  UNION ALL SELECT src_a, src_b, src_b FROM pairs),
+             |pregs AS (
+             |  SELECT m.src_a, m.src_b, r2.bucket, max(r2.mj) AS mj
+             |  FROM members m JOIN reg r2 USING (source)
+             |  GROUP BY 1, 2, 3),
+             |uest AS (
+             |  SELECT src_a, src_b,
+             |    ${SketchOps.hllNumerator(8)} /
+             |      CAST(sum(1::BIGINT << CAST(54 - mj AS INT))
+             |        + (256 - count(*)) * (1::BIGINT << 54) AS DOUBLE) AS e_union
+             |  FROM pregs GROUP BY 1, 2)
+             |SELECT u.src_a, u.src_b,
+             |  floor(ea.e * 10000.0 + 0.5) / 10000.0 AS est_a,
+             |  floor(eb.e * 10000.0 + 0.5) / 10000.0 AS est_b,
+             |  floor(u.e_union * 10000.0 + 0.5) / 10000.0 AS est_union,
+             |  floor(greatest(0.0, ea.e + eb.e - u.e_union) * 10000.0 + 0.5) / 10000.0
+             |    AS est_inter
+             |FROM uest u
+             |JOIN est ea ON ea.source = u.src_a
+             |JOIN est eb ON eb.source = u.src_b
+             |ORDER BY u.src_a, u.src_b""".stripMargin)),
+
+    Q("q149_cdc_chunking",
+      (s, dir) => {
+        // Content-defined chunking (FastCDC/rsync idea applied to token
+        // streams): a chunk boundary opens wherever the rolling 4-gram's
+        // portable hash ≡ 0 (mod 64), so an insertion early in a
+        // document only reshapes the chunks it touches — unlike q99's
+        // fixed grid, where one inserted token shifts EVERY downstream
+        // chunk and defeats chunk-level dedup. Output: per-document
+        // chunk profile + corpus chunk-dedup stats (distinct chunk
+        // digests vs total — the dedup win CDC exists to enable),
+        // top-20 most-chunked docs. Plan: one gram pass (boundary flags
+        // are a codegen'd hash+mod), per-document cumsum window for
+        // chunk ids, per-chunk ordered fold (doc-sized state), then
+        // chunk-count-sized rollups; the corpus stats attach by
+        // broadcast cross join.
+        val chunks = TextOps.cdcChunks(tp(s, dir, "documents"),
+          col("doc_id"), col("text"), w = 4, modulus = 64L).pin()
+        val corpus = chunks.agg(
+          count(lit(1)).as("total_chunks"),
+          countDistinct(col("digest")).as("distinct_chunks"))
+          .select(col("total_chunks"), col("distinct_chunks"),
+            expr("(10000 * (total_chunks - distinct_chunks)) div total_chunks")
+              .as("dup_chunk_fp"))
+        chunks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            max("chunk_tokens").as("max_chunk_tokens"))
+          .crossJoin(broadcast(corpus))
+          .orderBy(col("n_chunks").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |nz AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 4),
+             |tok AS (SELECT doc_id, n,
+             |    unnest(generate_series(0, CAST(n AS INT) - 1)) AS pos, t
+             |  FROM nz),
+             |tokpos AS (SELECT doc_id, n, pos, t[pos + 1] AS tok FROM tok),
+             |gp AS (SELECT doc_id,
+             |    unnest(generate_series(1, CAST(n AS INT) - 4)) AS pos, t
+             |  FROM nz WHERE n >= 5),
+             |bounds AS (
+             |  SELECT doc_id, pos, 1 AS bflag FROM (
+             |    SELECT doc_id, pos,
+             |      (('0x' || substr(md5(array_to_string(t[pos + 1 : pos + 4], ' ')), 1, 15))::BIGINT) AS h
+             |    FROM gp) WHERE h % 64 = 0),
+             |ch AS (
+             |  SELECT k.doc_id, k.pos, k.tok,
+             |    sum(COALESCE(b.bflag, 0)) OVER (PARTITION BY k.doc_id
+             |      ORDER BY k.pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS chunk_id
+             |  FROM tokpos k LEFT JOIN bounds b
+             |    ON b.doc_id = k.doc_id AND b.pos = k.pos),
+             |chunks AS (
+             |  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS chunk_tokens,
+             |    md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+             |  FROM ch GROUP BY 1, 2),
+             |corpus AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+             |    CAST(count(DISTINCT digest) AS BIGINT) AS distinct_chunks
+             |  FROM chunks)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(max(chunk_tokens) AS BIGINT) AS max_chunk_tokens,
+             |  total_chunks, distinct_chunks,
+             |  CAST((10000 * (total_chunks - distinct_chunks)) // total_chunks AS BIGINT)
+             |    AS dup_chunk_fp
+             |FROM chunks CROSS JOIN corpus
+             |GROUP BY doc_id, total_chunks, distinct_chunks
+             |ORDER BY n_chunks DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

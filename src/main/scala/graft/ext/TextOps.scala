@@ -207,4 +207,44 @@ object TextOps {
     val sh = shingles(text, n)
     lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh)
   }
+
+  /** Content-defined chunking over token streams (the FastCDC/rsync
+    * boundary idea): a chunk boundary opens at every position p > 0
+    * whose rolling `w`-gram portable hash ≡ 0 (mod `modulus`) — so an
+    * edit only reshapes the chunks it touches, while a fixed grid
+    * (q99) shifts every downstream chunk. Expected chunk length ≈
+    * `modulus` tokens. Returns (doc_id, chunk_id, chunk_tokens,
+    * digest) with digest = md5 of the space-joined chunk (the chunk-
+    * dedup key). Docs shorter than `w` tokens are skipped.
+    *
+    * Plan: one gram pass (boundary flags are a codegen'd hash+mod), a
+    * per-document cumsum window for chunk ids, one per-chunk ordered
+    * fold — document-sized state, chunk-count-sized output. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, id: Column,
+                text: Column, w: Int = 4,
+                modulus: Long = 64L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= w)
+    val pos = toks.select(col("doc_id"), col("n"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val bounds = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), col("n") - w),
+        i => array_join(slice(col("toks"), i + 1, lit(w)), " ")))
+        .as(Seq("pos", "gram")))
+      .filter(col("pos") > 0 &&
+        pmod(graft.ext.PortableHash.long60(col("gram")), lit(modulus)) === 0L)
+      .select(col("doc_id"), col("pos"), lit(1).as("bflag"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    pos.join(bounds, Seq("doc_id", "pos"), "left")
+      .na.fill(0, Seq("bflag"))
+      .withColumn("chunk_id",
+        sum("bflag").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("chunk_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          t => t.getField("tok")), " ")).as("digest"))
+  }
 }

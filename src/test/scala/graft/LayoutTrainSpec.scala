@@ -114,6 +114,26 @@ class LayoutTrainSpec extends AnyFunSuite {
     assert(out2(0).getString(4) == "p q r s t u v w")
   }
 
+  test("cdcChunks boundaries are content-defined: an early edit leaves later chunks intact") {
+    import graft.ext.TextOps
+    // a long pseudo-random token stream chunked two ways: original, and
+    // with one token inserted near the front. Content-defined
+    // boundaries re-synchronize after the edit, so most chunk digests
+    // survive; a fixed grid would shift every downstream chunk.
+    val words = (0 until 400).map(i => s"w${(i * 2654435761L) % 997}")
+    val orig = words.mkString(" ")
+    val edited = (words.take(3) ++ Seq("INSERTED") ++ words.drop(3)).mkString(" ")
+    def digests(text: String, docId: Long) =
+      TextOps.cdcChunks(Seq((docId, text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .select("digest").as[String].collect().toSet
+    val a = digests(orig, 1L)
+    val b = digests(edited, 2L)
+    val surviving = (a intersect b).size.toDouble / a.size
+    assert(a.size >= 3, s"fixture too short: ${a.size} chunks")
+    assert(surviving >= 0.5, s"only ${(surviving * 100).round}% of chunks survived the edit")
+  }
+
   // ---- ClassifierOps -------------------------------------------------
 
   test("hard-sigmoid LR separates a linearly separable cloud") {
