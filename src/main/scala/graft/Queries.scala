@@ -5415,7 +5415,396 @@ object Queries {
              |    AS dup_chunk_fp
              |FROM chunks CROSS JOIN corpus
              |GROUP BY doc_id, total_chunks, distinct_chunks
-             |ORDER BY n_chunks DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY n_chunks DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("q150_trigram_backoff_lm",
+      (s, dir) => {
+        // Held-out n-gram LM perplexity filter (the CCNet recipe:
+        // train a language model on a trusted slice, score the rest;
+        // high surprisal = gibberish/boilerplate candidates). Model:
+        // trigram stupid backoff (Brants et al., Google N-gram) with
+        // α = 0.4 kept as the exact rational 2/5 — surprisal is the
+        // integer reciprocal of the backoff probability, extending
+        // q138's log-free discipline to three orders:
+        //   tri hit:  (1e6·n_ab)  div n_abc
+        //   bigram:   (5e6·n_b)   div (2·n_bc)       (1/0.4 = 5/2)
+        //   unigram:  (25e6·n_tot) div (4·n_c)       (1/0.16 = 25/4)
+        //   OOV:      1e12 cap
+        // Train = even doc_ids, score = odd doc_ids, so every backoff
+        // class is genuinely exercised (a same-corpus model never
+        // backs off). Plan shape: ONE trigram pass pre-aggregated per
+        // (doc, trigram) and persisted; every model table (tri/head/
+        // continuation-bigram/unigram) is a gram-type-sized rollup of
+        // the train slice; scoring left-joins the held-out frame on
+        // gram keys — the standard LM-scoring shuffle. At 100 TB the
+        // model itself is the big side; production variants add a
+        // min-count prune on `tri` (drop n_abc = 1) before the join —
+        // omitted here so the oracle equivalence stays exact.
+        val toks = TextOps.tokens(col("text"))
+        val db = tp(s, dir, "documents")
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"),
+            explode(arrays_zip(
+              slice(toks, lit(1), size(toks) - 2),
+              slice(toks, lit(2), size(toks) - 2),
+              slice(toks, lit(3), size(toks) - 2))).as("p"))
+          .select(col("doc_id"),
+            col("p").getField("0").as("t1"),
+            col("p").getField("1").as("t2"),
+            col("p").getField("2").as("t3"))
+          .groupBy("doc_id", "t1", "t2", "t3").agg(count(lit(1)).as("k"))
+          .pin()
+        val tri = db.filter(col("doc_id") % 2 === 0)
+          .groupBy("t1", "t2", "t3").agg(sum("k").as("n_abc"))
+        val h2 = tri.groupBy("t1", "t2").agg(sum("n_abc").as("n_ab"))
+        val big = tri.groupBy("t2", "t3").agg(sum("n_abc").as("n_bc"))
+        val bh = big.groupBy("t2").agg(sum("n_bc").as("n_b"))
+        val uni = tri.groupBy("t3").agg(sum("n_abc").as("n_c"))
+        val tot = tri.agg(sum("n_abc").as("n_tot"))
+        val sc = db.filter(col("doc_id") % 2 === 1)
+          .join(tri, Seq("t1", "t2", "t3"), "left")
+          .join(h2, Seq("t1", "t2"), "left")
+          .join(big, Seq("t2", "t3"), "left")
+          .join(bh, Seq("t2"), "left")
+          .join(uni, Seq("t3"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("s",
+            when(col("n_abc").isNotNull, expr("(1000000 * n_ab) div n_abc"))
+              .when(col("n_bc").isNotNull, expr("(5000000 * n_b) div (2 * n_bc)"))
+              .when(col("n_c").isNotNull, expr("(25000000 * n_tot) div (4 * n_c)"))
+              .otherwise(lit(1000000000000L)))
+        sc.groupBy("doc_id")
+          .agg(sum("k").as("n_trigrams"),
+            sum(when(col("n_abc").isNotNull, col("k")).otherwise(0L))
+              .as("n_tri_hit"),
+            sum(when(col("n_abc").isNull && col("n_bc").isNotNull, col("k"))
+              .otherwise(0L)).as("n_backoff_bi"),
+            sum(when(col("n_abc").isNull && col("n_bc").isNull &&
+              col("n_c").isNotNull, col("k")).otherwise(0L)).as("n_backoff_uni"),
+            sum(when(col("n_abc").isNull && col("n_bc").isNull &&
+              col("n_c").isNull, col("k")).otherwise(0L)).as("n_oov"),
+            sum(col("k") * col("s")).as("s_fp"))
+          .select(col("doc_id"), col("n_trigrams"), col("n_tri_hit"),
+            col("n_backoff_bi"), col("n_backoff_uni"), col("n_oov"),
+            expr("s_fp div n_trigrams").as("avg_surprisal_fp"))
+          .orderBy(col("avg_surprisal_fp").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |nz AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
+             |tp AS (
+             |  SELECT doc_id,
+             |    unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+             |  FROM nz),
+             |db AS (
+             |  SELECT doc_id, p[1] AS t1, p[2] AS t2, p[3] AS t3, count(*) AS k
+             |  FROM tp GROUP BY 1, 2, 3, 4),
+             |tri AS (
+             |  SELECT t1, t2, t3, CAST(sum(k) AS BIGINT) AS n_abc
+             |  FROM db WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+             |h2 AS (SELECT t1, t2, CAST(sum(n_abc) AS BIGINT) AS n_ab FROM tri GROUP BY 1, 2),
+             |big AS (SELECT t2, t3, CAST(sum(n_abc) AS BIGINT) AS n_bc FROM tri GROUP BY 1, 2),
+             |bh AS (SELECT t2, CAST(sum(n_bc) AS BIGINT) AS n_b FROM big GROUP BY 1),
+             |uni AS (SELECT t3, CAST(sum(n_abc) AS BIGINT) AS n_c FROM tri GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_abc) AS BIGINT) AS n_tot FROM tri),
+             |sc AS (
+             |  SELECT db.doc_id, db.k,
+             |    CASE
+             |      WHEN tri.n_abc IS NOT NULL THEN (1000000 * h2.n_ab) // tri.n_abc
+             |      WHEN big.n_bc IS NOT NULL THEN (5000000 * bh.n_b) // (2 * big.n_bc)
+             |      WHEN uni.n_c IS NOT NULL THEN (25000000 * n_tot) // (4 * uni.n_c)
+             |      ELSE 1000000000000 END AS s,
+             |    CASE WHEN tri.n_abc IS NOT NULL THEN 'tri'
+             |         WHEN big.n_bc IS NOT NULL THEN 'bi'
+             |         WHEN uni.n_c IS NOT NULL THEN 'uni' ELSE 'oov' END AS cls
+             |  FROM db
+             |  LEFT JOIN tri USING (t1, t2, t3)
+             |  LEFT JOIN h2 USING (t1, t2)
+             |  LEFT JOIN big USING (t2, t3)
+             |  LEFT JOIN bh USING (t2)
+             |  LEFT JOIN uni USING (t3)
+             |  CROSS JOIN tot
+             |  WHERE db.doc_id % 2 = 1)
+             |SELECT doc_id,
+             |  CAST(sum(k) AS BIGINT) AS n_trigrams,
+             |  CAST(sum(CASE WHEN cls = 'tri' THEN k ELSE 0 END) AS BIGINT) AS n_tri_hit,
+             |  CAST(sum(CASE WHEN cls = 'bi' THEN k ELSE 0 END) AS BIGINT) AS n_backoff_bi,
+             |  CAST(sum(CASE WHEN cls = 'uni' THEN k ELSE 0 END) AS BIGINT) AS n_backoff_uni,
+             |  CAST(sum(CASE WHEN cls = 'oov' THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+             |  CAST(sum(k * s) // sum(k) AS BIGINT) AS avg_surprisal_fp
+             |FROM sc GROUP BY 1
+             |ORDER BY avg_surprisal_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("q151_hybrid_rrf",
+      (s, dir) => {
+        // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+        // SIGIR'09): fuse two rankers through ranks alone —
+        // rrf = Σ 1/(60 + rank) — so systems with incomparable score
+        // scales (lexical BM25 vs tf-idf here; BM25 vs dense cosine in
+        // a production stack) combine without calibration. Kept exact:
+        // each contribution is the integer 1e9 div (60 + rank), so the
+        // fused ranking hash-gates. Plan shape: ONE tokenize pass — the
+        // persisted per-(doc,term) tf frame feeds BOTH systems (df/dl/
+        // corpus stats are term- or 1-row-sized broadcasts); each
+        // system's candidate set is posting-list-bounded, its top-100
+        // is TakeOrdered (never a global sort), and the rank window
+        // runs over the ≤100-row cut. The fusion itself is a
+        // full-outer join of two 100-row frames.
+        val qTerms = Seq("join", "hash", "vector", "stream")
+        val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tf = docs
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .pin()
+        // System A: BM25 (the q130 derivation, unchanged)
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
+        val nD = col("n").cast(DoubleType)
+        val dfD = col("df").cast(DoubleType)
+        val tfD = col("tf").cast(DoubleType)
+        val avgdl = col("sum_dl").cast(DoubleType) / nD
+        val idfR = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+        val tfn = (tfD * lit(2.2)) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast(DoubleType) / avgdl)))
+        val bm25 = tf.filter(col("term").isin(qTerms: _*))
+          .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("c_fp", floor(idfR * tfn * lit(1000000.0)).cast(LongType))
+          .groupBy("doc_id").agg(sum("c_fp").as("score_a"))
+          .orderBy(col("score_a").desc, col("doc_id")).limit(100)
+        // System B: integer tf-idf (the q94 derivation, unchanged)
+        val nDocs = docs.agg(count(lit(1)).as("n"))
+        val tfidf = tf.filter(col("term").isin(qTerms: _*))
+          .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("w", col("tf") * expr("(n * 1000000) div df"))
+          .groupBy("doc_id").agg(sum("w").as("score_b"))
+          .orderBy(col("score_b").desc, col("doc_id")).limit(100)
+        val ra = bm25.withColumn("rank_bm25",
+          row_number().over(Window.orderBy(col("score_a").desc, col("doc_id")))
+            .cast(LongType))
+        val rb = tfidf.withColumn("rank_tfidf",
+          row_number().over(Window.orderBy(col("score_b").desc, col("doc_id")))
+            .cast(LongType))
+        ra.join(rb, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"),
+            (coalesce(expr("1000000000 div (60 + rank_bm25)"), lit(0L)) +
+              coalesce(expr("1000000000 div (60 + rank_tfidf)"), lit(0L)))
+              .as("rrf_fp"))
+          .orderBy(col("rrf_fp").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+             |  FROM documents),
+             |tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+             |nd AS (SELECT count(*) AS n FROM documents),
+             |bm AS (
+             |  SELECT tf.doc_id, CAST(sum(
+             |    CAST(floor(
+             |      ((CAST(st.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             |      * ((CAST(tf AS DOUBLE) * 2.2) /
+             |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+             |           (CAST(dl.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+             |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_a
+             |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+             |  WHERE term IN ('join', 'hash', 'vector', 'stream')
+             |  GROUP BY 1
+             |  ORDER BY score_a DESC, doc_id LIMIT 100),
+             |ti AS (
+             |  SELECT tf.doc_id,
+             |    CAST(sum(tf.tf * ((nd.n * 1000000) // dfreq.df)) AS BIGINT) AS score_b
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+             |  WHERE term IN ('join', 'hash', 'vector', 'stream')
+             |  GROUP BY 1
+             |  ORDER BY score_b DESC, doc_id LIMIT 100),
+             |ra AS (
+             |  SELECT doc_id, CAST(row_number()
+             |    OVER (ORDER BY score_a DESC, doc_id) AS BIGINT) AS rank_bm25
+             |  FROM bm),
+             |rb AS (
+             |  SELECT doc_id, CAST(row_number()
+             |    OVER (ORDER BY score_b DESC, doc_id) AS BIGINT) AS rank_tfidf
+             |  FROM ti)
+             |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             |  rank_bm25, rank_tfidf,
+             |  CAST(COALESCE(1000000000 // (60 + rank_bm25), 0)
+             |    + COALESCE(1000000000 // (60 + rank_tfidf), 0) AS BIGINT) AS rrf_fp
+             |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+             |ORDER BY rrf_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("q152_gopher_rules",
+      (s, dir) => {
+        // Gopher-style quality rule suite (Rae et al. 2112.11446 Table
+        // A1), restated for a token-stream corpus with no line
+        // structure: word-count window, mean-word-length window,
+        // alpha-word fraction, stop-word floor, and the three
+        // REPETITION rules — top-2-gram / top-3-gram character
+        // fraction and duplicate-5-gram character cover — that catch
+        // templated/looped text. All thresholds are fixed-point
+        // integers (×100 for word length, ×10000 for fractions), every
+        // fraction one integer division, so the per-source rule
+        // scoreboard hash-gates. Definitions: tc = Σ token chars;
+        // top-n cover = count·gram_chars of the most frequent n-gram
+        // (ties → lexicographically smallest gram); dup-5 cover =
+        // Σ count·gram_chars over 5-grams occurring ≥ 2 (overlaps
+        // counted, as in the common implementations). Plan shape: one
+        // base scan with codegen'd higher-order funcs + three gram
+        // explode passes, each pre-aggregated per (doc, gram) map-side;
+        // the top-gram windows are per-doc partitions; the final
+        // scoreboard is a source-sized rollup.
+        val toks = TextOps.tokens(col("text"))
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+        val base = tp(s, dir, "documents")
+          .filter(size(toks) >= 1)
+          .select(col("doc_id"), col("source"), toks.as("t"),
+            TextOps.wordSetHits(col("text"), stops).cast(LongType)
+              .as("stop_hits"))
+          .withColumn("nw", size(col("t")).cast(LongType))
+          .withColumn("tc",
+            expr("aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)"))
+          .withColumn("n_alpha",
+            size(expr("filter(t, x -> x rlike '[A-Za-z]')")).cast(LongType))
+          .pin()
+        def grams(n: Int): DataFrame = {
+          val parts = (1 to n).map(i =>
+            slice(col("t"), lit(i), size(col("t")) - (n - 1)))
+          val fields = (0 until n).map(i => col("p").getField(i.toString))
+          base.filter(size(col("t")) >= n)
+            .select(col("doc_id"), explode(arrays_zip(parts: _*)).as("p"))
+            .select(col("doc_id"),
+              concat_ws(" ", fields: _*).as("g"),
+              fields.map(length(_).cast(LongType)).reduce(_ + _).as("gchars"))
+            .groupBy("doc_id", "g", "gchars").agg(count(lit(1)).as("c"))
+        }
+        def topCover(n: Int, out: String): DataFrame = {
+          val w = Window.partitionBy("doc_id")
+            .orderBy(col("c").desc, col("g"))
+          grams(n).withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("doc_id"), (col("c") * col("gchars")).as(out))
+        }
+        val t2 = topCover(2, "cover2")
+        val t3 = topCover(3, "cover3")
+        val d5 = grams(5).filter(col("c") >= 2)
+          .groupBy("doc_id").agg(sum(col("c") * col("gchars")).as("cover5"))
+        val m = base
+          .join(t2, Seq("doc_id"), "left")
+          .join(t3, Seq("doc_id"), "left")
+          .join(d5, Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("nw").between(50, 100000), 0L).otherwise(1L).as("x_words"),
+            when(expr("(100 * tc) div nw").between(300, 1000), 0L)
+              .otherwise(1L).as("x_wordlen"),
+            when(expr("(10000 * n_alpha) div nw") > 8000, 0L)
+              .otherwise(1L).as("x_alpha"),
+            when(col("stop_hits") >= 2, 0L).otherwise(1L).as("x_stop"),
+            when(coalesce(expr("(10000 * cover2) div tc"), lit(0L)) <= 2000, 0L)
+              .otherwise(1L).as("x_top2"),
+            when(coalesce(expr("(10000 * cover3) div tc"), lit(0L)) <= 1800, 0L)
+              .otherwise(1L).as("x_top3"),
+            when(coalesce(expr("(10000 * cover5) div tc"), lit(0L)) <= 1500, 0L)
+              .otherwise(1L).as("x_dup5"))
+        m.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("x_words") + col("x_wordlen") + col("x_alpha") +
+              col("x_stop") + col("x_top2") + col("x_top3") + col("x_dup5")
+              === 0, 1L).otherwise(0L)).as("n_pass"),
+            sum("x_words").as("f_words"),
+            sum("x_wordlen").as("f_wordlen"),
+            sum("x_alpha").as("f_alpha"),
+            sum("x_stop").as("f_stop"),
+            sum("x_top2").as("f_top2"),
+            sum("x_top3").as("f_top3"),
+            sum("x_dup5").as("f_dup5"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, text,
+             |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |b AS (
+             |  SELECT doc_id, source, len(t) AS nw,
+             |    list_sum(list_transform(t, x -> length(x))) AS tc,
+             |    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b'))
+             |      AS stop_hits,
+             |    t
+             |  FROM d WHERE len(t) >= 1),
+             |g2 AS (
+             |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM b),
+             |c2 AS (
+             |  SELECT doc_id, p[1] || ' ' || p[2] AS g,
+             |    length(p[1]) + length(p[2]) AS gchars, count(*) AS c
+             |  FROM g2 GROUP BY 1, 2, 3),
+             |t2 AS (
+             |  SELECT doc_id, c * gchars AS cover2 FROM c2
+             |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+             |g3 AS (
+             |  SELECT doc_id,
+             |    unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+             |  FROM b WHERE len(t) >= 3),
+             |c3 AS (
+             |  SELECT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS g,
+             |    length(p[1]) + length(p[2]) + length(p[3]) AS gchars, count(*) AS c
+             |  FROM g3 GROUP BY 1, 2, 3),
+             |t3 AS (
+             |  SELECT doc_id, c * gchars AS cover3 FROM c3
+             |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+             |g5 AS (
+             |  SELECT doc_id, unnest(list_zip(t[1:len(t)-4], t[2:len(t)-3],
+             |    t[3:len(t)-2], t[4:len(t)-1], t[5:len(t)])) AS p
+             |  FROM b WHERE len(t) >= 5),
+             |c5 AS (
+             |  SELECT doc_id,
+             |    p[1] || ' ' || p[2] || ' ' || p[3] || ' ' || p[4] || ' ' || p[5] AS g,
+             |    length(p[1]) + length(p[2]) + length(p[3]) + length(p[4])
+             |      + length(p[5]) AS gchars,
+             |    count(*) AS c
+             |  FROM g5 GROUP BY 1, 2, 3),
+             |d5 AS (
+             |  SELECT doc_id, CAST(sum(c * gchars) AS BIGINT) AS cover5
+             |  FROM c5 WHERE c >= 2 GROUP BY 1),
+             |m AS (
+             |  SELECT b.source,
+             |    CASE WHEN b.nw BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS x_words,
+             |    CASE WHEN (100 * b.tc) // b.nw BETWEEN 300 AND 1000 THEN 0 ELSE 1 END
+             |      AS x_wordlen,
+             |    CASE WHEN (10000 * b.n_alpha) // b.nw > 8000 THEN 0 ELSE 1 END
+             |      AS x_alpha,
+             |    CASE WHEN b.stop_hits >= 2 THEN 0 ELSE 1 END AS x_stop,
+             |    CASE WHEN COALESCE((10000 * t2.cover2) // b.tc, 0) <= 2000
+             |      THEN 0 ELSE 1 END AS x_top2,
+             |    CASE WHEN COALESCE((10000 * t3.cover3) // b.tc, 0) <= 1800
+             |      THEN 0 ELSE 1 END AS x_top3,
+             |    CASE WHEN COALESCE((10000 * d5.cover5) // b.tc, 0) <= 1500
+             |      THEN 0 ELSE 1 END AS x_dup5
+             |  FROM b
+             |  LEFT JOIN t2 ON t2.doc_id = b.doc_id
+             |  LEFT JOIN t3 ON t3.doc_id = b.doc_id
+             |  LEFT JOIN d5 ON d5.doc_id = b.doc_id)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN x_words + x_wordlen + x_alpha + x_stop
+             |    + x_top2 + x_top3 + x_dup5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pass,
+             |  CAST(sum(x_words) AS BIGINT) AS f_words,
+             |  CAST(sum(x_wordlen) AS BIGINT) AS f_wordlen,
+             |  CAST(sum(x_alpha) AS BIGINT) AS f_alpha,
+             |  CAST(sum(x_stop) AS BIGINT) AS f_stop,
+             |  CAST(sum(x_top2) AS BIGINT) AS f_top2,
+             |  CAST(sum(x_top3) AS BIGINT) AS f_top3,
+             |  CAST(sum(x_dup5) AS BIGINT) AS f_dup5
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
