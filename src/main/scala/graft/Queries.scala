@@ -87,6 +87,35 @@ object Queries {
        |SELECT id AS node_id, pr AS rank_fp FROM r$iters ORDER BY node_id""".stripMargin
   }
 
+  /** Unrolled synchronous label-propagation oracle mirroring
+    * [[graft.analytics.GraphOps.labelPropagation]]: self-looped edge
+    * list, per-round (node,label) counts, argmax with (count DESC,
+    * label ASC) — the row_number form is exactly the engine's
+    * max(struct(c, -lbl)). */
+  private def lpaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT es.dst AS id, l.lbl, count(*) AS c
+         |  FROM es JOIN l${i - 1} l ON l.id = es.src GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $purchaseGraphCtes,
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |es AS (SELECT src, dst FROM edges UNION ALL SELECT id, id FROM nodes),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$rounds
+       |SELECT l$iters.id AS node_id, l$iters.lbl AS community,
+       |  sz.n AS n_members
+       |FROM l$iters JOIN (
+       |  SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM l$iters GROUP BY 1) sz
+       |  ON sz.lbl = l$iters.lbl
+       |ORDER BY node_id""".stripMargin
+  }
+
   /** SCD2 state intervals from the event log (shared by q96/q101):
     * consecutive repeats collapsed, half-open [valid_from, valid_to)
     * windows, NULL open end. Two windows + a filter on one key. */
@@ -5804,7 +5833,26 @@ object Queries {
              |  CAST(sum(x_top2) AS BIGINT) AS f_top2,
              |  CAST(sum(x_top3) AS BIGINT) AS f_top3,
              |  CAST(sum(x_dup5) AS BIGINT) AS f_dup5
-             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q153_label_propagation",
+      (s, dir) => {
+        // Community detection on the bipartite customer↔supplier
+        // purchase graph (the q89/q90 graph) via deterministic
+        // synchronous label propagation — the third member of the graph
+        // family (PageRank = centrality, BFS = reachability, LPA =
+        // community structure). 4 fixed rounds; the self-vote damps
+        // bipartite oscillation; ties go to the smallest label, so the
+        // full per-node community vector hash-gates against the
+        // unrolled oracle. Output attaches each node's final community
+        // size (community-count-sized rollup joined back).
+        val lp = GraphOps.labelPropagation(purchaseGraph(s, dir), iters = 4)
+        val sizes = lp.groupBy("community").agg(count(lit(1)).as("n_members"))
+        lp.join(sizes, "community")
+          .select(col("id").as("node_id"), col("community"), col("n_members"))
+          .orderBy("node_id")
+      },
+      Some(lpaOracleSql(4)))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

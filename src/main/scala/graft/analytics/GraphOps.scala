@@ -161,6 +161,54 @@ object GraphOps {
     }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * self-vote: every node starts labeled with its own id; each round,
+    * every node adopts the most frequent label among its neighbors PLUS
+    * its own current label (one vote), ties broken toward the SMALLEST
+    * label — fully deterministic, no randomized update order. The
+    * self-vote damps the 2-coloring oscillation synchronous LPA
+    * exhibits on bipartite graphs. A fixed `iters` (not
+    * run-to-convergence) keeps the cost profile flat and the semantics
+    * oracle-expressible by unrolling.
+    *
+    * Plan shape per round: one equi-join of the (cached) self-looped
+    * edge list against the model-sized label frame, one
+    * (node, label)-keyed count (map-side combined), and one
+    * struct-max argmax per node — `max(struct(c, -label))` — so a
+    * round is exactly two shuffles and never a window over unbounded
+    * partitions. Plans stay tree-shaped but each round's plan embeds
+    * only the previous round's (linear growth, like pageRank — no
+    * compaction needed at the fixed small iteration counts this is
+    * meant for).
+    *
+    * Returns (id, community). */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       release: Boolean = false): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // self-loops make the self-vote just another edge: one join per
+    // round instead of a union-merge of neighbor counts with own labels
+    val es = e.union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("lbl", col("id"))
+    for (_ <- 1 to iters) {
+      labels = es
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+    }
+    graft.CachePolicy.finish(release, Seq(e, nodes, es))(
+      labels.select(col("id"), col("lbl").as("community")))
+  }
+
   /** Duration-weighted mean of a fixed-point value per key: each
     * observation is weighted by the seconds until the key's NEXT
     * observation (the last one carries no weight — its duration is

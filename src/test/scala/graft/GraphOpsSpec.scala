@@ -80,6 +80,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(added.size <= 2, s"leaked caches: ${added.size - 2}")
   }
 
+  test("labelPropagation: two triangles joined by a bridge split into " +
+    "two communities with min-label canonical ids") {
+    // undirected: both directions materialized, as purchaseGraph does
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced: round 1 floods min labels (4 briefly takes 3 via the
+    // bridge), round 2 the triangle majorities win, round 3+ stable
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("labelPropagation: release=true frees per-call caches") {
+    val sc = spark.sparkContext
+    val edges = Seq((201L, 202L), (202L, 201L), (202L, 203L), (203L, 202L))
+      .toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    val lp = GraphOps.labelPropagation(edges, iters = 2, release = true)
+    assert(lp.count() == 3)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked caches: ${added.size - 1}")
+  }
+
   test("timeWeightedAvg: last observation carries no weight") {
     val ev = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L), (1L, 40L, 3L, 5L),
       (2L, 0L, 4L, 7L)) // single-event key → no output row
