@@ -116,6 +116,59 @@ object Queries {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** Unrolled integer power-iteration oracle mirroring q154: global
+    * int8 quantization, exact long Gram/sum accumulators, truncated
+    * integer-centered covariance, and the fixed-point matvec
+    * normalization — every `//` has the same truncate-toward-zero
+    * semantics as Spark's `div`, so the full eigvector hash-gates. */
+  private def pcaOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""m$i AS (
+         |  SELECT cm.i, CAST(sum(cm.c * v.v) AS BIGINT) AS m
+         |  FROM cm JOIN v${i - 1} v ON v.i = cm.j GROUP BY 1),
+         |x$i AS (SELECT max(abs(m)) AS mx FROM m$i),
+         |v$i AS (
+         |  SELECT i, m // greatest(mx // 1000000, 1) AS v
+         |  FROM m$i CROSS JOIN x$i)"""
+    }.mkString(",\n")
+    s"""WITH gm AS (
+       |  SELECT greatest(max(list_max(list_transform(embedding,
+       |    x -> abs(x::DOUBLE)))), 1e-30) / 127.0 AS gsc
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / gsc + 0.5)))
+       |      AS BIGINT)) AS q
+       |  FROM embeddings CROSS JOIN gm),
+       |el AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(q) - 1)) AS i, q
+       |  FROM qv),
+       |e2 AS (SELECT vec_id, i, q[i + 1] AS qi FROM el),
+       |sv AS (SELECT i, CAST(sum(qi) AS BIGINT) AS s FROM e2 GROUP BY 1),
+       |gr AS (
+       |  SELECT a.i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS g
+       |  FROM e2 a JOIN e2 b USING (vec_id) GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |cm AS (
+       |  SELECT gr.i, gr.j, gr.g - (sa.s * sb.s) // nn.n AS c
+       |  FROM gr JOIN sv sa ON sa.i = gr.i JOIN sv sb ON sb.i = gr.j
+       |  CROSS JOIN nn),
+       |t0 AS (SELECT i AS ti FROM cm WHERE i = j ORDER BY c DESC, i LIMIT 1),
+       |v0 AS (
+       |  SELECT DISTINCT cm.i,
+       |    CASE WHEN cm.i = t0.ti THEN 1000000 ELSE 0 END AS v
+       |  FROM cm CROSS JOIN t0),
+       |$rounds,
+       |sg AS (
+       |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+       |  FROM v$iters ORDER BY abs(v) DESC, i LIMIT 1),
+       |le AS (SELECT mx // 1000000 AS lambda_est FROM x$iters)
+       |SELECT v.i AS dim, CAST(v.v * sg.sg AS BIGINT) AS v_fp,
+       |  CAST(lambda_est AS BIGINT) AS lambda_est
+       |FROM v$iters v CROSS JOIN sg CROSS JOIN le
+       |ORDER BY dim""".stripMargin
+  }
+
   /** SCD2 state intervals from the event log (shared by q96/q101):
     * consecutive repeats collapsed, half-open [valid_from, valid_to)
     * windows, NULL open end. Two windows + a filter on one key. */
@@ -5852,7 +5905,84 @@ object Queries {
           .select(col("id").as("node_id"), col("community"), col("n_members"))
           .orderBy("node_id")
       },
-      Some(lpaOracleSql(4)))
+      Some(lpaOracleSql(4))),
+
+    Q("q154_pca_power_iteration",
+      (s, dir) => {
+        // Top principal direction of the embedding corpus, computed
+        // IN-ENGINE with exact integer arithmetic end to end — the
+        // whitening/drift diagnostic an embedding-dedup pipeline wants
+        // before trusting cosine thresholds. Recipe: (1) globally
+        // int8-quantize (one corpus abs-max, broadcast — geometry
+        // preserved up to one uniform scale, unlike q61's per-vector
+        // scales); (2) ONE corpus pass accumulates the exact Gram
+        // matrix Σ qqᵀ and column sums Σ q as longs via a nested
+        // transform (d² products per row, map-side combined — no join;
+        // the 100 TB shape for d beyond ~128 is a per-partition
+        // d×d accumulator, same math); (3) integer-centered covariance
+        // C = G − (s·sᵀ) div n (truncation ≤ 1 per entry, symmetric,
+        // exactly mirrored by the oracle); (4) six power-iteration
+        // rounds, each a d²-row matvec against the broadcast d-row
+        // vector, renormalized to ~1e6 by integer division — model-
+        // sized work, corpus never touched again; (5) deterministic
+        // sign fix (max-|component| positive). Overflow envelope:
+        // |C| ≤ n·127², matvec ≤ d·|C|·2e6 → safe to n ≈ 4e6 vectors
+        // at d = 64; beyond that, pre-scale C by (n div K) once.
+        // λ_est is the dominant-eigenvalue estimate in C-units
+        // (max|Cv| div max|v|).
+        val emb = tp(s, dir, "embeddings")
+        val gm = emb.agg(
+          (greatest(max(graft.functions.VecExpressions.vecAbsMax(
+            col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
+        val qv = emb.crossJoin(broadcast(gm))
+          .select(col("vec_id"),
+            expr("""transform(embedding, x ->
+              CAST(greatest(-127.0D, least(127.0D,
+                floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
+        val e2 = qv.select(col("vec_id"),
+          posexplode(col("q")).as(Seq("i", "qi")))
+        val sv = e2.groupBy("i").agg(sum("qi").as("s"))
+        val gr = qv.select(expr(
+            """explode(flatten(transform(q, (xi, i) ->
+              transform(q, (xj, j) ->
+                named_struct('i', i, 'j', j, 'p', xi * xj))))) AS pp"""))
+          .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
+          .agg(sum("pp.p").as("g"))
+        val nn = emb.agg(count(lit(1)).as("n"))
+        val cMat = gr
+          .join(sv.select(col("i"), col("s").as("s_i")), "i")
+          .join(sv.select(col("i").as("j"), col("s").as("s_j")), "j")
+          .crossJoin(broadcast(nn))
+          .select(col("i"), col("j"),
+            (col("g") - expr("(s_i * s_j) div n")).as("c"))
+          .pin()
+        val t0 = cMat.filter(col("i") === col("j"))
+          .orderBy(col("c").desc, col("i")).limit(1)
+          .select(col("i").as("ti"))
+        var v = cMat.select(col("i")).distinct()
+          .crossJoin(broadcast(t0))
+          .select(col("i"), when(col("i") === col("ti"), 1000000L)
+            .otherwise(0L).as("v"))
+        var lambdaEst: DataFrame = null
+        val iters = 6
+        for (k <- 1 to iters) {
+          val m = cMat
+            .join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
+            .groupBy("i").agg(sum(col("c") * col("v")).as("m"))
+          val mx = m.agg(max(abs(col("m"))).as("mx"))
+          v = m.crossJoin(broadcast(mx))
+            .select(col("i"), expr("m div greatest(mx div 1000000, 1L)").as("v"))
+          if (k == iters)
+            lambdaEst = mx.select(expr("mx div 1000000").as("lambda_est"))
+        }
+        val sg = v.orderBy(abs(col("v")).desc, col("i")).limit(1)
+          .select(when(col("v") < 0, -1L).otherwise(1L).as("sg"))
+        v.crossJoin(broadcast(sg)).crossJoin(broadcast(lambdaEst))
+          .select(col("i").as("dim"), (col("v") * col("sg")).as("v_fp"),
+            col("lambda_est"))
+          .orderBy("dim")
+      },
+      Some(pcaOracleSql(6)))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
