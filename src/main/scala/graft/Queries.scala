@@ -5982,7 +5982,59 @@ object Queries {
             col("lambda_est"))
           .orderBy("dim")
       },
-      Some(pcaOracleSql(6)))
+      Some(pcaOracleSql(6))),
+
+    Q("q155_span_decontamination",
+      (s, dir) => {
+        // Span-level decontamination audit: which train documents
+        // contain verbatim ≥8-token passages from the benchmark slice
+        // (sources src0–src3 stand in for the eval suite)? Doc-level
+        // decontamination (q53) drops whole documents on any 13-gram
+        // hit; this measures WHERE and HOW MUCH — per-doc maximal
+        // contaminated spans and token fraction, the evidence you want
+        // before choosing drop-vs-excise. Plan shape in ExactSubstrOps:
+        // benchmark keys are one distinct on 8-byte gram keys, the scan
+        // is a LEFT SEMI join, islands merge per-doc — never all-pairs.
+        ExactSubstrOps.crossContamination(tp(s, dir, "documents"),
+            col("doc_id"), col("text"),
+            col("source").isin("src0", "src1", "src2", "src3"), l = 8)
+          .orderBy(col("contamination_fp").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_bench,
+             |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |nz AS (SELECT doc_id, is_bench, t, CAST(len(t) AS BIGINT) AS n
+             |  FROM d WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, is_bench, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, is_bench, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |bk AS (SELECT DISTINCT gkey FROM g WHERE is_bench),
+             |dp AS (SELECT doc_id, n, pos FROM g
+             |  WHERE NOT is_bench AND gkey IN (SELECT gkey FROM bk)),
+             |m AS (SELECT doc_id, n, pos,
+             |  max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM dp),
+             |mk AS (SELECT doc_id, n, pos,
+             |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM m),
+             |sp AS (SELECT doc_id, n, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM mk),
+             |spans AS (SELECT doc_id, n, span_id, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM sp GROUP BY 1, 2, 3),
+             |outp AS (SELECT doc_id, count(*) AS n_spans,
+             |  sum(en - st + 1) AS contam_tokens, n AS n_tokens
+             |  FROM spans GROUP BY doc_id, n)
+             |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+             |  CAST(contam_tokens AS BIGINT) AS contam_tokens, n_tokens,
+             |  CAST((10000 * contam_tokens) // n_tokens AS BIGINT)
+             |    AS contamination_fp
+             |FROM outp ORDER BY contamination_fp DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

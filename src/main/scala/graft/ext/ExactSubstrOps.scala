@@ -129,6 +129,42 @@ object ExactSubstrOps {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Cross-corpus span contamination: positions of a NON-benchmark
+    * ("train") document whose `l`-gram occurs verbatim anywhere in the
+    * benchmark slice, reassembled into maximal spans — the span-level
+    * decontamination audit (the n-gram overlap check of GPT-3/PaLM
+    * appendix-style contamination studies) that doc-level
+    * decontamination (q53) rounds up to whole documents. Output: one
+    * row per contaminated train doc — (doc_id, n_spans,
+    * contam_tokens, n_tokens, contamination_fp).
+    *
+    * Scale shape: same as [[dupSpanProfile]] — the benchmark key set is
+    * ONE distinct on the 8-byte gram key (benchmark-sized, typically
+    * tiny next to train), the detection is a LEFT SEMI join on that
+    * key, and the island merge is per-train-doc windows. Never
+    * all-pairs, no text payload moves after the gram pass. */
+  def crossContamination(docs: DataFrame, id: Column, text: Column,
+                         isBench: Column, l: Int = 8): DataFrame = {
+    require(l >= 2, s"gram length must be >= 2, got $l")
+    val toks = docs
+      .select(id.as("doc_id"), isBench.as("is_bench"),
+        TextOps.tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .filter(col("n_tokens") >= l)
+    val grams = gramExplode(toks, l, extra = Seq("is_bench"))
+    val benchKeys = grams.filter(col("is_bench")).select("gkey").distinct()
+    val contamPos = grams.filter(!col("is_bench"))
+      .join(benchKeys, Seq("gkey"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    mergeIslands(contamPos, l)
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("sp_end") - col("sp_start") + 1L).as("contam_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("contam_tokens"),
+        col("n_tokens"),
+        expr("(10000 * contam_tokens) div n_tokens").as("contamination_fp"))
+  }
+
   /** Shared internals: (tokenized docs, gram frame, duplicated keys). */
   private def gramFrames(docs: DataFrame, id: Column, text: Column,
                          l: Int, minOccurrences: Long)
@@ -138,27 +174,32 @@ object ExactSubstrOps {
       .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .filter(col("n_tokens") >= l)
-    // one row per grid position, stride 1: pos ranges over 0..n-l. The
-    // gram text is immediately collapsed to its 60-bit portable md5
-    // prefix (PortableHash.long60, codegen'd): the count shuffle and the
-    // semi-join feedback then move 8-byte keys instead of ~l-token
-    // strings — the dominant shuffle of this operator at scale. The
-    // DuckDB oracle groups by the equivalent hex prefix, so a (presumed
-    // astronomically unlikely) 60-bit collision would affect both
-    // engines identically.
-    val grams = toks.select(
-      col("doc_id"), col("n_tokens"),
-      posexplode(transform(
-        sequence(lit(0), size(col("toks")) - l),
-        i => array_join(slice(col("toks"), i + 1, lit(l)), " ")))
-        .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        PortableHash.long60(col("gram")).as("gkey"))
+    val grams = gramExplode(toks, l, extra = Seq.empty)
     val dupKeys = grams.groupBy("gkey")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccurrences)
       .select("gkey")
     (toks, grams, dupKeys)
+  }
+
+  /** One row per grid position, stride 1: pos ranges over 0..n-l. The
+    * gram text is immediately collapsed to its 60-bit portable md5
+    * prefix (PortableHash.long60, codegen'd): the count shuffle and the
+    * semi-join feedback then move 8-byte keys instead of ~l-token
+    * strings — the dominant shuffle of this operator at scale. The
+    * DuckDB oracle groups by the equivalent hex prefix, so a (presumed
+    * astronomically unlikely) 60-bit collision would affect both
+    * engines identically. `extra` columns from `toks` ride along. */
+  private def gramExplode(toks: DataFrame, l: Int,
+                          extra: Seq[String]): DataFrame = {
+    val keep = (Seq("doc_id", "n_tokens") ++ extra).map(col)
+    toks.select(keep :+
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - l),
+          i => array_join(slice(col("toks"), i + 1, lit(l)), " ")))
+          .as(Seq("pos", "gram")): _*)
+      .select(keep :+ col("pos") :+
+        PortableHash.long60(col("gram")).as("gkey"): _*)
   }
 
   /** Shared internals: (tokenized docs, merged maximal spans). */
@@ -167,15 +208,21 @@ object ExactSubstrOps {
     val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
     val dupPos = grams.join(dupKeys, Seq("gkey"), "left_semi")
       .select(col("doc_id"), col("n_tokens"), col("pos"))
-    // gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge
-    // overlapping or contiguous covers into maximal spans. The island
-    // cumsum consumes the running-max frame's output, so the two Window
-    // nodes cannot fuse — but they pipeline over ONE (doc_id, pos)
-    // exchange+sort with no re-partition between them (spec-pinned).
+    (toks, mergeIslands(dupPos, l))
+  }
+
+  /** Gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge
+    * overlapping or contiguous covers into maximal spans. The island
+    * cumsum consumes the running-max frame's output, so the two Window
+    * nodes cannot fuse — but they pipeline over ONE (doc_id, pos)
+    * exchange+sort with no re-partition between them (spec-pinned).
+    * Input: (doc_id, n_tokens, pos); output: (doc_id, n_tokens,
+    * span_id, sp_start, sp_end). */
+  private def mergeIslands(positions: DataFrame, l: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(l - 1).cast(LongType))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = dupPos
+    positions
       .withColumn("new_span",
         when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
       .withColumn("span_id",
@@ -183,6 +230,5 @@ object ExactSubstrOps {
       .groupBy("doc_id", "n_tokens", "span_id")
       .agg(min("pos").as("sp_start"),
         (max(col("pos")) + lit(l - 1).cast(LongType)).as("sp_end"))
-    (toks, spans)
   }
 }
