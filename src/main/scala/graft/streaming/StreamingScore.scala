@@ -48,4 +48,21 @@ object StreamingScore {
       .drop(weights.columns.filter(_.startsWith("_w")).toSeq: _*)
       .withColumn("keep", col("p") >= threshold)
   }
+
+  /** Score-online TOPIC assignment: attach the fitted IVF centroid
+    * argmax ([[graft.ext.SimilarityOps.ivfFit]] trains offline; its
+    * `IvfModel.centroids` are model-sized driver state, like the LR
+    * weights above) to a streaming frame as `centroid_id`. The argmax
+    * is one codegen'd literal-chain expression
+    * ([[graft.functions.VecExpressions.nearestCentroid]]) — stateless,
+    * append-mode pass-through, scan-bound; the exact expression the
+    * batch assignment path evaluates, so stream ≡ batch cluster ids by
+    * construction (parity spec pins it). Republishing centroids means
+    * restarting the query (they are literals); use the per-group
+    * weights-frame pattern above when hot-swap matters more than
+    * codegen. */
+  def assignedTopics(df: DataFrame, centroids: Array[Array[Double]],
+                     vecCol: String): DataFrame =
+    df.withColumn("centroid_id",
+      graft.functions.VecExpressions.nearestCentroid(col(vecCol), centroids))
 }

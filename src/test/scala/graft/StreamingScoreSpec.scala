@@ -71,4 +71,31 @@ class StreamingScoreSpec extends AnyFunSuite {
     val wRows = weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(wRows("A") != wRows("B"))
   }
+
+  test("streaming topic assignment equals the batch IVF assignment") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("cid"),
+      col("embedding").as("cvec"))
+    val model = graft.ext.SimilarityOps.ivfFit(corpus, nlist = 4)
+    val batch = model.assigned.select("cid", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val dir = Files.createTempDirectory("graft_stopic")
+    emb.select(col("vec_id"), col("embedding"))
+      .write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema("vec_id long, embedding array<float>")
+      .parquet(dir.resolve("in").toString)
+    val q = StreamingScore.assignedTopics(stream, model.centroids, "embedding")
+      .select("vec_id", "centroid_id")
+      .writeStream.format("memory").queryName("stopic")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("stopic").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.size == batch.size && batch.size > 0)
+    // the stream genuinely spreads over several topics
+    assert(streamed.values.toSet.size > 1)
+  }
 }
