@@ -6034,7 +6034,186 @@ object Queries {
              |  CAST(contam_tokens AS BIGINT) AS contam_tokens, n_tokens,
              |  CAST((10000 * contam_tokens) // n_tokens AS BIGINT)
              |    AS contamination_fp
-             |FROM outp ORDER BY contamination_fp DESC, doc_id LIMIT 20""".stripMargin))
+             |FROM outp ORDER BY contamination_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("q156_blocking_quality",
+      (s, dir) => {
+        // Blocking-quality evaluation for the q88 fuzzy-join: reduction
+        // ratio (pairs pruned before the levenshtein verify) and pair
+        // completeness (true matches surviving the blocking) — the two
+        // standard record-linkage blocking metrics (Christen, TKDE'12).
+        // Ground truth is the NAIVE quadratic join over a deterministic
+        // 5% name sample — exactly how you'd calibrate blocking on
+        // 100 TB: brute-force a bounded sample, then trust the measured
+        // completeness for the full run (here it is provably 10000 —
+        // the gram-count bound is lossless — and the eval DEMONSTRATES
+        // it rather than assuming it). All counts are 1-row broadcast
+        // frames; only the sampled quadratic join is ever materialized.
+        val names = t(s, dir, "part")
+          .filter(col("p_partkey") % 20 === 0)
+          .select(col("p_name")).distinct()
+        val clean = names.select(col("p_name").as("id"), col("p_name").as("s"))
+        val dirty = names.select(col("p_name").as("id"),
+          concat(substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3)")).as("s"))
+        val cand = FuzzyJoinOps.candidatePairs(dirty, clean, maxDist = 2, q = 3)
+          .pin()
+        val found = cand
+          .filter(levenshtein(col("l_s"), col("r_s")) <= 2)
+        val truth = dirty.select(col("s").as("ds"))
+          .crossJoin(clean.select(col("s").as("cs")))
+          .filter(levenshtein(col("ds"), col("cs")) <= 2)
+        dirty.agg(count(lit(1)).as("n_left"))
+          .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_right"))))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+          .select(col("n_left"), col("n_right"), col("n_candidates"),
+            col("n_true"), col("n_found"),
+            expr("(10000 * (n_left * n_right - n_candidates)) div (n_left * n_right)")
+              .as("reduction_fp"),
+            expr("(10000 * n_found) div n_true").as("completeness_fp"))
+      },
+      Some("""WITH names AS (
+             |  SELECT DISTINCT p_name FROM part WHERE p_partkey % 20 = 0),
+             |cl AS (SELECT p_name AS id, p_name AS s FROM names),
+             |dt AS (SELECT p_name AS id,
+             |  substring(p_name, 1, 1) || substring(p_name, 3) AS s FROM names),
+             |lg0 AS (SELECT id, s,
+             |  list_distinct(list_transform(generate_series(1, greatest(length(s) - 2, 0)),
+             |    i -> substring(s, i, 3))) AS g FROM dt),
+             |rg0 AS (SELECT id, s,
+             |  list_distinct(list_transform(generate_series(1, greatest(length(s) - 2, 0)),
+             |    i -> substring(s, i, 3))) AS g FROM cl),
+             |lg AS (SELECT id AS l_id, unnest(g) AS gr FROM lg0),
+             |rg AS (SELECT id AS r_id, unnest(g) AS gr FROM rg0),
+             |sh AS (SELECT l_id, r_id, count(*) AS shared
+             |  FROM lg JOIN rg USING (gr) GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT sh.l_id, sh.r_id, lg0.s AS l_s, rg0.s AS r_s
+             |  FROM sh JOIN lg0 ON lg0.id = sh.l_id JOIN rg0 ON rg0.id = sh.r_id
+             |  WHERE abs(length(lg0.s) - length(rg0.s)) <= 2
+             |    AND sh.shared >= greatest(len(lg0.g), len(rg0.g)) - 6),
+             |found AS (SELECT l_id FROM cand WHERE levenshtein(l_s, r_s) <= 2),
+             |troo AS (SELECT dt.id FROM dt CROSS JOIN cl
+             |  WHERE levenshtein(dt.s, cl.s) <= 2),
+             |st AS (
+             |  SELECT (SELECT count(*) FROM dt) AS n_left,
+             |    (SELECT count(*) FROM cl) AS n_right,
+             |    (SELECT count(*) FROM cand) AS n_candidates,
+             |    (SELECT count(*) FROM troo) AS n_true,
+             |    (SELECT count(*) FROM found) AS n_found)
+             |SELECT CAST(n_left AS BIGINT) AS n_left,
+             |  CAST(n_right AS BIGINT) AS n_right,
+             |  CAST(n_candidates AS BIGINT) AS n_candidates,
+             |  CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(n_found AS BIGINT) AS n_found,
+             |  CAST((10000 * (n_left * n_right - n_candidates))
+             |    // (n_left * n_right) AS BIGINT) AS reduction_fp,
+             |  CAST((10000 * n_found) // n_true AS BIGINT) AS completeness_fp
+             |FROM st""".stripMargin)),
+
+    Q("q157_context_length_planning",
+      (s, dir) => {
+        // Context-length planning: for candidate sequence lengths
+        // (128 / 512 / 2048), what does chunking the corpus into
+        // fixed-length training sequences cost in padding? Per doc:
+        // ceil(n/L) sequences, padding = ceil(n/L)·L − n; the waste
+        // fraction per L is the number a pretraining-data owner reads
+        // before picking the packing strategy (q54) or the context
+        // size. One token-count scan (codegen'd, no explode) fanned
+        // ×3 by a literal array — corpus is read once.
+        val n = size(TextOps.tokens(col("text"))).cast(LongType)
+        tp(s, dir, "documents")
+          .select(n.as("n"),
+            explode(array(lit(128L), lit(512L), lit(2048L))).as("max_len"))
+          .withColumn("chunks", expr("(n + max_len - 1) div max_len"))
+          .groupBy("max_len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n").as("total_tokens"),
+            sum("chunks").as("n_seqs"),
+            sum(col("chunks") * col("max_len")).as("padded_tokens"))
+          .select(col("max_len"), col("n_docs"), col("total_tokens"),
+            col("n_seqs"), col("padded_tokens"),
+            expr("(10000 * (padded_tokens - total_tokens)) div padded_tokens")
+              .as("waste_fp"))
+          .orderBy("max_len")
+      },
+      Some("""WITH d AS (
+             |  SELECT len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents),
+             |f AS (
+             |  SELECT n, max_len, (n + max_len - 1) // max_len AS chunks
+             |  FROM d CROSS JOIN
+             |    (SELECT unnest([128, 512, 2048]) AS max_len) ml)
+             |SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS total_tokens,
+             |  CAST(sum(chunks) AS BIGINT) AS n_seqs,
+             |  CAST(sum(chunks * max_len) AS BIGINT) AS padded_tokens,
+             |  CAST((10000 * (sum(chunks * max_len) - sum(n)))
+             |    // sum(chunks * max_len) AS BIGINT) AS waste_fp
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q158_minhash_calibration",
+      (s, dir) => {
+        // MinHash estimator calibration: for every LSH candidate pair,
+        // the signature-agreement Jaccard estimate (k matching rows /
+        // 32) next to the EXACT 3-gram Jaccard and the absolute error —
+        // the measurement that tells you whether 32 hashes and an 0.5
+        // threshold are adequate before keying a 100 TB dedup on them
+        // (q144 is the same discipline for the ANN indexes). Candidate
+        // generation and signatures are the production q35 path
+        // (portable hash family); the exact side reuses the persisted
+        // per-doc shingle sets — the verify join is candidate-sized,
+        // never all-pairs.
+        val docs = tp(s, dir, "documents")
+        val sd = docs
+          .select(col("doc_id"),
+            array_distinct(TextOps.shingles(col("text"), 3)).as("sd"))
+          .pin()
+        DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"))
+          .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+          .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            r4(col("est_jaccard")).as("est_jaccard"),
+            r4(DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b")))
+              .as("exact_jaccard"),
+            r4(abs(col("est_jaccard") -
+              DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))))
+              .as("abs_err"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |    len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) / 32.0 AS est
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |j AS (
+             |  SELECT p.id_a, p.id_b, p.est,
+             |    CASE WHEN (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) > 0
+             |      THEN CAST(len(list_intersect(sa.sd, sb.sd)) AS DOUBLE)
+             |        / (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd)))
+             |      ELSE 0.0 END AS ex
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b)
+             |SELECT id_a, id_b,
+             |  floor(est * 10000.0 + 0.5) / 10000.0 AS est_jaccard,
+             |  floor(ex * 10000.0 + 0.5) / 10000.0 AS exact_jaccard,
+             |  floor(abs(est - ex) * 10000.0 + 0.5) / 10000.0 AS abs_err
+             |FROM j ORDER BY id_a, id_b""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

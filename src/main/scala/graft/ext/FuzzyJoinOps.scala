@@ -32,9 +32,13 @@ object FuzzyJoinOps {
   private def qgramsExpr(col: String, q: Int): Column =
     expr(s"array_distinct(transform(sequence(1, greatest(length($col) - ${q - 1}, 0)), i -> substring($col, i, $q)))")
 
-  /** Pairs (leftId, rightId, dist) with `levenshtein <= maxDist`. */
-  def editDistanceJoin(left: DataFrame, right: DataFrame,
-                       maxDist: Int, q: Int): DataFrame = {
+  /** The PRUNED candidate pairs — shared-gram pairs surviving the
+    * length bound and the distinct-gram-count bound, BEFORE the
+    * levenshtein verify: (l_id, l_s, r_id, r_s, shared). Exposed so
+    * blocking-quality evaluations (q156) can measure the reduction
+    * ratio of exactly the pair set the verify stage pays for. */
+  def candidatePairs(left: DataFrame, right: DataFrame,
+                     maxDist: Int, q: Int): DataFrame = {
     val l = left.select(col("id").as("l_id"), col("s").as("l_s"),
       qgramsExpr("s", q).as("l_g"))
       .withColumn("l_gn", size(col("l_g")))
@@ -43,15 +47,20 @@ object FuzzyJoinOps {
       .withColumn("r_gn", size(col("r_g")))
     val lg = l.select(col("l_id"), explode(col("l_g")).as("g"))
     val rg = r.select(col("r_id"), explode(col("r_g")).as("g"))
-    val candidates = lg.join(rg, "g")
+    lg.join(rg, "g")
       .groupBy("l_id", "r_id").agg(count(lit(1)).as("shared"))
-    candidates
       .join(l.select("l_id", "l_s", "l_gn"), "l_id")
       .join(r.select("r_id", "r_s", "r_gn"), "r_id")
       .filter(abs(length(col("l_s")) - length(col("r_s"))) <= maxDist)
       .filter(col("shared") >= greatest(col("l_gn"), col("r_gn")) - maxDist * q)
+      .select(col("l_id"), col("l_s"), col("r_id"), col("r_s"), col("shared"))
+  }
+
+  /** Pairs (leftId, rightId, dist) with `levenshtein <= maxDist`. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+                       maxDist: Int, q: Int): DataFrame =
+    candidatePairs(left, right, maxDist, q)
       .withColumn("dist", levenshtein(col("l_s"), col("r_s")))
       .filter(col("dist") <= maxDist)
       .select(col("l_id"), col("r_id"), col("dist").cast("long").as("dist"))
-  }
 }
