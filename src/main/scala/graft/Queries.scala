@@ -6213,7 +6213,36 @@ object Queries {
              |  floor(est * 10000.0 + 0.5) / 10000.0 AS est_jaccard,
              |  floor(ex * 10000.0 + 0.5) / 10000.0 AS exact_jaccard,
              |  floor(abs(est - ex) * 10000.0 + 0.5) / 10000.0 AS abs_err
-             |FROM j ORDER BY id_a, id_b""".stripMargin))
+             |FROM j ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q159_bpe_fertility",
+      (s, dir) => {
+        // Tokenizer fertility by domain: pieces-per-word and
+        // chars-per-piece per source under the q76-induced BPE merges —
+        // the tokenizer-efficiency report a mixed-domain corpus owner
+        // reads before committing a vocabulary (a domain with high
+        // fertility pays proportionally more sequence length per word).
+        // Shares the ONE cached induction with q76/q82 (same cacheKey);
+        // the fertility side is a word-TYPE-sized map join onto
+        // per-(source, word) counts — corpus-sized work is the single
+        // token count pass, the vocabulary map broadcasts.
+        val docs = tp(s, dir, "documents")
+        val wp = BpeOps.bpeWordPieces(docs, col("text"), rounds = 4,
+          cacheKey = Some(s"documents:$dir"))
+        docs.select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("k"))
+          .join(broadcast(wp.select(col("w"), col("pieces"))), "w")
+          .groupBy("source")
+          .agg(sum("k").as("n_word_tokens"),
+            sum(col("k") * col("pieces")).as("n_pieces"),
+            sum(col("k") * length(col("w"))).as("chars"))
+          .select(col("source"), col("n_word_tokens"), col("n_pieces"),
+            expr("(10000 * n_pieces) div n_word_tokens").as("fertility_fp"),
+            expr("(100 * chars) div n_pieces").as("chars_per_piece_fp"))
+          .orderBy("source")
+      },
+      Some(BpeOps.fertilityOracleSql(4)))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -45,6 +45,22 @@ object BpeOps {
       .orderBy(col("cnt").desc, col("symbol")).limit(topK)
   }
 
+  /** Per-word segmentation arity under the learned merges: one row per
+    * corpus word TYPE — (w, pieces, n) where `pieces` is how many
+    * sub-word symbols the final vocabulary splits the word into and `n`
+    * its corpus count. The word string is recovered by stripping the
+    * segmentation spaces (merges move spaces, never characters).
+    * Feeds fertility reports (q159): tokens-per-word by domain is THE
+    * tokenizer-efficiency metric a mixed-domain corpus owner tracks. */
+  def bpeWordPieces(df: DataFrame, text: Column, rounds: Int,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val vocab = induceCached(df, text, rounds, cacheKey)._2
+    vocab.select(replace(col("sym"), lit(" "), lit("")).as("w"),
+      size(split(trim(col("sym")), " "))
+        .cast(org.apache.spark.sql.types.LongType).as("pieces"),
+      col("n"))
+  }
+
   /** Learn-once cache: q76 (merge table) and q82 (encoding) share one
     * induction per (session, key, rounds) — a deployment trains the
     * tokenizer once and both artifacts derive from it. Session-scoped
@@ -163,5 +179,52 @@ object BpeOps {
        |SELECT symbol, CAST(sum(n) AS BIGINT) AS cnt FROM (
        |  SELECT unnest(string_split_regex(trim(sym), ' ')) AS symbol, n FROM v$rounds)
        |GROUP BY 1 ORDER BY cnt DESC, symbol LIMIT $topK""".stripMargin
+  }
+
+  /** Oracle for per-source fertility (q159): the same round unroll down
+    * to the final vocabulary, then word→pieces joined onto per-source
+    * word counts — mirroring [[bpeWordPieces]] + the q159 rollup. */
+  def fertilityOracleSql(rounds: Int): String = {
+    def pairs(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT p[1] AS left_sym, p[2] AS right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+         |  FROM (SELECT n, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+         |        FROM (SELECT string_split_regex(trim(sym), ' ') AS t, n FROM $src) z)
+         |  GROUP BY 1, 2)""".stripMargin
+    def argmax(src: String, out: String) =
+      s"$out AS (SELECT left_sym, right_sym FROM $src ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)"
+    def apply(src: String, m: String, out: String) =
+      s"""$out AS (
+         |  SELECT replace(sym, ' ' || $m.left_sym || ' ' || $m.right_sym || ' ',
+         |                 ' ' || $m.left_sym || $m.right_sym || ' ') AS sym, n
+         |  FROM $src, $m)""".stripMargin
+    val v0 =
+      """v0 AS (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val stages = (1 to rounds).flatMap { r =>
+      Seq(pairs(s"v${r - 1}", s"p$r"), argmax(s"p$r", s"m$r"),
+        apply(s"v${r - 1}", s"m$r", s"v$r"))
+    }
+    s"""WITH $v0,
+       |${stages.mkString(",\n")},
+       |vmap AS (
+       |  SELECT replace(sym, ' ', '') AS w,
+       |    CAST(len(string_split_regex(trim(sym), ' ')) AS BIGINT) AS pieces
+       |  FROM v$rounds),
+       |swc AS (
+       |  SELECT source, w, count(*) AS k FROM (
+       |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents) GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(sum(k) AS BIGINT) AS n_word_tokens,
+       |  CAST(sum(k * pieces) AS BIGINT) AS n_pieces,
+       |  CAST((10000 * sum(k * pieces)) // sum(k) AS BIGINT) AS fertility_fp,
+       |  CAST((100 * sum(k * length(w))) // sum(k * pieces) AS BIGINT)
+       |    AS chars_per_piece_fp
+       |FROM swc JOIN vmap USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }
