@@ -277,6 +277,90 @@ object Queries {
         when(col("lang") === "en", 1L).otherwise(0L).as("label"))
   }
 
+  /** The q140 classifier's standardized feature frame (shared by the
+    * calibration query q160): q31-rule labels + four surface features,
+    * z-scored against broadcast corpus moments, persisted. */
+  private def qualityLrFrame(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nt = TextOps.tokenCount(txt).cast(DoubleType)
+    val f0 = tp(s, dir, "documents")
+      .filter(TextOps.tokenCount(txt) > 0)
+      .select(
+        when(TextOps.qualityScore(txt) >= 0.7, 1.0).otherwise(0.0).as("y"),
+        nt.as("x1"),
+        TextOps.punctRatio(txt).as("x2"),
+        TextOps.stopwordRatio(txt).as("x3"),
+        (size(array_distinct(TextOps.tokens(txt))).cast(DoubleType) /
+          greatest(nt, lit(1.0))).as("x4"))
+    val stRow = f0.agg(
+      avg("x1").as("m1"), greatest(stddev_pop("x1"), lit(1e-12)).as("s1"),
+      avg("x2").as("m2"), greatest(stddev_pop("x2"), lit(1e-12)).as("s2"),
+      avg("x3").as("m3"), greatest(stddev_pop("x3"), lit(1e-12)).as("s3"),
+      avg("x4").as("m4"), greatest(stddev_pop("x4"), lit(1e-12)).as("s4"))
+    f0.crossJoin(broadcast(stRow))
+      .select(col("y") +: Seq("z1", "z2", "z3", "z4").zipWithIndex.map {
+        case (z, i) =>
+          ((col(s"x${i + 1}") - col(s"m${i + 1}")) / col(s"s${i + 1}")).as(z)
+      }: _*)
+      .pin()
+  }
+
+  /** Oracle CTE chain for the q140 hard-sigmoid LR fit, shared with the
+    * calibration query q160: feature/label derivation, standardization,
+    * the full 6-step GD unroll, ending with `sc(y, p)` scored under the
+    * final weights `w6`. DuckDB re-derives the identical weights
+    * because the hard sigmoid keeps every operation in IEEE-exact
+    * rational arithmetic (final rounding absorbs summation-order
+    * noise). */
+  private val qualityLrOracleCtes: String = {
+    val head =
+      """WITH toksq AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS t,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS DOUBLE) AS stop_hits,
+        |    CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |f0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN floor((least(n_tokens / 64.0, 1.0) * 0.4
+        |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+        |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 >= 0.7
+        |      THEN 1.0 ELSE 0.0 END AS y,
+        |    n_tokens AS x1,
+        |    n_punct / greatest(length(text), 1.0) AS x2,
+        |    stop_hits / greatest(n_tokens, 1.0) AS x3,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / greatest(n_tokens, 1.0) AS x4
+        |  FROM toksq WHERE len(t) > 0),
+        |st AS (
+        |  SELECT avg(x1) m1, greatest(stddev_pop(x1), 1e-12) s1,
+        |         avg(x2) m2, greatest(stddev_pop(x2), 1e-12) s2,
+        |         avg(x3) m3, greatest(stddev_pop(x3), 1e-12) s3,
+        |         avg(x4) m4, greatest(stddev_pop(x4), 1e-12) s4
+        |  FROM f0),
+        |f AS (
+        |  SELECT y, (x1-m1)/s1 AS z1, (x2-m2)/s2 AS z2,
+        |         (x3-m3)/s3 AS z3, (x4-m4)/s4 AS z4
+        |  FROM f0 CROSS JOIN st),
+        |w0 AS (SELECT 0.0 wb, 0.0 w1, 0.0 w2, 0.0 w3, 0.0 w4)""".stripMargin
+    val steps = (1 to 6).map { i =>
+      s""",
+         |p$i AS (SELECT y, z1, z2, z3, z4,
+         |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
+         |  FROM f CROSS JOIN w${i - 1}),
+         |g$i AS (SELECT avg(p - y) gb, avg((p-y)*z1) g1, avg((p-y)*z2) g2,
+         |  avg((p-y)*z3) g3, avg((p-y)*z4) g4 FROM p$i),
+         |w$i AS (SELECT wb - 2.0*gb AS wb, w1 - 2.0*g1 AS w1, w2 - 2.0*g2 AS w2,
+         |  w3 - 2.0*g3 AS w3, w4 - 2.0*g4 AS w4 FROM w${i - 1} CROSS JOIN g$i)""".stripMargin
+    }.mkString
+    val sc =
+      """,
+        |sc AS (SELECT y,
+        |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
+        |  FROM f CROSS JOIN w6)""".stripMargin
+    head + steps + sc
+  }
+
   /** Oracle CTE mirroring [[scoredDocs]] (ends with table `sc`). */
   private val scoredDocsCte: String =
     """WITH f AS (
@@ -4664,28 +4748,8 @@ object Queries {
         // Scale shape: each GD step is ONE map-side-combined aggregation
         // (d+1 doubles out); driver state is the weight vector only.
         // Output: fixed-point-rounded weights + the confusion counts.
-        val txt = col("text")
-        val nt = TextOps.tokenCount(txt).cast(DoubleType)
-        val f0 = tp(s, dir, "documents")
-          .filter(TextOps.tokenCount(txt) > 0)
-          .select(
-            when(TextOps.qualityScore(txt) >= 0.7, 1.0).otherwise(0.0).as("y"),
-            nt.as("x1"),
-            TextOps.punctRatio(txt).as("x2"),
-            TextOps.stopwordRatio(txt).as("x3"),
-            (size(array_distinct(TextOps.tokens(txt))).cast(DoubleType) /
-              greatest(nt, lit(1.0))).as("x4"))
-        val stRow = f0.agg(
-          avg("x1").as("m1"), greatest(stddev_pop("x1"), lit(1e-12)).as("s1"),
-          avg("x2").as("m2"), greatest(stddev_pop("x2"), lit(1e-12)).as("s2"),
-          avg("x3").as("m3"), greatest(stddev_pop("x3"), lit(1e-12)).as("s3"),
-          avg("x4").as("m4"), greatest(stddev_pop("x4"), lit(1e-12)).as("s4"))
         val zCols = Seq("z1", "z2", "z3", "z4")
-        val f = f0.crossJoin(broadcast(stRow))
-          .select(col("y") +: zCols.zipWithIndex.map { case (z, i) =>
-            ((col(s"x${i + 1}") - col(s"m${i + 1}")) / col(s"s${i + 1}")).as(z)
-          }: _*)
-          .pin()
+        val f = qualityLrFrame(s, dir)
         val w = ClassifierOps.fitHardSigmoidLR(f, zCols, "y", iters = 6, lr = 2.0)
         val p = ClassifierOps.score(w.toSeq, zCols)
         val wNames = Seq("w_bias", "w_ntok", "w_punct", "w_stop", "w_ttr")
@@ -4705,51 +4769,8 @@ object Queries {
       // in IEEE-exact rational arithmetic (final rounding absorbs
       // summation-order noise)
       Some {
-        val head =
-          """WITH toksq AS (
-            |  SELECT doc_id, text,
-            |    string_split_regex(trim(text), '\s+') AS t,
-            |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
-            |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS DOUBLE) AS stop_hits,
-            |    CAST(length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS DOUBLE) AS n_punct
-            |  FROM documents),
-            |f0 AS (
-            |  SELECT doc_id,
-            |    CASE WHEN floor((least(n_tokens / 64.0, 1.0) * 0.4
-            |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
-            |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 >= 0.7
-            |      THEN 1.0 ELSE 0.0 END AS y,
-            |    n_tokens AS x1,
-            |    n_punct / greatest(length(text), 1.0) AS x2,
-            |    stop_hits / greatest(n_tokens, 1.0) AS x3,
-            |    CAST(len(list_distinct(t)) AS DOUBLE) / greatest(n_tokens, 1.0) AS x4
-            |  FROM toksq WHERE len(t) > 0),
-            |st AS (
-            |  SELECT avg(x1) m1, greatest(stddev_pop(x1), 1e-12) s1,
-            |         avg(x2) m2, greatest(stddev_pop(x2), 1e-12) s2,
-            |         avg(x3) m3, greatest(stddev_pop(x3), 1e-12) s3,
-            |         avg(x4) m4, greatest(stddev_pop(x4), 1e-12) s4
-            |  FROM f0),
-            |f AS (
-            |  SELECT y, (x1-m1)/s1 AS z1, (x2-m2)/s2 AS z2,
-            |         (x3-m3)/s3 AS z3, (x4-m4)/s4 AS z4
-            |  FROM f0 CROSS JOIN st),
-            |w0 AS (SELECT 0.0 wb, 0.0 w1, 0.0 w2, 0.0 w3, 0.0 w4)""".stripMargin
-        val steps = (1 to 6).map { i =>
-          s""",
-             |p$i AS (SELECT y, z1, z2, z3, z4,
-             |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
-             |  FROM f CROSS JOIN w${i - 1}),
-             |g$i AS (SELECT avg(p - y) gb, avg((p-y)*z1) g1, avg((p-y)*z2) g2,
-             |  avg((p-y)*z3) g3, avg((p-y)*z4) g4 FROM p$i),
-             |w$i AS (SELECT wb - 2.0*gb AS wb, w1 - 2.0*g1 AS w1, w2 - 2.0*g2 AS w2,
-             |  w3 - 2.0*g3 AS w3, w4 - 2.0*g4 AS w4 FROM w${i - 1} CROSS JOIN g$i)""".stripMargin
-        }.mkString
-        val tail =
-          """,
-            |sc AS (SELECT y,
-            |  least(greatest((wb + w1*z1 + w2*z2 + w3*z3 + w4*z4) * 0.25 + 0.5, 0), 1) AS p
-            |  FROM f CROSS JOIN w6)
+        qualityLrOracleCtes +
+          """
             |SELECT
             |  floor(wb * 10000 + 0.5) / 10000 AS w_bias,
             |  floor(w1 * 10000 + 0.5) / 10000 AS w_ntok,
@@ -4761,7 +4782,6 @@ object Queries {
             |  (SELECT CAST(count(*) FILTER (p < 0.5 AND y = 1.0) AS BIGINT) FROM sc) AS fn,
             |  (SELECT CAST(count(*) FILTER (p < 0.5 AND y = 0.0) AS BIGINT) FROM sc) AS tn
             |FROM w6""".stripMargin
-        head + steps + tail
       }),
 
     Q("q141_zorder_layout",
@@ -6242,7 +6262,48 @@ object Queries {
             expr("(100 * chars) div n_pieces").as("chars_per_piece_fp"))
           .orderBy("source")
       },
-      Some(BpeOps.fertilityOracleSql(4)))
+      Some(BpeOps.fertilityOracleSql(4))),
+
+    Q("q160_classifier_calibration",
+      (s, dir) => {
+        // Reliability diagram for the q140 quality classifier: predicted
+        // probability binned into deciles, each bin's empirical positive
+        // rate next to its mean prediction — the calibration evidence a
+        // filter-by-threshold deployment needs (a miscalibrated scorer
+        // silently shifts the effective quality cut). Shares q140's
+        // standardized frame (one CacheManager entry) and re-runs the
+        // same 6-aggregation fit; the diagram itself is a
+        // decile-sized rollup. Kept exact: mean_p is the integer mean
+        // of per-row floor(p·1e6) — long sums, no float-summation-order
+        // sensitivity anywhere in the output.
+        val zCols = Seq("z1", "z2", "z3", "z4")
+        val f = qualityLrFrame(s, dir)
+        val w = ClassifierOps.fitHardSigmoidLR(f, zCols, "y", iters = 6,
+          lr = 2.0)
+        f.select(col("y"), ClassifierOps.score(w.toSeq, zCols).as("p"))
+          .select(col("y"), col("p"),
+            least(lit(9L), floor(col("p") * 10).cast(LongType)).as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+            sum(floor(col("p") * 1000000).cast(LongType)).as("p_fp_sum"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            expr("p_fp_sum div n").as("mean_p_fp"),
+            expr("(10000 * n_pos) div n").as("pos_rate_fp"))
+          .orderBy("bin")
+      },
+      Some {
+        qualityLrOracleCtes +
+          """
+            |SELECT least(9, CAST(floor(p * 10) AS BIGINT)) AS bin,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            |  CAST(sum(CAST(floor(p * 1000000) AS BIGINT)) // count(*) AS BIGINT)
+            |    AS mean_p_fp,
+            |  CAST((10000 * sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)) // count(*)
+            |    AS BIGINT) AS pos_rate_fp
+            |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
