@@ -71,6 +71,28 @@ class LayoutTrainSpec extends AnyFunSuite {
     assert(ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text")).isEmpty)
   }
 
+  test("crossContamination flags only train spans that occur in the " +
+    "benchmark slice, and merges them into maximal spans") {
+    // bench doc carries the 10-token passage; train doc 2 embeds it
+    // (3 duplicated 8-grams -> one 10-token island); train doc 3 is
+    // clean; a passage shared ONLY between two train docs (docs 3/4)
+    // must NOT count as contamination
+    val trainShared = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (1L, true, s"$shared10 bench tail one two"),
+      (2L, false, s"x $shared10 y z w"),
+      (3L, false, s"$trainShared clean u v w"),
+      (4L, false, s"$trainShared other m n o")
+    ).toDF("doc_id", "is_bench", "text")
+    val out = ExactSubstrOps.crossContamination(docs, col("doc_id"),
+      col("text"), col("is_bench")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    val r = out.head
+    // n_spans = 1, contam_tokens = 10, n_tokens = 14 -> fp = 7142
+    assert(r.getLong(1) == 1L && r.getLong(2) == 10L && r.getLong(3) == 14L)
+    assert(r.getLong(4) == 7142L)
+  }
+
   test("stripDupSpans removes the shared passage and keeps the rest verbatim") {
     val docs = Seq(
       (1L, s"x $shared10 y z w q r s t"),
