@@ -5969,37 +5969,42 @@ object Queries {
           .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
           .agg(sum("pp.p").as("g"))
         val nn = emb.agg(count(lit(1)).as("n"))
-        val cMat = gr
+        // ONE distributed action materializes the d²-row covariance;
+        // the power iteration then runs on the DRIVER over that
+        // model-sized state (d² longs — the same class as IVF centroid
+        // literals, NOT data-path rows). An in-plan iteration was
+        // measured exponentially worse: each round's broadcast
+        // re-executes every earlier round's uncached subtree (plans are
+        // trees), 2^6 re-evaluations of the matvec chain. Scala Long
+        // division truncates toward zero exactly like Spark's div and
+        // DuckDB's //, so the driver arithmetic stays engine-portable.
+        val cRows = gr
           .join(sv.select(col("i"), col("s").as("s_i")), "i")
           .join(sv.select(col("i").as("j"), col("s").as("s_j")), "j")
           .crossJoin(broadcast(nn))
           .select(col("i"), col("j"),
             (col("g") - expr("(s_i * s_j) div n")).as("c"))
-          .pin()
-        val t0 = cMat.filter(col("i") === col("j"))
-          .orderBy(col("c").desc, col("i")).limit(1)
-          .select(col("i").as("ti"))
-        var v = cMat.select(col("i")).distinct()
-          .crossJoin(broadcast(t0))
-          .select(col("i"), when(col("i") === col("ti"), 1000000L)
-            .otherwise(0L).as("v"))
-        var lambdaEst: DataFrame = null
+          .collect()
+        val d = cRows.iterator.map(_.getInt(0)).max + 1
+        val cm = Array.ofDim[Long](d, d)
+        cRows.foreach(r => cm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+        val top0 = (0 until d).maxBy(i => (cm(i)(i), -i))
+        var v = Array.tabulate(d)(i => if (i == top0) 1000000L else 0L)
+        var lambdaEst = 0L
         val iters = 6
         for (k <- 1 to iters) {
-          val m = cMat
-            .join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
-            .groupBy("i").agg(sum(col("c") * col("v")).as("m"))
-          val mx = m.agg(max(abs(col("m"))).as("mx"))
-          v = m.crossJoin(broadcast(mx))
-            .select(col("i"), expr("m div greatest(mx div 1000000, 1L)").as("v"))
-          if (k == iters)
-            lambdaEst = mx.select(expr("mx div 1000000").as("lambda_est"))
+          val m = Array.tabulate(d)(i =>
+            (0 until d).map(j => cm(i)(j) * v(j)).sum)
+          val mx = m.map(math.abs).max
+          v = m.map(_ / math.max(mx / 1000000L, 1L))
+          if (k == iters) lambdaEst = mx / 1000000L
         }
-        val sg = v.orderBy(abs(col("v")).desc, col("i")).limit(1)
-          .select(when(col("v") < 0, -1L).otherwise(1L).as("sg"))
-        v.crossJoin(broadcast(sg)).crossJoin(broadcast(lambdaEst))
-          .select(col("i").as("dim"), (col("v") * col("sg")).as("v_fp"),
-            col("lambda_est"))
+        val topAbs = (0 until d).maxBy(i => (math.abs(v(i)), -i))
+        val sg = if (v(topAbs) < 0) -1L else 1L
+        import s.implicits._
+        v.zipWithIndex
+          .map { case (x, i) => (i.toLong, x * sg, lambdaEst) }.toSeq
+          .toDF("dim", "v_fp", "lambda_est")
           .orderBy("dim")
       },
       Some(pcaOracleSql(6))),
