@@ -6308,6 +6308,201 @@ object Queries {
             |  CAST((10000 * sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)) // count(*)
             |    AS BIGINT) AS pos_rate_fp
             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    Q("q161_source_drift",
+      (s, dir) => {
+        // Per-source unigram drift: total-variation distance between
+        // each source's token distribution and the corpus-wide one,
+        // plus vocabulary coverage — the distribution-shift monitor a
+        // mixture owner reads before re-weighting (a source whose TV
+        // jumps between snapshots changed character, not just size).
+        // Exactness discipline: each term's |p_s − p| is floored at
+        // 1e-12 fixed point and summed as LONGS — identical IEEE ops
+        // per term in both engines, and long summation is
+        // order-independent, so no float-summation-order sensitivity
+        // anywhere. The (vocab × sources) grid is the honest cost of
+        // the absent-term mass (floor is per-term, so the closed-form
+        // absent-mass shortcut doesn't apply); S is small, so the
+        // grid is V·S rows — the same class as q135's source pairs.
+        // Envelope: Σ contrib ≤ V·1e12 — safe to V ≈ 9e6 terms per
+        // source; beyond that drop the contribution scale one decade.
+        val k = tp(s, dir, "documents")
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("k"))
+          .pin()
+        val ns = k.groupBy("source").agg(sum("k").as("n_s"))
+        val c = k.groupBy("w").agg(sum("k").as("c"))
+        val tot = c.agg(sum("c").as("n_tot"), count(lit(1)).as("v"))
+        val contrib = floor(abs(
+          coalesce(col("k"), lit(0L)).cast(DoubleType) / col("n_s").cast(DoubleType)
+            - col("c").cast(DoubleType) / col("n_tot").cast(DoubleType))
+          * 1000000000000.0).cast(LongType)
+        c.crossJoin(broadcast(ns))
+          .join(k, Seq("source", "w"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_s"), col("v"),
+            contrib.as("contrib"),
+            when(col("k").isNotNull, 1L).otherwise(0L).as("hit"))
+          .groupBy("source")
+          .agg(max("n_s").as("n_tokens"),
+            sum("hit").as("n_terms"),
+            max("v").as("v"),
+            sum("contrib").as("tvs"))
+          .select(col("source"), col("n_tokens"), col("n_terms"),
+            expr("(10000 * n_terms) div v").as("vocab_coverage_fp"),
+            expr("tvs div 200000000").as("tv_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+             |  FROM documents),
+             |k AS (SELECT source, w, CAST(count(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2),
+             |ns AS (SELECT source, CAST(sum(k) AS BIGINT) AS n_s FROM k GROUP BY 1),
+             |c AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM k GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot, CAST(count(*) AS BIGINT) AS v FROM c),
+             |g AS (
+             |  SELECT ns.source, ns.n_s, c.c, k.k
+             |  FROM c CROSS JOIN ns
+             |  LEFT JOIN k ON k.source = ns.source AND k.w = c.w),
+             |con AS (
+             |  SELECT source, n_s, v,
+             |    CAST(floor(abs(CAST(COALESCE(k, 0) AS DOUBLE) / CAST(n_s AS DOUBLE)
+             |      - CAST(c AS DOUBLE) / CAST(n_tot AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS contrib,
+             |    CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM g CROSS JOIN tot)
+             |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+             |  CAST(sum(hit) AS BIGINT) AS n_terms,
+             |  CAST((10000 * sum(hit)) // max(v) AS BIGINT) AS vocab_coverage_fp,
+             |  CAST(sum(contrib) // 200000000 AS BIGINT) AS tv_fp
+             |FROM con GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("q162_temperature_mixture",
+      (s, dir) => {
+        // Temperature-scaled sampling weights (Arivazhagan et al.,
+        // arXiv:1907.05019 §5): per-source weight ∝ N_s^α with α = 1/2,
+        // the standard flattening between proportional (α=1) and
+        // uniform (α=0) used to keep small domains from vanishing in a
+        // mixed corpus. The risk the report surfaces is epochs_fp: how
+        // many times a small source would be repeated under a 30%
+        // token budget (over-repetition is the known failure of low
+        // temperature). Exactness: sqrt is IEEE correctly-rounded in
+        // both engines, immediately floored to 1e6 fixed point; all
+        // ratios are integer divisions of long sums, so the whole
+        // report is engine-portable. One token-count scan; everything
+        // after is source-cardinality sized.
+        val ns = tp(s, dir, "documents")
+          .groupBy("source")
+          .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+          .withColumn("sq_fp",
+            floor(sqrt(col("n_tokens").cast(DoubleType)) * 1000000.0).cast(LongType))
+        val tot = ns.agg(sum("sq_fp").as("denom"), sum("n_tokens").as("n_total"))
+        ns.crossJoin(broadcast(tot))
+          .withColumn("weight_fp", expr("(1000000 * sq_fp) div denom"))
+          .withColumn("quota_tokens",
+            expr("(((3 * n_total) div 10) * weight_fp) div 1000000"))
+          .select(col("source"), col("n_tokens"), col("weight_fp"),
+            col("quota_tokens"),
+            expr("(10000 * quota_tokens) div n_tokens").as("epochs_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH ns AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |sq AS (
+             |  SELECT source, n_tokens,
+             |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq_fp
+             |  FROM ns),
+             |tot AS (
+             |  SELECT CAST(sum(sq_fp) AS BIGINT) AS denom,
+             |    CAST(sum(n_tokens) AS BIGINT) AS n_total FROM sq),
+             |w AS (
+             |  SELECT source, n_tokens,
+             |    CAST((1000000 * sq_fp) // denom AS BIGINT) AS weight_fp,
+             |    CAST((((3 * n_total) // 10) * ((1000000 * sq_fp) // denom)) // 1000000 AS BIGINT) AS quota_tokens
+             |  FROM sq CROSS JOIN tot)
+             |SELECT source, n_tokens, weight_fp, quota_tokens,
+             |  CAST((10000 * quota_tokens) // n_tokens AS BIGINT) AS epochs_fp
+             |FROM w ORDER BY source""".stripMargin)),
+
+    Q("q163_ipf_raking",
+      (s, dir) => {
+        // Iterative proportional fitting (Deming–Stephan raking) of the
+        // source × lang cell matrix to target marginals: uniform over
+        // sources (the rebalancing goal), observed over languages (the
+        // constraint to preserve) — the standard way to derive per-cell
+        // sampling weights that hit BOTH marginals at once, which
+        // independent per-axis reweighting cannot. Three rounds of
+        // row-scale/column-scale in 1e9 fixed point, truncating integer
+        // division throughout (Scala Long '/', Spark div and DuckDB //
+        // agree on positives), so DuckDB re-derives the identical
+        // matrix through 6 unrolled scaling CTEs. Structural zeros
+        // (absent cells) stay absent — classic IPF. The corpus-sized
+        // work is ONE count pass; the iteration runs on the DRIVER over
+        // the collected S×L cell matrix (model-sized state, the q154
+        // precedent — an in-plan loop would re-execute the scaling
+        // chain per round). Envelope: m ≤ 1e9 and targets ≤ 1e9 keep
+        // every product ≤ 1e18 < Long.Max; cell counts ≤ 9.2e9 docs
+        // before (n·1e9) overflows — beyond that, pre-aggregate.
+        val cells = tp(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .sortBy(x => (x._1, x._2))
+        val total = cells.map(_._3).sum
+        val nSources = cells.map(_._1).distinct.length
+        val rowT = 1000000000L / nSources
+        val colT: Map[String, Long] = cells.groupBy(_._2)
+          .map { case (l, cs) => l -> (cs.map(_._3).sum * 1000000000L) / total }
+        var m: Map[(String, String), Long] =
+          cells.map(x => (x._1, x._2) -> (x._3 * 1000000000L) / total).toMap
+        for (_ <- 1 to 3) {
+          val rowSum = m.groupBy(_._1._1).map { case (src, e) => src -> e.values.sum }
+          m = m.map { case ((src, l), v) => (src, l) -> (v * rowT) / rowSum(src) }
+          val colSum = m.groupBy(_._1._2).map { case (l, e) => l -> e.values.sum }
+          m = m.map { case ((src, l), v) => (src, l) -> (v * colT(l)) / colSum(l) }
+        }
+        import s.implicits._
+        cells.map { case (src, l, n) =>
+          val obs = (n * 1000000000L) / total
+          val rk = m((src, l))
+          (src, l, n, obs, rk, (rk * 1000000L) / obs)
+        }.toSeq
+          .toDF("source", "lang", "n_docs", "obs_fp", "raked_fp", "weight_fp")
+          .orderBy("source", "lang")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          val prev = if (r == 1) "m0" else s"r${r - 1}b"
+          s"""r${r}a AS (
+             |  SELECT source, lang, n,
+             |    CAST((m * (1000000000 // ns)) // (sum(m) OVER (PARTITION BY source)) AS BIGINT) AS m
+             |  FROM $prev CROSS JOIN tot),
+             |r${r}b AS (
+             |  SELECT r.source, r.lang, r.n,
+             |    CAST((r.m * ct.ctf) // (sum(r.m) OVER (PARTITION BY r.lang)) AS BIGINT) AS m
+             |  FROM r${r}a r JOIN ct USING (lang))"""
+        }.mkString(",\n")
+        s"""WITH c AS (
+           |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS t,
+           |    CAST(count(DISTINCT source) AS BIGINT) AS ns FROM c),
+           |ct AS (
+           |  SELECT lang, CAST((sum(n) * 1000000000) // t AS BIGINT) AS ctf
+           |  FROM c CROSS JOIN tot GROUP BY lang, t),
+           |m0 AS (
+           |  SELECT source, lang, n, CAST((n * 1000000000) // t AS BIGINT) AS m
+           |  FROM c CROSS JOIN tot),
+           |$rounds
+           |SELECT f.source, f.lang, f.n AS n_docs,
+           |  CAST((f.n * 1000000000) // t AS BIGINT) AS obs_fp,
+           |  f.m AS raked_fp,
+           |  CAST((f.m * 1000000) // ((f.n * 1000000000) // t) AS BIGINT) AS weight_fp
+           |FROM r3b f CROSS JOIN tot
+           |ORDER BY f.source, f.lang""".stripMargin
       })
   )
 

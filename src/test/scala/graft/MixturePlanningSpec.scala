@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 continuation: mixture-planning reports — per-source drift
+  * (q161), temperature-scaled sampling weights (q162), IPF raking
+  * (q163). Value-level correctness is the DuckDB oracle's job; these
+  * pin the mathematical properties the reports promise (bounds, mass
+  * conservation, marginal fits, flattening direction).
+  */
+class MixturePlanningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def run(name: String) =
+    Queries.byName(name).run(spark, SparkTestSession.sfDir)
+
+  // ---- q161 source drift --------------------------------------------
+
+  test("q161 TV and coverage stay in their fixed-point ranges and token mass is conserved") {
+    val rows = run("q161_source_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_fp")
+      val cov = r.getAs[Long]("vocab_coverage_fp")
+      assert(tv >= 0L && tv <= 10000L, s"TV out of [0,1]: $r")
+      assert(cov > 0L && cov <= 10000L, s"coverage out of (0,1]: $r")
+      assert(r.getAs[Long]("n_terms") <= r.getAs[Long]("n_tokens"))
+    }
+    // every source's tokens sum to the corpus total (the grid dropped
+    // or double-counted nothing)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head.getLong(0)
+    assert(total == expected)
+  }
+
+  // ---- q162 temperature mixture -------------------------------------
+
+  test("q162 weights are a (truncated) probability vector and flatten toward uniform") {
+    val rows = run("q162_temperature_mixture")
+      .orderBy("source").collect()
+    val ws = rows.map(_.getAs[Long]("weight_fp"))
+    val ns = rows.map(_.getAs[Long]("n_tokens"))
+    // Σw ≤ 1e6 with at most one truncation unit lost per source
+    assert(ws.sum <= 1000000L && ws.sum > 1000000L - ws.length)
+    // monotone: more tokens never means a smaller weight…
+    for (i <- ns.indices; j <- ns.indices if ns(i) > ns(j))
+      assert(ws(i) >= ws(j), s"weight not monotone at ${rows(i)} vs ${rows(j)}")
+    // …but α=1/2 flattens: the weight ratio never exceeds the size ratio
+    for (i <- ns.indices; j <- ns.indices if ns(i) > ns(j))
+      assert(ws(i) * ns(j) <= ws(j) * ns(i) + 1000000L,
+        s"weights steeper than proportional at ${rows(i)} vs ${rows(j)}")
+    // quotas respect the 30% budget
+    val budget = 3L * ns.sum / 10L
+    assert(rows.map(_.getAs[Long]("quota_tokens")).sum <= budget)
+    // epochs_fp is exactly (1e4·quota) div n — recomputable from the row
+    rows.foreach { r =>
+      assert(r.getAs[Long]("epochs_fp") ==
+        10000L * r.getAs[Long]("quota_tokens") / r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  // ---- q163 IPF raking ----------------------------------------------
+
+  test("q163 raked matrix fits both target marginals within truncation") {
+    val rows = run("q163_ipf_raking").collect()
+    val cells = rows.map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("obs_fp"), r.getAs[Long]("raked_fp"),
+      r.getAs[Long]("weight_fp")))
+    val nSources = cells.map(_._1).distinct.length
+    val rowT = 1000000000L / nSources
+    // column marginal target = observed lang share (1e9 fixed point)
+    val total = cells.map(_._3).sum
+    val colT = cells.groupBy(_._2).map { case (l, cs) =>
+      l -> cs.map(_._3).sum * 1000000000L / total
+    }
+    // the LAST scaling step is the column fit → column sums match their
+    // targets to within one truncation unit per cell in the column
+    cells.groupBy(_._2).foreach { case (l, cs) =>
+      val got = cs.map(_._5).sum
+      assert(math.abs(got - colT(l)) <= cs.length + 1,
+        s"column $l: raked sum $got vs target ${colT(l)}")
+    }
+    // row sums converged to the uniform target within 2% after 3 rounds
+    cells.groupBy(_._1).foreach { case (src, cs) =>
+      val got = cs.map(_._5).sum
+      assert(math.abs(got - rowT) <= rowT / 50,
+        s"row $src: raked sum $got vs target $rowT")
+    }
+    // weight column is exactly the published ratio of its own row
+    cells.foreach { case (_, _, _, obs, raked, w) =>
+      assert(w == raked * 1000000L / obs)
+    }
+    // small sources get up-weighted relative to large ones (strict only
+    // when the size gap is material — equal-sized sources rake to equal
+    // weights by construction)
+    val bySrc = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val biggest = bySrc.maxBy(x => (x._2, x._1))._1
+    val smallest = bySrc.minBy(x => (x._2, x._1))._1
+    val meanW = (src: String) => {
+      val cs = cells.filter(_._1 == src)
+      cs.map(_._6).sum / cs.length
+    }
+    if (bySrc(biggest) * 9 > bySrc(smallest) * 10)
+      assert(meanW(smallest) > meanW(biggest))
+    else assert(meanW(smallest) >= meanW(biggest))
+  }
+}
