@@ -6503,7 +6503,199 @@ object Queries {
            |  CAST((f.m * 1000000) // ((f.n * 1000000000) // t) AS BIGINT) AS weight_fp
            |FROM r3b f CROSS JOIN tot
            |ORDER BY f.source, f.lang""".stripMargin
-      })
+      }),
+
+    Q("q164_cluster_quality",
+      (s, dir) => {
+        // Cluster-quality report over the SHARED cached IVF fit (the
+        // same index q41/q70/q129/q134/q146 serve): per cluster, size,
+        // mean and worst member-to-centroid cosine (cohesion), and the
+        // similarity to the nearest OTHER centroid (separation) — the
+        // diagnostic that says whether nlist is sized right before
+        // trusting semantic-dedup thresholds or topic labels. Exactness
+        // discipline: members and centroids are floored to fixed point
+        // (1e7 / 1e6), so every dot and norm² is an exact long and the
+        // per-row cosine is ONE identical IEEE sequence in both engines
+        // before its 1e6 floor — long sums make cohesion
+        // order-independent. Member work is one ×d explode joined to
+        // the broadcast (nlist·d)-row centroid frame; centroid-pair
+        // separation runs on the DRIVER over model-sized state.
+        val corpus = tp(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val model = SimilarityOps.ivfFitCached(s"embeddings:$dir", corpus, 16)
+        val cfp: Array[Array[Long]] = model.centroids
+          .map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
+        val cn2: Array[Long] = cfp.map(r => r.map(x => x * x).sum)
+        def simFp(a: Int, b: Int): Long = {
+          val d = cfp(a).indices.map(i => cfp(a)(i) * cfp(b)(i)).sum
+          if (cn2(a) > 0 && cn2(b) > 0)
+            math.floor(d.toDouble /
+              (math.sqrt(cn2(a).toDouble) * math.sqrt(cn2(b).toDouble))
+              * 1000000.0).toLong
+          else 0L
+        }
+        import s.implicits._
+        val nn = cfp.indices
+          .map(k => (k, cfp.indices.filter(_ != k).map(j => simFp(k, j)).max))
+          .toDF("cluster_id", "nn_sim_fp")
+        val centFrame = cfp.zipWithIndex.flatMap { case (r, k) =>
+          r.zipWithIndex.map { case (v, i) => (k, i + 1, v) }
+        }.toSeq.toDF("kid", "pos", "cfp")
+        val cn2Frame = cn2.zipWithIndex.map { case (v, k) => (k, v) }
+          .toSeq.toDF("kid", "cn2")
+        val cosFp = when(col("sx2") > 0 && col("cn2") > 0,
+          floor(col("dotn").cast(DoubleType) /
+            (sqrt(col("sx2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType)))
+            * 1000000.0).cast(LongType)).otherwise(0L)
+        model.assigned
+          .select(col("cid"), col("centroid_id").as("kid"),
+            posexplode(expr(
+              "transform(cvec, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT))"))
+              .as(Seq("pos0", "xfp")))
+          .withColumn("pos", col("pos0") + 1)
+          .join(broadcast(centFrame), Seq("kid", "pos"))
+          .groupBy("cid", "kid")
+          .agg(sum(col("xfp") * col("xfp")).as("sx2"),
+            sum(col("xfp") * col("cfp")).as("dotn"))
+          .join(broadcast(cn2Frame), "kid")
+          .select(col("kid"), cosFp.as("cos_fp"))
+          .groupBy("kid")
+          .agg(count(lit(1)).as("n"), sum("cos_fp").as("cs"),
+            min("cos_fp").as("min_cos_fp"))
+          .select(col("kid").as("cluster_id"), col("n"),
+            expr("cs div n").as("cohesion_fp"), col("min_cos_fp"))
+          .join(broadcast(nn), "cluster_id")
+          .orderBy("cluster_id")
+      },
+      Some(s"""$ivfOracleCtes,
+           |cfq AS (
+           |  SELECT kid, pos, CAST(floor(c[pos] * 1000000.0 + 0.5) AS BIGINT) AS cfp
+           |  FROM cent2 CROSS JOIN generate_series(1, $embDim) AS g(pos)),
+           |cnq AS (SELECT kid, CAST(sum(cfp * cfp) AS BIGINT) AS cn2 FROM cfq GROUP BY 1),
+           |xfq AS (
+           |  SELECT cid, kid, pos, CAST(floor(v[pos] * 10000000.0) AS BIGINT) AS xfp
+           |  FROM asgF CROSS JOIN generate_series(1, $embDim) AS g(pos)),
+           |pxq AS (
+           |  SELECT x.cid, x.kid,
+           |    CAST(sum(x.xfp * x.xfp) AS BIGINT) AS sx2,
+           |    CAST(sum(x.xfp * f.cfp) AS BIGINT) AS dotn
+           |  FROM xfq x JOIN cfq f ON f.kid = x.kid AND f.pos = x.pos
+           |  GROUP BY 1, 2),
+           |scq AS (
+           |  SELECT p.cid, p.kid,
+           |    CASE WHEN p.sx2 > 0 AND c.cn2 > 0 THEN
+           |      CAST(floor((CAST(p.dotn AS DOUBLE) /
+           |        (sqrt(CAST(p.sx2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))))
+           |        * 1000000.0) AS BIGINT)
+           |    ELSE 0 END AS cos_fp
+           |  FROM pxq p JOIN cnq c ON c.kid = p.kid),
+           |cpq AS (
+           |  SELECT a.kid AS ka, b.kid AS kb, CAST(sum(a.cfp * b.cfp) AS BIGINT) AS dotc
+           |  FROM cfq a JOIN cfq b ON a.pos = b.pos AND a.kid <> b.kid
+           |  GROUP BY 1, 2),
+           |nnq AS (
+           |  SELECT ka AS kid,
+           |    max(CASE WHEN x.cn2 > 0 AND y.cn2 > 0 THEN
+           |      CAST(floor((CAST(dotc AS DOUBLE) /
+           |        (sqrt(CAST(x.cn2 AS DOUBLE)) * sqrt(CAST(y.cn2 AS DOUBLE))))
+           |        * 1000000.0) AS BIGINT)
+           |    ELSE 0 END) AS nn_sim_fp
+           |  FROM cpq JOIN cnq x ON x.kid = cpq.ka JOIN cnq y ON y.kid = cpq.kb
+           |  GROUP BY 1)
+           |SELECT s.kid AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(s.cos_fp) // count(*) AS BIGINT) AS cohesion_fp,
+           |  CAST(min(s.cos_fp) AS BIGINT) AS min_cos_fp,
+           |  n2.nn_sim_fp
+           |FROM scq s JOIN nnq n2 ON n2.kid = s.kid
+           |GROUP BY s.kid, n2.nn_sim_fp
+           |ORDER BY cluster_id""".stripMargin)),
+
+    Q("q165_jl_projection",
+      (s, dir) => {
+        // Johnson–Lindenstrauss sign projection: reduce the globally
+        // int8-quantized corpus (q154's quantization — one abs-max,
+        // geometry preserved up to one uniform scale) from d=64 to
+        // d'=16 with a deterministic ±1 matrix derived from the
+        // portable hash of (i, j), then AUDIT the distortion on the
+        // 120 sample pairs — projected-vs-original squared-distance
+        // ratio, whose concentration around 1 is the JL guarantee the
+        // downstream ANN prefilter relies on. The sign matrix is
+        // model-sized, so it is baked into the plan as LITERALS: the
+        // corpus projection is d'·d multiply-adds per row inside
+        // whole-stage codegen — zero shuffle, zero row amplification
+        // (the 100 TB shape; a per-row md5 per (i,j) would re-hash
+        // 1024× per row). All distances are exact longs; the only
+        // doubles are the final published ratios.
+        val dPrime = 16
+        val signs: Array[Array[Long]] = Array.tabulate(dPrime, embDim) {
+          (j, i) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"jl:$i:$j".getBytes("UTF-8"))
+            val prefix64 = md.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+            if (((prefix64 >>> 4) % 2 + 2) % 2 == 1) 1L else -1L
+        }
+        val gm = tp(s, dir, "embeddings").agg(
+          (greatest(max(graft.functions.VecExpressions.vecAbsMax(
+            col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
+        val qv = tp(s, dir, "embeddings").crossJoin(broadcast(gm))
+          .select(col("vec_id"),
+            expr("""transform(embedding, x ->
+              CAST(greatest(-127.0D, least(127.0D,
+                floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
+        val proj = qv.select(col("vec_id"), col("q"),
+          array(signs.map(row =>
+            expr(s"""aggregate(zip_with(q, array(${row.map(_ + "L").mkString(",")}),
+              (x, sgn) -> x * sgn), 0L, (acc, v) -> acc + v)""")): _*).as("y"))
+        val sa = proj.filter(col("vec_id") < 16)
+        val a = sa.select(col("vec_id").as("id_a"), col("q").as("qa"), col("y").as("ya"))
+        val b = sa.select(col("vec_id").as("id_b"), col("q").as("qb"), col("y").as("yb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)").as("dq2"),
+            expr("aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)").as("dy2"))
+          .select(col("id_a"), col("id_b"), col("dq2"), col("dy2"),
+            when(col("dq2") > 0,
+              expr(s"(10000 * dy2) div ($dPrime * dq2)")).otherwise(0L)
+              .as("ratio_fp"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH gm AS (
+           |  SELECT greatest(max(list_max(list_transform(embedding,
+           |    x -> abs(x::DOUBLE)))), 1e-30) / 127.0 AS gsc
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, list_transform(embedding, x ->
+           |    CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / gsc + 0.5)))
+           |      AS BIGINT)) AS q
+           |  FROM embeddings CROSS JOIN gm),
+           |e2 AS (
+           |  SELECT vec_id, unnest(generate_series(0, len(q) - 1)) AS i, q
+           |  FROM qv),
+           |e3 AS (SELECT vec_id, i, q[i + 1] AS qi FROM e2),
+           |yv AS (
+           |  SELECT vec_id, j,
+           |    CAST(sum(qi * (CASE WHEN (('0x' || substr(md5('jl:' ||
+           |      CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2) = 1
+           |      THEN 1 ELSE -1 END)) AS BIGINT) AS y
+           |  FROM e3 CROSS JOIN generate_series(0, 15) AS g(j)
+           |  GROUP BY 1, 2),
+           |sa AS (SELECT vec_id, q FROM qv WHERE vec_id < 16),
+           |pq AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    CAST(list_sum(list_transform(range(len(a.q)),
+           |      i -> (a.q[i+1] - b.q[i+1]) * (a.q[i+1] - b.q[i+1]))) AS BIGINT) AS dq2
+           |  FROM sa a JOIN sa b ON a.vec_id < b.vec_id),
+           |py AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS dy2
+           |  FROM yv a JOIN yv b ON a.j = b.j AND a.vec_id < b.vec_id
+           |  WHERE a.vec_id < 16 AND b.vec_id < 16
+           |  GROUP BY 1, 2)
+           |SELECT pq.id_a, pq.id_b, pq.dq2, py.dy2,
+           |  CASE WHEN pq.dq2 > 0 THEN (10000 * py.dy2) // (16 * pq.dq2)
+           |       ELSE 0 END AS ratio_fp
+           |FROM pq JOIN py ON py.id_a = pq.id_a AND py.id_b = pq.id_b
+           |ORDER BY pq.id_a, pq.id_b""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

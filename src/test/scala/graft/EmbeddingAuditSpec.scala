@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 continuation: embedding-side audit reports — IVF cluster
+  * quality (q164) and JL sign-projection distortion (q165). Value-level
+  * correctness is the DuckDB oracle's job; these pin the promised
+  * mathematical properties.
+  */
+class EmbeddingAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def run(name: String) =
+    Queries.byName(name).run(spark, SparkTestSession.sfDir)
+
+  test("q164 covers the corpus, keeps cosines in range, and orders min ≤ mean") {
+    val rows = run("q164_cluster_quality").collect()
+    assert(rows.nonEmpty)
+    val corpusN = Tables.load(spark, SparkTestSession.sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == corpusN)
+    rows.foreach { r =>
+      val kid = r.getAs[Int]("cluster_id")
+      assert(kid >= 0 && kid < 16)
+      val coh = r.getAs[Long]("cohesion_fp")
+      assert(coh > 0L && coh <= 1000000L, s"cohesion out of range: $r")
+      assert(r.getAs[Long]("min_cos_fp") <= coh)
+      assert(math.abs(r.getAs[Long]("nn_sim_fp")) <= 1000000L)
+    }
+  }
+
+  test("q165 distortion ratios concentrate around 1 (the JL guarantee)") {
+    val rows = run("q165_jl_projection").collect()
+    // 16 sample vectors → all 120 unordered pairs
+    assert(rows.length == 16 * 15 / 2)
+    val ratios = rows.map(_.getAs[Long]("ratio_fp"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dq2") > 0L) // distinct sample vectors
+      assert(r.getAs[Long]("dy2") >= 0L)
+    }
+    // every pair within a loose JL band for d'=16, mean tight around 1
+    assert(ratios.forall(x => x > 1000L && x < 50000L),
+      s"ratio outside band: ${ratios.min}..${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 6000L && mean < 15000L, s"mean ratio $mean")
+  }
+}
