@@ -6695,7 +6695,143 @@ object Queries {
            |  CASE WHEN pq.dq2 > 0 THEN (10000 * py.dy2) // (16 * pq.dq2)
            |       ELSE 0 END AS ratio_fp
            |FROM pq JOIN py ON py.id_a = pq.id_a AND py.id_b = pq.id_b
-           |ORDER BY pq.id_a, pq.id_b""".stripMargin))
+           |ORDER BY pq.id_a, pq.id_b""".stripMargin)),
+
+    Q("q166_dedup_roi",
+      (s, dir) => {
+        // Dedup ROI by duplicate-class size: for each class size, how
+        // many classes exist, how many documents and tokens a
+        // keep-first (min doc_id) dedup would remove — the report that
+        // prices a dedup pass BEFORE running it at 100 TB (classes of
+        // size 2 dominate the count; one size-1000 class dominates the
+        // savings). Classes are fingerprint collisions (q44's
+        // deterministic min-md5-5-gram candidate generator, so the
+        // oracle re-derives them exactly); the plan is one fingerprint
+        // pass + a class-sized rollup + a size-sized rollup — the
+        // canonical survivor's tokens ride the SAME aggregation as a
+        // struct-min, no second join back to the corpus.
+        val fps = tp(s, dir, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"),
+            TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        fps.groupBy("fp")
+          .agg(count(lit(1)).as("csize"),
+            sum("n_tokens").as("toks"),
+            min(struct(col("doc_id"), col("n_tokens"))).as("canon"))
+          .select(col("csize"), col("toks"),
+            col("canon").getField("n_tokens").as("keep_toks"))
+          .groupBy("csize")
+          .agg(count(lit(1)).as("n_classes"),
+            sum(col("csize") - 1).as("docs_removed"),
+            sum("toks").as("tokens_total"),
+            sum(col("toks") - col("keep_toks")).as("tokens_removed"))
+          .orderBy("csize")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CASE WHEN len(toks) >= 5
+             |      THEN list_transform(generate_series(0, len(toks) - 5),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh
+             |  FROM t),
+             |f AS (
+             |  SELECT doc_id, n_tokens,
+             |    list_min(list_transform(sh, x -> md5(x))) AS fp
+             |  FROM s),
+             |cls AS (
+             |  SELECT fp, CAST(count(*) AS BIGINT) AS csize,
+             |    CAST(sum(n_tokens) AS BIGINT) AS toks,
+             |    CAST(arg_min(n_tokens, doc_id) AS BIGINT) AS keep_toks
+             |  FROM f GROUP BY 1)
+             |SELECT csize, CAST(count(*) AS BIGINT) AS n_classes,
+             |  CAST(sum(csize - 1) AS BIGINT) AS docs_removed,
+             |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+             |  CAST(sum(toks - keep_toks) AS BIGINT) AS tokens_removed
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q167_curriculum_schedule",
+      (s, dir) => {
+        // Curriculum schedule: docs ranked by the q31 quality score,
+        // split into deciles, each decile assigned the training epoch
+        // where it first enters (top 3 deciles → epoch 1, 4–7 → 2,
+        // 8–10 → 3) with per-decile and cumulative token budgets — the
+        // plan behind quality-annealed training (clean data first,
+        // full corpus late). The global ranking uses the q123
+        // two-phase discipline: per-score-bucket counts (≤101 rows)
+        // give each bucket its rank offset, and the only windows are
+        // the ≤101-row bucket cumsum, the per-bucket row_number
+        // (partitioned — parallel), and the 10-row decile cumsum — no
+        // corpus-wide single-partition sort anywhere.
+        val sb = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            floor(TextOps.qualityScore(col("text")) * 1e6 + 0.5)
+              .cast(LongType).as("score_fp"),
+            TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+          .withColumn("b", expr("score_fp div 10000"))
+          .pin()
+        val tot = sb.agg(count(lit(1)).as("n_total"))
+        val bcc = sb.groupBy("b").agg(count(lit(1)).as("bn"))
+          .withColumn("cum_higher",
+            coalesce(sum("bn").over(Window.orderBy(col("b").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val ranked = sb.join(broadcast(bcc.select("b", "cum_higher")), "b")
+          .withColumn("rn", col("cum_higher") +
+            row_number().over(Window.partitionBy("b")
+              .orderBy(col("score_fp").desc, col("doc_id"))))
+          .crossJoin(broadcast(tot))
+          .withColumn("decile", expr("1 + ((rn - 1) * 10) div n_total"))
+        ranked.groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+            min("score_fp").as("min_score_fp"),
+            max("score_fp").as("max_score_fp"))
+          .withColumn("entry_epoch",
+            when(col("decile") <= 3, 1L).when(col("decile") <= 7, 2L)
+              .otherwise(3L))
+          .withColumn("cum_tokens",
+            sum("tokens").over(Window.orderBy("decile")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy("decile")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id,
+             |    CAST(floor((least(n_tokens / 64.0, 1.0) * 0.4
+             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) AS BIGINT) AS score_fp,
+             |    CAST(n_tokens AS BIGINT) AS n_tokens
+             |  FROM toks),
+             |sb AS (SELECT doc_id, score_fp, n_tokens, score_fp // 10000 AS b FROM q),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sb),
+             |bcc AS (
+             |  SELECT b, COALESCE(sum(bn) OVER (ORDER BY b DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_higher
+             |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS bn FROM sb GROUP BY 1)),
+             |r AS (
+             |  SELECT s.doc_id, s.score_fp, s.n_tokens,
+             |    c.cum_higher + row_number() OVER (PARTITION BY s.b
+             |      ORDER BY s.score_fp DESC, s.doc_id) AS rn
+             |  FROM sb s JOIN bcc c USING (b)),
+             |d AS (
+             |  SELECT 1 + ((rn - 1) * 10) // n_total AS decile, score_fp, n_tokens
+             |  FROM r CROSS JOIN tot),
+             |g AS (
+             |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             |    CAST(min(score_fp) AS BIGINT) AS min_score_fp,
+             |    CAST(max(score_fp) AS BIGINT) AS max_score_fp
+             |  FROM d GROUP BY 1)
+             |SELECT CAST(decile AS BIGINT) AS decile, n_docs, tokens,
+             |  min_score_fp, max_score_fp,
+             |  CAST(CASE WHEN decile <= 3 THEN 1 WHEN decile <= 7 THEN 2 ELSE 3 END AS BIGINT) AS entry_epoch,
+             |  CAST(sum(tokens) OVER (ORDER BY decile
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |FROM g ORDER BY decile""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -107,4 +107,49 @@ class MixturePlanningSpec extends AnyFunSuite {
       assert(meanW(smallest) > meanW(biggest))
     else assert(meanW(smallest) >= meanW(biggest))
   }
+
+  // ---- q166 dedup ROI -----------------------------------------------
+
+  test("q166 conserves tokens and prices removals consistently") {
+    val rows = run("q166_dedup_roi").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    assert(rows.map(r => r.getAs[Long]("csize") * r.getAs[Long]("n_classes")).sum
+      == docs.count())
+    val corpusTokens = docs
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("tokens_total")).sum == corpusTokens)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_removed") ==
+        r.getAs[Long]("n_classes") * (r.getAs[Long]("csize") - 1))
+      assert(r.getAs[Long]("tokens_removed") >= 0L)
+      assert(r.getAs[Long]("tokens_removed") <= r.getAs[Long]("tokens_total"))
+      if (r.getAs[Long]("csize") == 1L)
+        assert(r.getAs[Long]("tokens_removed") == 0L)
+    }
+  }
+
+  // ---- q167 curriculum schedule -------------------------------------
+
+  test("q167 deciles partition the corpus best-first with consistent epochs") {
+    val rows = run("q167_curriculum_schedule").orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    // decile 1 holds the best scores: each decile's floor ≥ the next's ceiling
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getAs[Long]("min_score_fp") >= lo.getAs[Long]("max_score_fp"))
+      case _ =>
+    }
+    // epoch mapping and cumulative budget
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      val expected = if (d <= 3) 1L else if (d <= 7) 2L else 3L
+      assert(r.getAs[Long]("entry_epoch") == expected)
+    }
+    assert(rows.last.getAs[Long]("cum_tokens") ==
+      rows.map(_.getAs[Long]("tokens")).sum)
+  }
 }
