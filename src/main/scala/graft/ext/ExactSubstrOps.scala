@@ -165,6 +165,45 @@ object ExactSubstrOps {
         expr("(10000 * contam_tokens) div n_tokens").as("contamination_fp"))
   }
 
+  /** Distinct gram keys of a benchmark corpus — the STATIC side of the
+    * contamination guard ([[crossContamination]]'s `benchKeys` set,
+    * exposed so train-offline/guard-online deployments can build it
+    * once and reuse it: [[graft.streaming.StreamingContamination]]).
+    * One gram pass over the benchmark + a distinct on the 8-byte key —
+    * benchmark-sized work, persisted by the caller. */
+  def benchGramKeys(bench: DataFrame, id: Column, text: Column,
+                    l: Int = 8): DataFrame = {
+    require(l >= 2, s"gram length must be >= 2, got $l")
+    val toks = bench
+      .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .filter(col("n_tokens") >= l)
+    gramExplode(toks, l, extra = Seq.empty).select("gkey").distinct()
+  }
+
+  /** Doc-level contamination verdicts for a (micro-)batch against a
+    * prebuilt [[benchGramKeys]] frame: (doc_id, n_tokens, n_hit_grams,
+    * contaminated). Exact — the same LEFT SEMI gram check
+    * [[crossContamination]] runs, so a doc is flagged here iff it has a
+    * contaminated span there. Docs shorter than `l` tokens carry no
+    * gram and are clean by definition (below the match floor). */
+  def flagContaminated(batch: DataFrame, benchKeys: DataFrame,
+                       id: Column, text: Column, l: Int = 8): DataFrame = {
+    require(l >= 2, s"gram length must be >= 2, got $l")
+    val toks = batch
+      .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+    val grams = gramExplode(toks.filter(col("n_tokens") >= l), l,
+      extra = Seq.empty)
+    val hits = grams.join(benchKeys, Seq("gkey"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    toks.select("doc_id", "n_tokens")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("hits"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Shared internals: (tokenized docs, gram frame, duplicated keys). */
   private def gramFrames(docs: DataFrame, id: Column, text: Column,
                          l: Int, minOccurrences: Long)
