@@ -6831,7 +6831,214 @@ object Queries {
              |  CAST(CASE WHEN decile <= 3 THEN 1 WHEN decile <= 7 THEN 2 ELSE 3 END AS BIGINT) AS entry_epoch,
              |  CAST(sum(tokens) OVER (ORDER BY decile
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-             |FROM g ORDER BY decile""".stripMargin))
+             |FROM g ORDER BY decile""".stripMargin)),
+
+    Q("q168_pq_ann",
+      (s, dir) => {
+        // Product quantization (Jégou et al., "Product Quantization for
+        // Nearest Neighbor Search", TPAMI 2011): the d=64 globally
+        // int8-quantized corpus (q154's quantization) is split into 4
+        // subspaces of 16 dims, each given a 16-centroid codebook by 2
+        // integer k-means rounds — a vector compresses to 4 codes
+        // (2 bytes vs 64 floats). Search is ADC: each query precomputes
+        // a 4×16 distance table against the codebooks and scores every
+        // candidate by 4 table lookups instead of 64 multiplies. The
+        // query reports recall@10 of ADC vs the exact L2 ranking over
+        // the same quantized vectors — the memory-for-recall trade
+        // measured, completing the quantization family (scalar int8 →
+        // PQ) under q144's calibration discipline. EVERYTHING is exact
+        // long arithmetic (distances, truncating integer centroid
+        // means), so DuckDB re-derives codebooks, codes, tables, and
+        // both rankings bit-for-bit. Codebook training: two corpus
+        // passes, each ONE codegen'd literal-codebook argmin (the IVF
+        // nearestCentroid discipline — no join, no row fan-out for
+        // assignment) + one member-mean rollup, with the k-means update
+        // on collected MODEL-sized sums (4·16·16 longs — the q154/q163
+        // precedent); encoding is the same argmin projection, ADC is a
+        // broadcast join on (s, code), and the rank windows are
+        // per-query partitions.
+        val emb = tp(s, dir, "embeddings")
+        val gm = emb.agg(
+          (greatest(max(graft.functions.VecExpressions.vecAbsMax(
+            col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
+        val qv = emb.crossJoin(broadcast(gm))
+          .select(col("vec_id"),
+            expr("""transform(embedding, x ->
+              CAST(greatest(-127.0D, least(127.0D,
+                floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
+          .pin()
+        val sub = qv.select(col("vec_id"), explode(expr(
+            """transform(sequence(0, 3), s ->
+              named_struct('s', CAST(s AS INT), 'subq', slice(q, s * 16 + 1, 16)))"""))
+            .as("t"))
+          .select(col("vec_id"), col("t").getField("s").as("s"),
+            col("t").getField("subq").as("subq"))
+          .pin()
+        val smp = qv
+          .orderBy(PortableHash.base(col("vec_id").cast("string")), col("vec_id"))
+          .limit(16).select("q").collect()
+          .map(_.getSeq[Long](0).toArray)
+        var cent: Array[Array[Array[Long]]] = Array.tabulate(4, 16) {
+          (sb, j) => Array.tabulate(16)(p => smp(j)(sb * 16 + p))
+        }
+        import s.implicits._
+        // subspace distance to one centroid LITERAL — codegen'd, no join
+        def distTo(cv: Array[Long]): Column = expr(
+          s"""aggregate(zip_with(subq, array(${cv.map(_ + "L").mkString(",")}),
+            (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)""")
+        // argmin over the subspace's codebook, ties to the smaller kid
+        def argminFor(sb: Int): Column = array_min(array(
+          cent(sb).zipWithIndex.map { case (cv, j) =>
+            struct(distTo(cv).as("d"), lit(j).as("k"))
+          }: _*)).getField("k")
+        def kidExpr: Column =
+          when(col("s") === 0, argminFor(0)).when(col("s") === 1, argminFor(1))
+            .when(col("s") === 2, argminFor(2)).otherwise(argminFor(3))
+        for (_ <- 1 to 2) {
+          val sums = sub.withColumn("kid", kidExpr)
+            .select(col("s"), col("kid"),
+              posexplode(col("subq")).as(Seq("p0", "x")))
+            .groupBy("s", "kid", "p0")
+            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+            .collect()
+          val upd = sums.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+            (r.getLong(3), r.getLong(4)))).toMap
+          cent = Array.tabulate(4, 16) { (sb, j) =>
+            Array.tabulate(16) { p =>
+              upd.get((sb, j, p)) match {
+                case Some((sx, n)) => sx / n
+                case None => cent(sb)(j)(p)
+              }
+            }
+          }
+        }
+        val aF = sub.withColumn("kid", kidExpr)
+        def distArrFor(sb: Int): Column = array(
+          cent(sb).zipWithIndex.map { case (cv, j) =>
+            struct(lit(j).as("kid"), distTo(cv).as("td"))
+          }: _*)
+        val qtab = sub.filter(col("vec_id") < 16)
+          .withColumn("da",
+            when(col("s") === 0, distArrFor(0)).when(col("s") === 1, distArrFor(1))
+              .when(col("s") === 2, distArrFor(2)).otherwise(distArrFor(3)))
+          .select(col("vec_id").as("qid"), col("s"),
+            explode(col("da")).as("de"))
+          .select(col("qid"), col("s"), col("de").getField("kid").as("kid"),
+            col("de").getField("td").as("td"))
+        val adc = aF.join(broadcast(qtab), Seq("s", "kid"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy("qid", "vec_id").agg(sum("td").as("adist"))
+          .withColumnRenamed("vec_id", "cid")
+        val qq = qv.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("q").as("qarr"))
+        val exact = qv.join(broadcast(qq), col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            expr("""aggregate(zip_with(q, qarr, (a, b) -> (a - b) * (a - b)),
+              0L, (acc, v) -> acc + v)""").as("ed"))
+        val topA = adc.withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adist"), col("cid"))))
+          .filter(col("rn") <= 10).select("qid", "cid")
+        val topE = exact.withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ed"), col("cid"))))
+          .filter(col("rn") <= 10).select("qid", "cid")
+        val hits = topE.join(topA, Seq("qid", "cid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        qv.filter(col("vec_id") < 16).select(col("vec_id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"))
+          .withColumn("recall_fp", col("n_hits") * 1000)
+          .orderBy("qid")
+      },
+      Some {
+        val P = PortableHash.P
+        val rounds = (1 to 2).map { r =>
+          s"""d$r AS (
+             |  SELECT e.vec_id, e.s, c.kid,
+             |    CAST(sum((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
+             |  FROM e JOIN c${r - 1} c ON c.s = e.s AND c.pos = e.pos
+             |  GROUP BY 1, 2, 3),
+             |a$r AS (
+             |  SELECT vec_id, s, kid FROM (
+             |    SELECT vec_id, s, kid,
+             |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, kid) AS rn
+             |    FROM d$r) WHERE rn = 1),
+             |m$r AS (
+             |  SELECT a.s, a.kid, e.pos, CAST(sum(e.x) AS BIGINT) AS sx,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM a$r a JOIN e ON e.vec_id = a.vec_id AND e.s = a.s
+             |  GROUP BY 1, 2, 3),
+             |c$r AS (
+             |  SELECT p.s, p.kid, p.pos, COALESCE(m.sx // m.n, p.c) AS c
+             |  FROM c${r - 1} p LEFT JOIN m$r m
+             |    ON m.s = p.s AND m.kid = p.kid AND m.pos = p.pos)"""
+        }.mkString(",\n")
+        s"""WITH gm AS (
+           |  SELECT greatest(max(list_max(list_transform(embedding,
+           |    x -> abs(x::DOUBLE)))), 1e-30) / 127.0 AS gsc
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, list_transform(embedding, x ->
+           |    CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / gsc + 0.5)))
+           |      AS BIGINT)) AS q
+           |  FROM embeddings CROSS JOIN gm),
+           |e AS (
+           |  SELECT vec_id, (i // 16) AS s, (i % 16) + 1 AS pos, q[i + 1] AS x
+           |  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i
+           |        FROM qv)),
+           |smp AS (
+           |  SELECT q, rn - 1 AS j FROM (
+           |    SELECT q, row_number() OVER (ORDER BY
+           |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $P,
+           |      vec_id) AS rn
+           |    FROM qv) WHERE rn <= 16),
+           |c0 AS (
+           |  SELECT (gi.i // 16) AS s, smp.j AS kid, (gi.i % 16) + 1 AS pos,
+           |    smp.q[gi.i + 1] AS c
+           |  FROM smp CROSS JOIN generate_series(0, 63) AS gi(i)),
+           |$rounds,
+           |dF AS (
+           |  SELECT e.vec_id, e.s, c.kid,
+           |    CAST(sum((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
+           |  FROM e JOIN c2 c ON c.s = e.s AND c.pos = e.pos
+           |  GROUP BY 1, 2, 3),
+           |aF AS (
+           |  SELECT vec_id, s, kid FROM (
+           |    SELECT vec_id, s, kid,
+           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, kid) AS rn
+           |    FROM dF) WHERE rn = 1),
+           |qtab AS (
+           |  SELECT vec_id AS qid, s, kid, dist AS td FROM dF WHERE vec_id < 16),
+           |adc AS (
+           |  SELECT t.qid, a.vec_id AS cid, CAST(sum(t.td) AS BIGINT) AS adist
+           |  FROM aF a JOIN qtab t ON t.s = a.s AND t.kid = a.kid
+           |  WHERE t.qid <> a.vec_id GROUP BY 1, 2),
+           |eq AS (
+           |  SELECT vec_id AS qid, s, pos, x AS xq FROM e WHERE vec_id < 16),
+           |exq AS (
+           |  SELECT eq.qid, e.vec_id AS cid,
+           |    CAST(sum((eq.xq - e.x) * (eq.xq - e.x)) AS BIGINT) AS ed
+           |  FROM e JOIN eq ON eq.s = e.s AND eq.pos = e.pos
+           |  WHERE eq.qid <> e.vec_id GROUP BY 1, 2),
+           |ta AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+           |    FROM adc) WHERE rn <= 10),
+           |te AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid,
+           |      row_number() OVER (PARTITION BY qid ORDER BY ed, cid) AS rn
+           |    FROM exq) WHERE rn <= 10),
+           |h AS (
+           |  SELECT te.qid, CAST(count(*) AS BIGINT) AS h
+           |  FROM te JOIN ta ON ta.qid = te.qid AND ta.cid = te.cid
+           |  GROUP BY 1)
+           |SELECT q.vec_id AS qid, COALESCE(h.h, 0) AS n_hits,
+           |  COALESCE(h.h, 0) * 1000 AS recall_fp
+           |FROM (SELECT vec_id FROM qv WHERE vec_id < 16) q
+           |LEFT JOIN h ON h.qid = q.vec_id
+           |ORDER BY qid""".stripMargin
+      })
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

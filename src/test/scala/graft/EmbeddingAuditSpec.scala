@@ -43,4 +43,15 @@ class EmbeddingAuditSpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.length
     assert(mean > 6000L && mean < 15000L, s"mean ratio $mean")
   }
+
+  test("q168 reports a recall@10 per query with consistent fixed-point scaling") {
+    val rows = run("q168_pq_ann").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 10L)
+      assert(r.getAs[Long]("recall_fp") == h * 1000L)
+    }
+    assert(rows.map(_.getAs[Long]("qid")).toSet == (0L until 16L).toSet)
+  }
 }
