@@ -438,6 +438,65 @@ object Queries {
        |    FROM q CROSS JOIN cent2 k) t WHERE rn <= 4)""".stripMargin
   }
 
+  /** q163's IPF fit on collected model-sized cells, shared with the
+    * apply query q169: (source, lang, n_docs, obs_fp, raked_fp,
+    * weight_fp) — see q163's scaladoc for the arithmetic contract. */
+  private def ipfRakedCells(s: SparkSession, dir: String)
+      : Seq[(String, String, Long, Long, Long, Long)] = {
+    val cells = tp(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    val total = cells.map(_._3).sum
+    val nSources = cells.map(_._1).distinct.length
+    val rowT = 1000000000L / nSources
+    val colT: Map[String, Long] = cells.groupBy(_._2)
+      .map { case (l, cs) => l -> (cs.map(_._3).sum * 1000000000L) / total }
+    var m: Map[(String, String), Long] =
+      cells.map(x => (x._1, x._2) -> (x._3 * 1000000000L) / total).toMap
+    for (_ <- 1 to 3) {
+      val rowSum = m.groupBy(_._1._1).map { case (src, e) => src -> e.values.sum }
+      m = m.map { case ((src, l), v) => (src, l) -> (v * rowT) / rowSum(src) }
+      val colSum = m.groupBy(_._1._2).map { case (l, e) => l -> e.values.sum }
+      m = m.map { case ((src, l), v) => (src, l) -> (v * colT(l)) / colSum(l) }
+    }
+    cells.map { case (src, l, n) =>
+      val obs = (n * 1000000000L) / total
+      val rk = m((src, l))
+      (src, l, n, obs, rk, (rk * 1000000L) / obs)
+    }.toSeq
+  }
+
+  /** Oracle CTE prefix mirroring [[ipfRakedCells]] (shared by
+    * q163/q169): ends with `r3b(source, lang, n, m)` and `tot(t, ns)`. */
+  private val ipfOracleCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "m0" else s"r${r - 1}b"
+      s"""r${r}a AS (
+         |  SELECT source, lang, n,
+         |    CAST((m * (1000000000 // ns)) // (sum(m) OVER (PARTITION BY source)) AS BIGINT) AS m
+         |  FROM $prev CROSS JOIN tot),
+         |r${r}b AS (
+         |  SELECT r.source, r.lang, r.n,
+         |    CAST((r.m * ct.ctf) // (sum(r.m) OVER (PARTITION BY r.lang)) AS BIGINT) AS m
+         |  FROM r${r}a r JOIN ct USING (lang))"""
+    }.mkString(",\n")
+    s"""WITH c AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS t,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS ns FROM c),
+       |ct AS (
+       |  SELECT lang, CAST((sum(n) * 1000000000) // t AS BIGINT) AS ctf
+       |  FROM c CROSS JOIN tot GROUP BY lang, t),
+       |m0 AS (
+       |  SELECT source, lang, n, CAST((n * 1000000000) // t AS BIGINT) AS m
+       |  FROM c CROSS JOIN tot),
+       |$rounds"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── TPC-H-shaped core ─────────────────────────────────────────────
@@ -6436,74 +6495,29 @@ object Queries {
         // independent per-axis reweighting cannot. Three rounds of
         // row-scale/column-scale in 1e9 fixed point, truncating integer
         // division throughout (Scala Long '/', Spark div and DuckDB //
-        // agree on positives), so DuckDB re-derives the identical
-        // matrix through 6 unrolled scaling CTEs. Structural zeros
-        // (absent cells) stay absent — classic IPF. The corpus-sized
-        // work is ONE count pass; the iteration runs on the DRIVER over
-        // the collected S×L cell matrix (model-sized state, the q154
-        // precedent — an in-plan loop would re-execute the scaling
-        // chain per round). Envelope: m ≤ 1e9 and targets ≤ 1e9 keep
-        // every product ≤ 1e18 < Long.Max; cell counts ≤ 9.2e9 docs
-        // before (n·1e9) overflows — beyond that, pre-aggregate.
-        val cells = tp(s, dir, "documents")
-          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
-          .collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-          .sortBy(x => (x._1, x._2))
-        val total = cells.map(_._3).sum
-        val nSources = cells.map(_._1).distinct.length
-        val rowT = 1000000000L / nSources
-        val colT: Map[String, Long] = cells.groupBy(_._2)
-          .map { case (l, cs) => l -> (cs.map(_._3).sum * 1000000000L) / total }
-        var m: Map[(String, String), Long] =
-          cells.map(x => (x._1, x._2) -> (x._3 * 1000000000L) / total).toMap
-        for (_ <- 1 to 3) {
-          val rowSum = m.groupBy(_._1._1).map { case (src, e) => src -> e.values.sum }
-          m = m.map { case ((src, l), v) => (src, l) -> (v * rowT) / rowSum(src) }
-          val colSum = m.groupBy(_._1._2).map { case (l, e) => l -> e.values.sum }
-          m = m.map { case ((src, l), v) => (src, l) -> (v * colT(l)) / colSum(l) }
-        }
+        // agree — truncation toward zero, verified on negatives), so
+        // DuckDB re-derives the identical matrix through 6 unrolled
+        // scaling CTEs. Structural zeros (absent cells) stay absent —
+        // classic IPF. The corpus-sized work is ONE count pass; the
+        // iteration runs on the DRIVER over the collected S×L cell
+        // matrix (model-sized state, the q154 precedent — an in-plan
+        // loop would re-execute the scaling chain per round). Envelope:
+        // m ≤ 1e9 and targets ≤ 1e9 keep every product ≤ 1e18 <
+        // Long.Max; cell counts ≤ 9.2e9 docs before (n·1e9)
+        // overflows — beyond that, pre-aggregate. (Fit shared with the
+        // apply query q169 via [[ipfRakedCells]].)
         import s.implicits._
-        cells.map { case (src, l, n) =>
-          val obs = (n * 1000000000L) / total
-          val rk = m((src, l))
-          (src, l, n, obs, rk, (rk * 1000000L) / obs)
-        }.toSeq
+        ipfRakedCells(s, dir)
           .toDF("source", "lang", "n_docs", "obs_fp", "raked_fp", "weight_fp")
           .orderBy("source", "lang")
       },
-      Some {
-        val rounds = (1 to 3).map { r =>
-          val prev = if (r == 1) "m0" else s"r${r - 1}b"
-          s"""r${r}a AS (
-             |  SELECT source, lang, n,
-             |    CAST((m * (1000000000 // ns)) // (sum(m) OVER (PARTITION BY source)) AS BIGINT) AS m
-             |  FROM $prev CROSS JOIN tot),
-             |r${r}b AS (
-             |  SELECT r.source, r.lang, r.n,
-             |    CAST((r.m * ct.ctf) // (sum(r.m) OVER (PARTITION BY r.lang)) AS BIGINT) AS m
-             |  FROM r${r}a r JOIN ct USING (lang))"""
-        }.mkString(",\n")
-        s"""WITH c AS (
-           |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
-           |  FROM documents GROUP BY 1, 2),
-           |tot AS (
-           |  SELECT CAST(sum(n) AS BIGINT) AS t,
-           |    CAST(count(DISTINCT source) AS BIGINT) AS ns FROM c),
-           |ct AS (
-           |  SELECT lang, CAST((sum(n) * 1000000000) // t AS BIGINT) AS ctf
-           |  FROM c CROSS JOIN tot GROUP BY lang, t),
-           |m0 AS (
-           |  SELECT source, lang, n, CAST((n * 1000000000) // t AS BIGINT) AS m
-           |  FROM c CROSS JOIN tot),
-           |$rounds
+      Some(s"""$ipfOracleCtes
            |SELECT f.source, f.lang, f.n AS n_docs,
            |  CAST((f.n * 1000000000) // t AS BIGINT) AS obs_fp,
            |  f.m AS raked_fp,
            |  CAST((f.m * 1000000) // ((f.n * 1000000000) // t) AS BIGINT) AS weight_fp
            |FROM r3b f CROSS JOIN tot
-           |ORDER BY f.source, f.lang""".stripMargin
-      }),
+           |ORDER BY f.source, f.lang""".stripMargin)),
 
     Q("q164_cluster_quality",
       (s, dir) => {
@@ -7038,7 +7052,61 @@ object Queries {
            |FROM (SELECT vec_id FROM qv WHERE vec_id < 16) q
            |LEFT JOIN h ON h.qid = q.vec_id
            |ORDER BY qid""".stripMargin
-      })
+      }),
+
+    Q("q169_rake_apply",
+      (s, dir) => {
+        // The q163 raking made EXECUTABLE: each (source, lang) cell's
+        // IPF weight becomes a deterministic keep probability
+        // (portable-hash thresholding, the q58 sampling discipline with
+        // its own ':rake' salt), and the report shows target share vs
+        // ACHIEVED share after the sample — the closing of the loop
+        // from "what weights hit both marginals" to "what the sampled
+        // corpus actually looks like". Cells with weight ≥ 1 keep
+        // everything (down-sampling only; up-weighting needs
+        // repetition, which is the q54/q162 epoch story, not a filter —
+        // documented, not hidden). The fit is the SAME collected
+        // model-sized IPF as q163 ([[ipfRakedCells]]); the apply is one
+        // broadcast join + a codegen'd hash filter over the corpus.
+        val cells = ipfRakedCells(s, dir)
+        import s.implicits._
+        val w = cells.map { case (src, l, n, _, rk, wt) => (src, l, n, rk, wt) }
+          .toDF("source", "lang", "n_docs", "raked_fp", "weight_fp")
+        val kept = tp(s, dir, "documents")
+          .join(broadcast(w.select("source", "lang", "weight_fp")),
+            Seq("source", "lang"))
+          .filter(PortableHash.base(
+            concat(col("doc_id").cast("string"), lit(":rake"))) % 1000000
+            < col("weight_fp"))
+          .groupBy("source", "lang").agg(count(lit(1)).as("n_kept"))
+        val tk = kept.agg(sum("n_kept").as("total_kept"))
+        w.join(kept, Seq("source", "lang"), "left")
+          .crossJoin(broadcast(tk))
+          .select(col("source"), col("lang"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            col("weight_fp"), col("raked_fp"),
+            expr("(coalesce(n_kept, 0L) * 1000000000) div total_kept")
+              .as("achieved_fp"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""$ipfOracleCtes,
+           |w AS (
+           |  SELECT f.source, f.lang, f.n, f.m AS raked_fp,
+           |    CAST((f.m * 1000000) // ((f.n * 1000000000) // t) AS BIGINT) AS weight_fp
+           |  FROM r3b f CROSS JOIN tot),
+           |kc AS (
+           |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_kept
+           |  FROM documents d JOIN w ON w.source = d.source AND w.lang = d.lang
+           |  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':rake'), 1, 15))::BIGINT
+           |    % ${PortableHash.P}) % 1000000 < w.weight_fp
+           |  GROUP BY 1, 2),
+           |tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total_kept FROM kc)
+           |SELECT w.source, w.lang, w.n AS n_docs,
+           |  COALESCE(kc.n_kept, 0) AS n_kept, w.weight_fp, w.raked_fp,
+           |  CAST((COALESCE(kc.n_kept, 0) * 1000000000) // tk.total_kept AS BIGINT) AS achieved_fp
+           |FROM w LEFT JOIN kc ON kc.source = w.source AND kc.lang = w.lang
+           |CROSS JOIN tk
+           |ORDER BY w.source, w.lang""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

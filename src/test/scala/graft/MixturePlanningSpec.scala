@@ -108,6 +108,27 @@ class MixturePlanningSpec extends AnyFunSuite {
     else assert(meanW(smallest) >= meanW(biggest))
   }
 
+  // ---- q169 rake apply ----------------------------------------------
+
+  test("q169 keeps within cell budgets and publishes self-consistent shares") {
+    val rows = run("q169_rake_apply").collect()
+    assert(rows.nonEmpty)
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(totalKept > 0L)
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 0L && kept <= r.getAs[Long]("n_docs"))
+      // weight ≥ 1 ⇒ down-sampling filter passes every doc in the cell
+      if (r.getAs[Long]("weight_fp") >= 1000000L)
+        assert(kept == r.getAs[Long]("n_docs"), s"cell dropped docs: $r")
+      // achieved share is exactly the published ratio
+      assert(r.getAs[Long]("achieved_fp") == kept * 1000000000L / totalKept)
+    }
+    // achieved shares are a (truncated) partition of unity
+    val sumAchieved = rows.map(_.getAs[Long]("achieved_fp")).sum
+    assert(sumAchieved <= 1000000000L && sumAchieved > 1000000000L - rows.length)
+  }
+
   // ---- q166 dedup ROI -----------------------------------------------
 
   test("q166 conserves tokens and prices removals consistently") {
