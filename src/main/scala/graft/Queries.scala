@@ -7106,7 +7106,111 @@ object Queries {
            |  CAST((COALESCE(kc.n_kept, 0) * 1000000000) // tk.total_kept AS BIGINT) AS achieved_fp
            |FROM w LEFT JOIN kc ON kc.source = w.source AND kc.lang = w.lang
            |CROSS JOIN tk
-           |ORDER BY w.source, w.lang""".stripMargin))
+           |ORDER BY w.source, w.lang""".stripMargin)),
+
+    Q("q170_source_cleanliness",
+      (s, dir) => {
+        // Per-source cleanliness scoreboard: one row per source with its
+        // duplication burden at all three granularities the dedup family
+        // measures — exact copies (md5 digest classes, q34), near-dups
+        // (min-md5-5-gram fingerprint classes, q44's deterministic
+        // candidate generator), and duplicated-SPAN token coverage
+        // (q139's ExactSubstr profile) — the triage view that says
+        // WHICH source pays for WHICH dedup pass before any is run at
+        // 100 TB. One corpus scan feeds all three derivations (pinned);
+        // class memberships come back as map-side-combined count joins;
+        // the span profile is the production ExactSubstrOps operator.
+        // Every rate is an integer fixed-point division.
+        val d = tp(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+          .pin()
+        val ex = d.select(col("doc_id"), md5(col("text")).as("digest"))
+        val exFlag = ex
+          .join(ex.groupBy("digest").agg(count(lit(1)).as("copies")), "digest")
+          .select(col("doc_id"), (col("copies") >= 2).cast(LongType).as("is_exact"))
+        val fp = d.select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
+        val fpFlag = fp
+          .join(fp.groupBy("fp").agg(count(lit(1)).as("fcopies")), "fp")
+          .select(col("doc_id"), (col("fcopies") >= 2).cast(LongType).as("is_fpdup"))
+        val sp = ExactSubstrOps.dupSpanProfile(d, col("doc_id"), col("text"))
+          .select(col("doc_id"), col("dup_tokens"))
+        d.select("doc_id", "source", "n_tokens")
+          .join(exFlag, "doc_id").join(fpFlag, "doc_id")
+          .join(sp, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum("is_exact").as("exact_dup_docs"),
+            sum("is_fpdup").as("fpdup_docs"),
+            sum(coalesce(col("dup_tokens"), lit(0L))).as("span_dup_tokens"))
+          .select(col("source"), col("n_docs"), col("exact_dup_docs"),
+            expr("(10000 * exact_dup_docs) div n_docs").as("exact_rate_fp"),
+            col("fpdup_docs"),
+            expr("(10000 * fpdup_docs) div n_docs").as("fpdup_rate_fp"),
+            col("span_dup_tokens"),
+            expr("(10000 * span_dup_tokens) div n_tokens").as("span_cov_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |ex AS (SELECT doc_id, md5(text) AS digest FROM d),
+             |exc AS (SELECT digest, count(*) AS copies FROM ex GROUP BY 1),
+             |exf AS (
+             |  SELECT ex.doc_id, CASE WHEN exc.copies >= 2 THEN 1 ELSE 0 END AS is_exact
+             |  FROM ex JOIN exc USING (digest)),
+             |t2 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 5
+             |      THEN list_transform(generate_series(0, len(toks) - 5),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh
+             |  FROM t2),
+             |f2 AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM s2),
+             |fc AS (SELECT fp, count(*) AS fcopies FROM f2 GROUP BY 1),
+             |ff AS (
+             |  SELECT f2.doc_id, CASE WHEN fc.fcopies >= 2 THEN 1 ELSE 0 END AS is_fpdup
+             |  FROM f2 JOIN fc USING (fp)),
+             |nz AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 8),
+             |gpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+             |dp AS (SELECT doc_id, n, pos FROM g
+             |  WHERE gkey IN (SELECT gkey FROM dup)),
+             |m AS (SELECT doc_id, n, pos,
+             |  max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM dp),
+             |mk AS (SELECT doc_id, n, pos,
+             |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM m),
+             |sp AS (SELECT doc_id, n, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM mk),
+             |spans AS (SELECT doc_id, n, span_id, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM sp GROUP BY 1, 2, 3),
+             |outp AS (SELECT doc_id, CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+             |  FROM spans GROUP BY doc_id)
+             |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(exf.is_exact) AS BIGINT) AS exact_dup_docs,
+             |  CAST((10000 * sum(exf.is_exact)) // count(*) AS BIGINT) AS exact_rate_fp,
+             |  CAST(sum(ff.is_fpdup) AS BIGINT) AS fpdup_docs,
+             |  CAST((10000 * sum(ff.is_fpdup)) // count(*) AS BIGINT) AS fpdup_rate_fp,
+             |  CAST(sum(COALESCE(outp.dup_tokens, 0)) AS BIGINT) AS span_dup_tokens,
+             |  CAST((10000 * sum(COALESCE(outp.dup_tokens, 0))) // sum(d.n_tokens) AS BIGINT) AS span_cov_fp
+             |FROM d
+             |JOIN exf USING (doc_id)
+             |JOIN ff USING (doc_id)
+             |LEFT JOIN outp USING (doc_id)
+             |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -151,6 +151,25 @@ class MixturePlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q170 source cleanliness --------------------------------------
+
+  test("q170 rates stay in range and exact dups imply fingerprint dups") {
+    val rows = run("q170_source_cleanliness").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    rows.foreach { r =>
+      // identical text ⇒ identical min-md5-5-gram fingerprint, so the
+      // exact-dup population is a subset of the fingerprint-dup one
+      assert(r.getAs[Long]("exact_dup_docs") <= r.getAs[Long]("fpdup_docs"))
+      Seq("exact_rate_fp", "fpdup_rate_fp", "span_cov_fp").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 10000L, s"$c out of range: $r")
+      }
+      assert(r.getAs[Long]("span_dup_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
   // ---- q167 curriculum schedule -------------------------------------
 
   test("q167 deciles partition the corpus best-first with consistent epochs") {
