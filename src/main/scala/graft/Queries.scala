@@ -7143,7 +7143,8 @@ object Queries {
             sum("is_exact").as("exact_dup_docs"),
             sum("is_fpdup").as("fpdup_docs"),
             sum(coalesce(col("dup_tokens"), lit(0L))).as("span_dup_tokens"))
-          .select(col("source"), col("n_docs"), col("exact_dup_docs"),
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("exact_dup_docs"),
             expr("(10000 * exact_dup_docs) div n_docs").as("exact_rate_fp"),
             col("fpdup_docs"),
             expr("(10000 * fpdup_docs) div n_docs").as("fpdup_rate_fp"),
@@ -7200,6 +7201,7 @@ object Queries {
              |outp AS (SELECT doc_id, CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
              |  FROM spans GROUP BY doc_id)
              |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
              |  CAST(sum(exf.is_exact) AS BIGINT) AS exact_dup_docs,
              |  CAST((10000 * sum(exf.is_exact)) // count(*) AS BIGINT) AS exact_rate_fp,
              |  CAST(sum(ff.is_fpdup) AS BIGINT) AS fpdup_docs,
