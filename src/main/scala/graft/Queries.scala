@@ -497,6 +497,155 @@ object Queries {
        |$rounds"""
   }
 
+  /** Subspace distance to one centroid LITERAL — codegen'd, no join
+    * (expects the 16-element `subq` column). */
+  private def pqDistTo(cv: Array[Long]): Column = expr(
+    s"""aggregate(zip_with(subq, array(${cv.map(_ + "L").mkString(",")}),
+      (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)""")
+
+  /** Argmin over one subspace's codebook, ties to the smaller kid. */
+  private def pqArgminFor(cent: Array[Array[Array[Long]]], sb: Int): Column =
+    array_min(array(cent(sb).zipWithIndex.map { case (cv, j) =>
+      struct(pqDistTo(cv).as("d"), lit(j).as("k"))
+    }: _*)).getField("k")
+
+  /** Per-row PQ code: CASE over the subspace id, each branch a literal
+    * codebook argmin. */
+  private def pqKidExpr(cent: Array[Array[Array[Long]]]): Column =
+    when(col("s") === 0, pqArgminFor(cent, 0))
+      .when(col("s") === 1, pqArgminFor(cent, 1))
+      .when(col("s") === 2, pqArgminFor(cent, 2))
+      .otherwise(pqArgminFor(cent, 3))
+
+  /** Per-row assigned-code squared distance (the PQ residual): the min
+    * over the subspace's codebook — same structs as [[pqArgminFor]],
+    * `d` field instead of `k`. */
+  private def pqMinDistExpr(cent: Array[Array[Array[Long]]]): Column = {
+    def minFor(sb: Int): Column =
+      array_min(array(cent(sb).zipWithIndex.map { case (cv, j) =>
+        struct(pqDistTo(cv).as("d"), lit(j).as("k"))
+      }: _*)).getField("d")
+    when(col("s") === 0, minFor(0)).when(col("s") === 1, minFor(1))
+      .when(col("s") === 2, minFor(2)).otherwise(minFor(3))
+  }
+
+  /** q168's PQ codebook fit, shared with the distortion profile q171:
+    * globally int8-quantized corpus (q154's quantization), 4 subspaces
+    * × 16 dims, 16-centroid integer codebooks trained by 2 k-means
+    * rounds (codegen'd literal argmin assignment, truncating integer
+    * means updated on collected MODEL-sized sums). Returns the pinned
+    * quantized frame (vec_id, q), the pinned subvector frame
+    * (vec_id, s, subq), and the trained 4×16×16 codebook. */
+  private def pqFitted(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Array[Array[Long]]]) = {
+    val emb = tp(s, dir, "embeddings")
+    val gm = emb.agg(
+      (greatest(max(graft.functions.VecExpressions.vecAbsMax(
+        col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
+    val qv = emb.crossJoin(broadcast(gm))
+      .select(col("vec_id"),
+        expr("""transform(embedding, x ->
+          CAST(greatest(-127.0D, least(127.0D,
+            floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
+      .pin()
+    val sub = qv.select(col("vec_id"), explode(expr(
+        """transform(sequence(0, 3), s ->
+          named_struct('s', CAST(s AS INT), 'subq', slice(q, s * 16 + 1, 16)))"""))
+        .as("t"))
+      .select(col("vec_id"), col("t").getField("s").as("s"),
+        col("t").getField("subq").as("subq"))
+      .pin()
+    val smp = qv
+      .orderBy(PortableHash.base(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    var cent: Array[Array[Array[Long]]] = Array.tabulate(4, 16) {
+      (sb, j) => Array.tabulate(16)(p => smp(j)(sb * 16 + p))
+    }
+    for (_ <- 1 to 2) {
+      val sums = sub.withColumn("kid", pqKidExpr(cent))
+        .select(col("s"), col("kid"),
+          posexplode(col("subq")).as(Seq("p0", "x")))
+        .groupBy("s", "kid", "p0")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+      cent = Array.tabulate(4, 16) { (sb, j) =>
+        Array.tabulate(16) { p =>
+          upd.get((sb, j, p)) match {
+            case Some((sx, n)) => sx / n
+            case None => cent(sb)(j)(p)
+          }
+        }
+      }
+    }
+    (qv, sub, cent)
+  }
+
+  /** Oracle CTE prefix re-deriving the full [[pqFitted]] codebook fit
+    * (shared by q168/q171): ends with `dF(vec_id, s, kid, dist)` — all
+    * 16 per-subspace code distances per vector under the final
+    * codebook — and `aF(vec_id, s, kid)` — the assigned codes. */
+  private val pqOracleCtes: String = {
+    val P = PortableHash.P
+    val rounds = (1 to 2).map { r =>
+      s"""d$r AS (
+         |  SELECT e.vec_id, e.s, c.kid,
+         |    CAST(sum((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
+         |  FROM e JOIN c${r - 1} c ON c.s = e.s AND c.pos = e.pos
+         |  GROUP BY 1, 2, 3),
+         |a$r AS (
+         |  SELECT vec_id, s, kid FROM (
+         |    SELECT vec_id, s, kid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, kid) AS rn
+         |    FROM d$r) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT a.s, a.kid, e.pos, CAST(sum(e.x) AS BIGINT) AS sx,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM a$r a JOIN e ON e.vec_id = a.vec_id AND e.s = a.s
+         |  GROUP BY 1, 2, 3),
+         |c$r AS (
+         |  SELECT p.s, p.kid, p.pos, COALESCE(m.sx // m.n, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN m$r m
+         |    ON m.s = p.s AND m.kid = p.kid AND m.pos = p.pos)"""
+    }.mkString(",\n")
+    s"""WITH gm AS (
+       |  SELECT greatest(max(list_max(list_transform(embedding,
+       |    x -> abs(x::DOUBLE)))), 1e-30) / 127.0 AS gsc
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / gsc + 0.5)))
+       |      AS BIGINT)) AS q
+       |  FROM embeddings CROSS JOIN gm),
+       |e AS (
+       |  SELECT vec_id, (i // 16) AS s, (i % 16) + 1 AS pos, q[i + 1] AS x
+       |  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i
+       |        FROM qv)),
+       |smp AS (
+       |  SELECT q, rn - 1 AS j FROM (
+       |    SELECT q, row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $P,
+       |      vec_id) AS rn
+       |    FROM qv) WHERE rn <= 16),
+       |c0 AS (
+       |  SELECT (gi.i // 16) AS s, smp.j AS kid, (gi.i % 16) + 1 AS pos,
+       |    smp.q[gi.i + 1] AS c
+       |  FROM smp CROSS JOIN generate_series(0, 63) AS gi(i)),
+       |$rounds,
+       |dF AS (
+       |  SELECT e.vec_id, e.s, c.kid,
+       |    CAST(sum((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
+       |  FROM e JOIN c2 c ON c.s = e.s AND c.pos = e.pos
+       |  GROUP BY 1, 2, 3),
+       |aF AS (
+       |  SELECT vec_id, s, kid FROM (
+       |    SELECT vec_id, s, kid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, kid) AS rn
+       |    FROM dF) WHERE rn = 1)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── TPC-H-shaped core ─────────────────────────────────────────────
@@ -6870,66 +7019,13 @@ object Queries {
         // on collected MODEL-sized sums (4·16·16 longs — the q154/q163
         // precedent); encoding is the same argmin projection, ADC is a
         // broadcast join on (s, code), and the rank windows are
-        // per-query partitions.
-        val emb = tp(s, dir, "embeddings")
-        val gm = emb.agg(
-          (greatest(max(graft.functions.VecExpressions.vecAbsMax(
-            col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
-        val qv = emb.crossJoin(broadcast(gm))
-          .select(col("vec_id"),
-            expr("""transform(embedding, x ->
-              CAST(greatest(-127.0D, least(127.0D,
-                floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
-          .pin()
-        val sub = qv.select(col("vec_id"), explode(expr(
-            """transform(sequence(0, 3), s ->
-              named_struct('s', CAST(s AS INT), 'subq', slice(q, s * 16 + 1, 16)))"""))
-            .as("t"))
-          .select(col("vec_id"), col("t").getField("s").as("s"),
-            col("t").getField("subq").as("subq"))
-          .pin()
-        val smp = qv
-          .orderBy(PortableHash.base(col("vec_id").cast("string")), col("vec_id"))
-          .limit(16).select("q").collect()
-          .map(_.getSeq[Long](0).toArray)
-        var cent: Array[Array[Array[Long]]] = Array.tabulate(4, 16) {
-          (sb, j) => Array.tabulate(16)(p => smp(j)(sb * 16 + p))
-        }
-        import s.implicits._
-        // subspace distance to one centroid LITERAL — codegen'd, no join
-        def distTo(cv: Array[Long]): Column = expr(
-          s"""aggregate(zip_with(subq, array(${cv.map(_ + "L").mkString(",")}),
-            (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)""")
-        // argmin over the subspace's codebook, ties to the smaller kid
-        def argminFor(sb: Int): Column = array_min(array(
-          cent(sb).zipWithIndex.map { case (cv, j) =>
-            struct(distTo(cv).as("d"), lit(j).as("k"))
-          }: _*)).getField("k")
-        def kidExpr: Column =
-          when(col("s") === 0, argminFor(0)).when(col("s") === 1, argminFor(1))
-            .when(col("s") === 2, argminFor(2)).otherwise(argminFor(3))
-        for (_ <- 1 to 2) {
-          val sums = sub.withColumn("kid", kidExpr)
-            .select(col("s"), col("kid"),
-              posexplode(col("subq")).as(Seq("p0", "x")))
-            .groupBy("s", "kid", "p0")
-            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-            .collect()
-          val upd = sums.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-            (r.getLong(3), r.getLong(4)))).toMap
-          cent = Array.tabulate(4, 16) { (sb, j) =>
-            Array.tabulate(16) { p =>
-              upd.get((sb, j, p)) match {
-                case Some((sx, n)) => sx / n
-                case None => cent(sb)(j)(p)
-              }
-            }
-          }
-        }
-        val aF = sub.withColumn("kid", kidExpr)
+        // per-query partitions. (Fit shared with the distortion
+        // profile q171 via [[pqFitted]].)
+        val (qv2, sub, cent) = pqFitted(s, dir)
+        val aF = sub.withColumn("kid", pqKidExpr(cent))
         def distArrFor(sb: Int): Column = array(
           cent(sb).zipWithIndex.map { case (cv, j) =>
-            struct(lit(j).as("kid"), distTo(cv).as("td"))
+            struct(lit(j).as("kid"), pqDistTo(cv).as("td"))
           }: _*)
         val qtab = sub.filter(col("vec_id") < 16)
           .withColumn("da",
@@ -6943,9 +7039,9 @@ object Queries {
           .filter(col("qid") =!= col("vec_id"))
           .groupBy("qid", "vec_id").agg(sum("td").as("adist"))
           .withColumnRenamed("vec_id", "cid")
-        val qq = qv.filter(col("vec_id") < 16)
+        val qq = qv2.filter(col("vec_id") < 16)
           .select(col("vec_id").as("qid"), col("q").as("qarr"))
-        val exact = qv.join(broadcast(qq), col("qid") =!= col("vec_id"))
+        val exact = qv2.join(broadcast(qq), col("qid") =!= col("vec_id"))
           .select(col("qid"), col("vec_id").as("cid"),
             expr("""aggregate(zip_with(q, qarr, (a, b) -> (a - b) * (a - b)),
               0L, (acc, v) -> acc + v)""").as("ed"))
@@ -6957,69 +7053,13 @@ object Queries {
           .filter(col("rn") <= 10).select("qid", "cid")
         val hits = topE.join(topA, Seq("qid", "cid"), "left_semi")
           .groupBy("qid").agg(count(lit(1)).as("h"))
-        qv.filter(col("vec_id") < 16).select(col("vec_id").as("qid"))
+        qv2.filter(col("vec_id") < 16).select(col("vec_id").as("qid"))
           .join(hits, Seq("qid"), "left")
           .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"))
           .withColumn("recall_fp", col("n_hits") * 1000)
           .orderBy("qid")
       },
-      Some {
-        val P = PortableHash.P
-        val rounds = (1 to 2).map { r =>
-          s"""d$r AS (
-             |  SELECT e.vec_id, e.s, c.kid,
-             |    CAST(sum((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
-             |  FROM e JOIN c${r - 1} c ON c.s = e.s AND c.pos = e.pos
-             |  GROUP BY 1, 2, 3),
-             |a$r AS (
-             |  SELECT vec_id, s, kid FROM (
-             |    SELECT vec_id, s, kid,
-             |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, kid) AS rn
-             |    FROM d$r) WHERE rn = 1),
-             |m$r AS (
-             |  SELECT a.s, a.kid, e.pos, CAST(sum(e.x) AS BIGINT) AS sx,
-             |    CAST(count(*) AS BIGINT) AS n
-             |  FROM a$r a JOIN e ON e.vec_id = a.vec_id AND e.s = a.s
-             |  GROUP BY 1, 2, 3),
-             |c$r AS (
-             |  SELECT p.s, p.kid, p.pos, COALESCE(m.sx // m.n, p.c) AS c
-             |  FROM c${r - 1} p LEFT JOIN m$r m
-             |    ON m.s = p.s AND m.kid = p.kid AND m.pos = p.pos)"""
-        }.mkString(",\n")
-        s"""WITH gm AS (
-           |  SELECT greatest(max(list_max(list_transform(embedding,
-           |    x -> abs(x::DOUBLE)))), 1e-30) / 127.0 AS gsc
-           |  FROM embeddings),
-           |qv AS (
-           |  SELECT vec_id, list_transform(embedding, x ->
-           |    CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / gsc + 0.5)))
-           |      AS BIGINT)) AS q
-           |  FROM embeddings CROSS JOIN gm),
-           |e AS (
-           |  SELECT vec_id, (i // 16) AS s, (i % 16) + 1 AS pos, q[i + 1] AS x
-           |  FROM (SELECT vec_id, q, unnest(generate_series(0, len(q) - 1)) AS i
-           |        FROM qv)),
-           |smp AS (
-           |  SELECT q, rn - 1 AS j FROM (
-           |    SELECT q, row_number() OVER (ORDER BY
-           |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $P,
-           |      vec_id) AS rn
-           |    FROM qv) WHERE rn <= 16),
-           |c0 AS (
-           |  SELECT (gi.i // 16) AS s, smp.j AS kid, (gi.i % 16) + 1 AS pos,
-           |    smp.q[gi.i + 1] AS c
-           |  FROM smp CROSS JOIN generate_series(0, 63) AS gi(i)),
-           |$rounds,
-           |dF AS (
-           |  SELECT e.vec_id, e.s, c.kid,
-           |    CAST(sum((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dist
-           |  FROM e JOIN c2 c ON c.s = e.s AND c.pos = e.pos
-           |  GROUP BY 1, 2, 3),
-           |aF AS (
-           |  SELECT vec_id, s, kid FROM (
-           |    SELECT vec_id, s, kid,
-           |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, kid) AS rn
-           |    FROM dF) WHERE rn = 1),
+      Some(s"""$pqOracleCtes,
            |qtab AS (
            |  SELECT vec_id AS qid, s, kid, dist AS td FROM dF WHERE vec_id < 16),
            |adc AS (
@@ -7051,8 +7091,7 @@ object Queries {
            |  COALESCE(h.h, 0) * 1000 AS recall_fp
            |FROM (SELECT vec_id FROM qv WHERE vec_id < 16) q
            |LEFT JOIN h ON h.qid = q.vec_id
-           |ORDER BY qid""".stripMargin
-      }),
+           |ORDER BY qid""".stripMargin)),
 
     Q("q169_rake_apply",
       (s, dir) => {
@@ -7212,7 +7251,105 @@ object Queries {
              |JOIN exf USING (doc_id)
              |JOIN ff USING (doc_id)
              |LEFT JOIN outp USING (doc_id)
-             |GROUP BY d.source ORDER BY d.source""".stripMargin))
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    Q("q171_pq_distortion",
+      (s, dir) => {
+        // PQ distortion profile over the SAME codebook fit q168
+        // searches with ([[pqFitted]]): per subspace, the mean and
+        // worst assigned-code squared residual plus codebook
+        // utilization (distinct codes used of 16) — the quantization-
+        // error report read next to q168's recall before committing a
+        // 32× memory compression (a subspace with few codes used or a
+        // fat residual tail is where recall dies first). One pass: the
+        // residual is the codegen'd literal-codebook MIN distance
+        // (same structs as the argmin), the report is a 4-row rollup.
+        // All exact longs; mean is a truncating integer division.
+        val (_, sub, cent) = pqFitted(s, dir)
+        sub.withColumn("kid", pqKidExpr(cent))
+          .withColumn("dmin", pqMinDistExpr(cent))
+          .groupBy("s")
+          .agg(count(lit(1)).as("n"), sum("dmin").as("sd"),
+            max("dmin").as("max_sq_err"),
+            countDistinct("kid").as("codes_used"))
+          .select(col("s").cast(LongType).as("subspace"), col("n"),
+            expr("sd div n").as("mean_sq_err"), col("max_sq_err"),
+            col("codes_used"))
+          .orderBy("subspace")
+      },
+      Some(s"""$pqOracleCtes,
+           |asgd AS (
+           |  SELECT d.vec_id, d.s, d.kid, d.dist
+           |  FROM dF d JOIN aF a
+           |    ON a.vec_id = d.vec_id AND a.s = d.s AND a.kid = d.kid)
+           |SELECT s AS subspace, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(dist) // count(*) AS BIGINT) AS mean_sq_err,
+           |  CAST(max(dist) AS BIGINT) AS max_sq_err,
+           |  CAST(count(DISTINCT kid) AS BIGINT) AS codes_used
+           |FROM asgd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q172_neardup_threshold_sweep",
+      (s, dir) => {
+        // Threshold sensitivity of MinHash near-dedup: for est-Jaccard
+        // cuts 0.5–0.9, how many candidate pairs survive, how many
+        // documents are touched, and how many a greedy pairwise
+        // keep-smaller-id pass would drop — the sweep a corpus owner
+        // reads before fixing the q35 threshold for a 100 TB dedup (the
+        // knee of pairs_ge vs t is the operating point). ONE candidate
+        // generation (the production banding path, pinned) fanned ×5 by
+        // a literal threshold array; everything after is
+        // candidate-pair-sized. Thresholds compare as t/10.0 — the
+        // identical double in both engines; est values are k/32, which
+        // never manufactures a tie against t/10 except the exact 0.5,
+        // handled identically by >= on both sides.
+        val pairs = DedupOps.minhashCandidatePairs(
+            tp(s, dir, "documents"), col("doc_id"), col("text"))
+          .pin()
+        val f = pairs
+          .select(col("id_a"), col("id_b"), col("est_jaccard"),
+            explode(array((5 to 9).map(t => lit(t.toLong)): _*)).as("t10"))
+          .filter(col("est_jaccard") >= col("t10") / lit(10.0))
+          .pin()
+        val touched = f
+          .select(col("t10"), explode(array(col("id_a"), col("id_b"))).as("d"))
+          .groupBy("t10").agg(countDistinct("d").as("docs_touched"))
+        f.groupBy("t10")
+          .agg(count(lit(1)).as("pairs_ge"),
+            countDistinct("id_b").as("docs_removed_greedy"))
+          .join(touched, "t10")
+          .orderBy("t10")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |    len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) / 32.0 AS est
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |th AS (SELECT CAST(unnest(generate_series(5, 9)) AS BIGINT) AS t10),
+             |f AS (
+             |  SELECT th.t10, p.id_a, p.id_b FROM p CROSS JOIN th
+             |  WHERE p.est >= th.t10 / 10.0),
+             |tc AS (
+             |  SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS docs_touched
+             |  FROM (SELECT t10, unnest([id_a, id_b]) AS d FROM f) GROUP BY 1)
+             |SELECT f.t10, CAST(count(*) AS BIGINT) AS pairs_ge,
+             |  CAST(count(DISTINCT f.id_b) AS BIGINT) AS docs_removed_greedy,
+             |  tc.docs_touched
+             |FROM f JOIN tc USING (t10)
+             |GROUP BY f.t10, tc.docs_touched
+             |ORDER BY f.t10""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -54,4 +54,35 @@ class EmbeddingAuditSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("qid")).toSet == (0L until 16L).toSet)
   }
+
+  test("q171 profiles every subspace with sane residuals and utilization") {
+    val rows = run("q171_pq_distortion").orderBy("subspace").collect()
+    assert(rows.map(_.getAs[Long]("subspace")).toSeq == (0L to 3L))
+    val corpusN = Tables.load(spark, SparkTestSession.sfDir, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == corpusN)
+      assert(r.getAs[Long]("mean_sq_err") >= 0L)
+      assert(r.getAs[Long]("mean_sq_err") <= r.getAs[Long]("max_sq_err"))
+      val used = r.getAs[Long]("codes_used")
+      assert(used >= 1L && used <= 16L)
+    }
+  }
+
+  test("q172 sweep is monotone in the threshold and counts cohere") {
+    val rows = Queries.byName("q172_neardup_threshold_sweep")
+      .run(spark, SparkTestSession.sfDir).orderBy("t10").collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) => // higher cut ⇒ fewer (or equal) surviving pairs
+        assert(hi.getAs[Long]("pairs_ge") <= lo.getAs[Long]("pairs_ge"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val pairs = r.getAs[Long]("pairs_ge")
+      val touched = r.getAs[Long]("docs_touched")
+      val removed = r.getAs[Long]("docs_removed_greedy")
+      assert(removed <= touched && touched <= 2 * pairs)
+      assert(removed >= 1L || pairs == 0L)
+    }
+  }
 }
