@@ -7349,7 +7349,175 @@ object Queries {
              |  tc.docs_touched
              |FROM f JOIN tc USING (t10)
              |GROUP BY f.t10, tc.docs_touched
-             |ORDER BY f.t10""".stripMargin))
+             |ORDER BY f.t10""".stripMargin)),
+
+    Q("q173_knn_label_accuracy",
+      (s, dir) => {
+        // Leave-one-out kNN classification accuracy over the labeled
+        // embedding corpus: 64 anchors, brute-force cosine top-10
+        // (self excluded — the production q38 path), majority vote of
+        // neighbor labels with a deterministic (count DESC, label ASC)
+        // tiebreak, scored against the anchor's own label PER CLASS —
+        // the label-quality / embedding-quality diagnostic read before
+        // trusting label prototypes (q63) or hard negatives (q136).
+        // Anchor-sample protocol is q144's: exact search is affordable
+        // because anchors, not the corpus, are the query side. The
+        // vote argmax is one max(struct) aggregation — no windows.
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val nn = SimilarityOps.bruteForceTopK(queries, corpus, 10)
+        val pred = broadcast(nn.select("qid", "cid"))
+          .join(emb.select(col("vec_id").as("cid"),
+            col("label").cast(LongType).as("nlabel")), "cid")
+          .groupBy("qid", "nlabel").agg(count(lit(1)).as("v"))
+          .groupBy("qid")
+          .agg(max(struct(col("v"), (lit(0L) - col("nlabel")).as("negl"))).as("m"))
+          .select(col("qid"), (lit(0L) - col("m").getField("negl")).as("pred"))
+        emb.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("qid"), col("label").cast(LongType).as("label"))
+          .join(broadcast(pred), "qid")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+          .select(col("label"), col("n"), col("n_correct"),
+            expr("(10000 * n_correct) div n").as("acc_fp"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qvec,
+             |    CAST(label AS BIGINT) AS qlabel
+             |  FROM embeddings WHERE vec_id < 64),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id AS cid,
+             |    list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+             |  FROM embeddings c, q WHERE c.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT qid, cid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+             |  FROM scored),
+             |nl AS (
+             |  SELECT r.qid, CAST(e.label AS BIGINT) AS nlabel
+             |  FROM ranked r JOIN embeddings e ON e.vec_id = r.cid
+             |  WHERE r.rank <= 10),
+             |votes AS (SELECT qid, nlabel, count(*) AS v FROM nl GROUP BY 1, 2),
+             |pred AS (
+             |  SELECT qid, nlabel AS pred FROM (
+             |    SELECT qid, nlabel,
+             |      row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS rn
+             |    FROM votes) WHERE rn = 1)
+             |SELECT q.qlabel AS label, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN p.pred = q.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |  CAST((10000 * sum(CASE WHEN p.pred = q.qlabel THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS acc_fp
+             |FROM q JOIN pred p USING (qid)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q174_event_drift_timeline",
+      (s, dir) => {
+        // Drift TIMELINE over the event stream: per day, the total-
+        // variation distance between that day's event-type mix and the
+        // all-time mix — q161's exactness discipline (per-term 1e-12
+        // floors, long sums) on the time axis, over the events table.
+        // The day that spikes is the day the pipeline's input changed
+        // character. One (day, type) count pass; the grid is
+        // days × types (both small), the report day-sized.
+        val k = t(s, dir, "events")
+          .select(unix_timestamp(date_trunc("day", col("ts"))).as("day"),
+            col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("k"))
+          .pin()
+        val nd = k.groupBy("day").agg(sum("k").as("nd"))
+        val c = k.groupBy("event_type").agg(sum("k").as("c"))
+        val tot = c.agg(sum("c").as("n"))
+        val contrib = floor(abs(
+          coalesce(col("k"), lit(0L)).cast(DoubleType) / col("nd").cast(DoubleType)
+            - col("c").cast(DoubleType) / col("n").cast(DoubleType))
+          * 1000000000000.0).cast(LongType)
+        nd.crossJoin(broadcast(c))
+          .join(k, Seq("day", "event_type"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("day"), col("nd"), contrib.as("contrib"))
+          .groupBy("day")
+          .agg(max("nd").as("n_events"), sum("contrib").as("tvs"))
+          .select(col("day"), col("n_events"),
+            expr("tvs div 200000000").as("tv_fp"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(EXTRACT(EPOCH FROM date_trunc('day', ts)) AS BIGINT) AS day,
+             |    event_type
+             |  FROM events),
+             |k AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS k
+             |  FROM ev GROUP BY 1, 2),
+             |nd AS (SELECT day, CAST(sum(k) AS BIGINT) AS nd FROM k GROUP BY 1),
+             |c AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS c FROM k GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+             |g AS (
+             |  SELECT nd.day, nd.nd, c.c, k.k
+             |  FROM nd CROSS JOIN c
+             |  LEFT JOIN k ON k.day = nd.day AND k.event_type = c.event_type),
+             |con AS (
+             |  SELECT day, nd,
+             |    CAST(floor(abs(CAST(COALESCE(k, 0) AS DOUBLE) / CAST(nd AS DOUBLE)
+             |      - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS contrib
+             |  FROM g CROSS JOIN tot)
+             |SELECT day, CAST(max(nd) AS BIGINT) AS n_events,
+             |  CAST(sum(contrib) // 200000000 AS BIGINT) AS tv_fp
+             |FROM con GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q175_normalization_dedup_lift",
+      (s, dir) => {
+        // What text normalization buys the deduper: per source, docs in
+        // exact-dup classes BEFORE (raw md5) vs AFTER normalization
+        // (lower + control/zero-width strip + whitespace collapse —
+        // TextOps.normalize, built inside the Java-regex/RE2 common
+        // subset precisely so this oracle can mirror it), and the lift.
+        // Raw-identical texts normalize identically, so lift ≥ 0 by
+        // construction (spec-pinned). Two digest passes over one pinned
+        // scan; class memberships are map-side-combined count joins.
+        val d = tp(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("text")).as("dr"),
+            md5(TextOps.normalize(col("text"))).as("dn"))
+          .pin()
+        val rFlag = d
+          .join(d.groupBy("dr").agg(count(lit(1)).as("rc")), "dr")
+          .select(col("doc_id"), (col("rc") >= 2).cast(LongType).as("is_raw"))
+        val nFlag = d
+          .join(d.groupBy("dn").agg(count(lit(1)).as("nc")), "dn")
+          .select(col("doc_id"), (col("nc") >= 2).cast(LongType).as("is_norm"))
+        d.select("doc_id", "source")
+          .join(rFlag, "doc_id").join(nFlag, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("is_raw").as("raw_dup_docs"),
+            sum("is_norm").as("norm_dup_docs"))
+          .select(col("source"), col("n_docs"), col("raw_dup_docs"),
+            col("norm_dup_docs"),
+            (col("norm_dup_docs") - col("raw_dup_docs")).as("lift_docs"),
+            expr("(10000 * norm_dup_docs) div n_docs").as("norm_rate_fp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, source, md5(text) AS dr,
+             |    md5(lower(trim(regexp_replace(regexp_replace(text,
+             |      '[\\x00-\\x08\\x0e-\\x1f\\x7f' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+             |      '\\s+', ' ', 'g')))) AS dn
+             |  FROM documents),
+             |rc AS (SELECT dr, count(*) AS rc FROM d GROUP BY 1),
+             |nc AS (SELECT dn, count(*) AS nc FROM d GROUP BY 1),
+             |fl AS (
+             |  SELECT d.doc_id, d.source,
+             |    CASE WHEN rc.rc >= 2 THEN 1 ELSE 0 END AS is_raw,
+             |    CASE WHEN nc.nc >= 2 THEN 1 ELSE 0 END AS is_norm
+             |  FROM d JOIN rc USING (dr) JOIN nc USING (dn))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(is_raw) AS BIGINT) AS raw_dup_docs,
+             |  CAST(sum(is_norm) AS BIGINT) AS norm_dup_docs,
+             |  CAST(sum(is_norm) - sum(is_raw) AS BIGINT) AS lift_docs,
+             |  CAST((10000 * sum(is_norm)) // count(*) AS BIGINT) AS norm_rate_fp
+             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

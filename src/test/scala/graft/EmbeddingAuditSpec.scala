@@ -68,6 +68,17 @@ class EmbeddingAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q173 scores every anchor exactly once with consistent per-class accuracy") {
+    val rows = run("q173_knn_label_accuracy").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 64L)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val c = r.getAs[Long]("n_correct")
+      assert(c >= 0L && c <= n)
+      assert(r.getAs[Long]("acc_fp") == 10000L * c / n)
+    }
+  }
+
   test("q172 sweep is monotone in the threshold and counts cohere") {
     val rows = Queries.byName("q172_neardup_threshold_sweep")
       .run(spark, SparkTestSession.sfDir).orderBy("t10").collect()

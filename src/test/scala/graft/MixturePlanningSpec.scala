@@ -170,6 +170,33 @@ class MixturePlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q174 event drift timeline ------------------------------------
+
+  test("q174 TV stays in range and conserves event mass") {
+    val rows = run("q174_event_drift_timeline").collect()
+    assert(rows.nonEmpty)
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events)
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_fp")
+      assert(tv >= 0L && tv <= 10000L, s"TV out of range: $r")
+    }
+  }
+
+  // ---- q175 normalization dedup lift --------------------------------
+
+  test("q175 lift is non-negative (raw dups are a subset of normalized dups)") {
+    val rows = run("q175_normalization_dedup_lift").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lift_docs") >= 0L, s"negative lift: $r")
+      assert(r.getAs[Long]("raw_dup_docs") <= r.getAs[Long]("norm_dup_docs"))
+      assert(r.getAs[Long]("norm_dup_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   // ---- q167 curriculum schedule -------------------------------------
 
   test("q167 deciles partition the corpus best-first with consistent epochs") {
