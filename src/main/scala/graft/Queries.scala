@@ -7517,6 +7517,161 @@ object Queries {
              |  CAST(sum(is_norm) AS BIGINT) AS norm_dup_docs,
              |  CAST(sum(is_norm) - sum(is_raw) AS BIGINT) AS lift_docs,
              |  CAST((10000 * sum(is_norm)) // count(*) AS BIGINT) AS norm_rate_fp
+             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q176_lsh_band_sensitivity",
+      (s, dir) => {
+        // LSH S-curve operating points: the SAME 32-hash signatures
+        // banded three ways (4×8, 8×4, 16×2), each config scored by
+        // candidate volume and PRECISION (exact 3-gram Jaccard ≥ 0.5
+        // verified on candidates only — never all-pairs, so the
+        // diagnostic itself has the production scale shape). More
+        // bands/shorter rows → more candidates, lower precision; this
+        // is the measured curve a 100 TB dedup owner picks a banding
+        // from (q158 calibrates the estimator, this calibrates the
+        // blocking). ONE signature pass and ONE shingle-set pass are
+        // shared by all three configs (pinned).
+        val docs = tp(s, dir, "documents")
+        val sigs = DedupOps.minhashSignatures(docs, col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 32).pin()
+        val sd = docs.select(col("doc_id"),
+            array_distinct(TextOps.shingles(col("text"), 3)).as("sd"))
+          .pin()
+        val perConfig = Seq(4, 8, 16).map { b =>
+          DedupOps.candidatePairsFromSignatures(sigs, numHashes = 32, bands = b)
+            .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+            .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+            .select((DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))
+              >= 0.5).cast(LongType).as("is_true"))
+            .agg(count(lit(1)).as("n_candidates"),
+              coalesce(sum("is_true"), lit(0L)).as("n_true"))
+            .select(lit(b.toLong).as("bands"), lit((32 / b).toLong).as("rows_per_band"),
+              col("n_candidates"), col("n_true"))
+        }
+        perConfig.reduce(_ unionByName _)
+          .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+            col("n_true"),
+            when(col("n_candidates") > 0,
+              expr("(10000 * n_true) div n_candidates")).otherwise(0L)
+              .as("precision_fp"))
+          .orderBy("bands")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2)) AS v(bands, rpb)),
+             |bk AS (
+             |  SELECT c.bands, g.doc_id, g.sig, bb.band,
+             |    array_to_string(list_slice(g.sig, bb.band * c.rpb + 1, bb.band * c.rpb + c.rpb), ',') AS bucket
+             |  FROM sig g CROSS JOIN cfg c
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bb
+             |  WHERE bb.band < c.bands),
+             |p AS (
+             |  SELECT DISTINCT a.bands, a.doc_id AS id_a, b2.doc_id AS id_b
+             |  FROM bk a JOIN bk b2
+             |    ON a.bands = b2.bands AND a.band = b2.band
+             |    AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+             |j AS (
+             |  SELECT p.bands,
+             |    CASE WHEN (CASE WHEN (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) > 0
+             |      THEN CAST(len(list_intersect(sa.sd, sb.sd)) AS DOUBLE)
+             |        / (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd)))
+             |      ELSE 0.0 END) >= 0.5 THEN 1 ELSE 0 END AS is_true
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b),
+             |res AS (
+             |  SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates,
+             |    CAST(sum(is_true) AS BIGINT) AS n_true
+             |  FROM j GROUP BY 1)
+             |SELECT CAST(c.bands AS BIGINT) AS bands,
+             |  CAST(c.rpb AS BIGINT) AS rows_per_band,
+             |  COALESCE(r.n_candidates, 0) AS n_candidates,
+             |  COALESCE(r.n_true, 0) AS n_true,
+             |  CASE WHEN COALESCE(r.n_candidates, 0) > 0
+             |    THEN CAST((10000 * r.n_true) // r.n_candidates AS BIGINT)
+             |    ELSE 0 END AS precision_fp
+             |FROM cfg c LEFT JOIN res r USING (bands)
+             |ORDER BY bands""".stripMargin)),
+
+    Q("q177_dup_quality_interaction",
+      (s, dir) => {
+        // Do duplicated documents skew low-quality? Per source: mean
+        // q31 quality (exact integer means of per-doc 1e6-floored
+        // scores — no float-summation sensitivity) of docs inside
+        // fingerprint dup classes vs unique docs, and the delta — the
+        // evidence for/against "dedup doubles as a quality filter" on
+        // THIS corpus, per source. Shares the q44 fingerprint
+        // generator and the q167 score fixed-pointing; one scan,
+        // two count-join rollups.
+        val d = tp(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.fingerprint(col("text"), 5).as("fp"),
+            floor(TextOps.qualityScore(col("text")) * 1e6 + 0.5)
+              .cast(LongType).as("score_fp"))
+          .pin()
+        d.join(d.groupBy("fp").agg(count(lit(1)).as("copies")), "fp")
+          .select(col("source"), col("score_fp"),
+            (col("copies") >= 2).cast(LongType).as("is_dup"))
+          .groupBy("source")
+          .agg(sum("is_dup").as("n_dup"),
+            sum(col("is_dup") * col("score_fp")).as("sq_dup"),
+            sum(lit(1L) - col("is_dup")).as("n_uniq"),
+            sum((lit(1L) - col("is_dup")) * col("score_fp")).as("sq_uniq"))
+          .select(col("source"), col("n_dup"),
+            when(col("n_dup") > 0, expr("sq_dup div n_dup")).otherwise(0L)
+              .as("mean_q_dup_fp"),
+            col("n_uniq"),
+            when(col("n_uniq") > 0, expr("sq_uniq div n_uniq")).otherwise(0L)
+              .as("mean_q_uniq_fp"))
+          .withColumn("delta_fp",
+            col("mean_q_uniq_fp") - col("mean_q_dup_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, text,
+             |    string_split_regex(trim(text), '\s+') AS t,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    CAST(floor((least(n_tokens / 64.0, 1.0) * 0.4
+             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) AS BIGINT) AS score_fp,
+             |    CASE WHEN len(t) >= 5
+             |      THEN list_transform(generate_series(0, len(t) - 5),
+             |             i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(t, ' ')] END AS sh
+             |  FROM toks),
+             |f AS (SELECT doc_id, source, score_fp,
+             |  list_min(list_transform(sh, x -> md5(x))) AS fp FROM q),
+             |fc AS (SELECT fp, count(*) AS copies FROM f GROUP BY 1),
+             |fl AS (
+             |  SELECT f.source, f.score_fp,
+             |    CASE WHEN fc.copies >= 2 THEN 1 ELSE 0 END AS is_dup
+             |  FROM f JOIN fc USING (fp))
+             |SELECT source,
+             |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+             |  CASE WHEN sum(is_dup) > 0
+             |    THEN CAST(sum(is_dup * score_fp) // sum(is_dup) AS BIGINT)
+             |    ELSE 0 END AS mean_q_dup_fp,
+             |  CAST(sum(1 - is_dup) AS BIGINT) AS n_uniq,
+             |  CASE WHEN sum(1 - is_dup) > 0
+             |    THEN CAST(sum((1 - is_dup) * score_fp) // sum(1 - is_dup) AS BIGINT)
+             |    ELSE 0 END AS mean_q_uniq_fp,
+             |  (CASE WHEN sum(1 - is_dup) > 0
+             |    THEN CAST(sum((1 - is_dup) * score_fp) // sum(1 - is_dup) AS BIGINT)
+             |    ELSE 0 END)
+             |  - (CASE WHEN sum(is_dup) > 0
+             |    THEN CAST(sum(is_dup * score_fp) // sum(is_dup) AS BIGINT)
+             |    ELSE 0 END) AS delta_fp
              |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 

@@ -197,6 +197,44 @@ class MixturePlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q176 LSH band sensitivity ------------------------------------
+
+  test("q176 candidate sets nest as bands grow (contiguous-slice property)") {
+    val rows = run("q176_lsh_band_sensitivity").orderBy("bands").collect()
+    assert(rows.map(_.getAs[Long]("bands")).toSeq == Seq(4L, 8L, 16L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bands") * r.getAs[Long]("rows_per_band") == 32L)
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_candidates"))
+      val p = r.getAs[Long]("precision_fp")
+      assert(p >= 0L && p <= 10000L)
+    }
+    // an equal 2k-row band implies both k-row halves equal, so candidates
+    // (and true positives) are monotone non-decreasing in band count
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getAs[Long]("n_candidates") >= lo.getAs[Long]("n_candidates"))
+        assert(hi.getAs[Long]("n_true") >= lo.getAs[Long]("n_true"))
+      case _ =>
+    }
+  }
+
+  // ---- q177 dup × quality interaction -------------------------------
+
+  test("q177 partitions each source and publishes exact integer means") {
+    val rows = run("q177_dup_quality_interaction").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").count()
+    assert(rows.map(r => r.getAs[Long]("n_dup") + r.getAs[Long]("n_uniq")).sum == docs)
+    rows.foreach { r =>
+      Seq("mean_q_dup_fp", "mean_q_uniq_fp").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 1000000L, s"$c out of range: $r")
+      }
+      assert(r.getAs[Long]("delta_fp") ==
+        r.getAs[Long]("mean_q_uniq_fp") - r.getAs[Long]("mean_q_dup_fp"))
+    }
+  }
+
   // ---- q167 curriculum schedule -------------------------------------
 
   test("q167 deciles partition the corpus best-first with consistent epochs") {
