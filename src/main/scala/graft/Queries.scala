@@ -468,6 +468,81 @@ object Queries {
     }.toSeq
   }
 
+  /** UniMax water-filling allocation frame (shared by q178/q184): one
+    * token-count scan, then lang-cardinality windows. Columns: lang,
+    * n_tokens, cap_tokens, n_total, s_langs, budget, capped (int),
+    * water_level, alloc_tokens. Cap E = 1 epoch, budget = 80% of the
+    * corpus — see q178's scaladoc for the closed-form derivation. */
+  private def unimaxAlloc(s: SparkSession, dir: String): DataFrame = {
+    val ns = tp(s, dir, "documents")
+      .groupBy("lang")
+      .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens")) // epoch cap E = 1
+    val tot = ns.agg(sum("n_tokens").as("n_total"),
+      count(lit(1)).as("s_langs"))
+    val w = Window.orderBy("cap_tokens", "lang")
+    val ranked = ns.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(4 * n_total) div 5"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cumcap", sum("cap_tokens").over(w))
+      .withColumn("b_here",
+        (col("cap_tokens") * (col("s_langs") - col("rn") + 1) <=
+          col("budget") - (col("cumcap") - col("cap_tokens")))
+          .cast(IntegerType))
+      .withColumn("capped", min("b_here").over(w))
+      .pin()
+    val roll = ranked.agg(
+      sum("capped").cast(LongType).as("k_capped"),
+      sum(col("capped") * col("cap_tokens")).as("capsum"))
+    ranked.crossJoin(broadcast(roll))
+      .withColumn("water_level",
+        when(col("s_langs") > col("k_capped"),
+          expr("(budget - capsum) div (s_langs - k_capped)"))
+          .otherwise(lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1, col("cap_tokens"))
+          .otherwise(col("water_level")))
+  }
+
+  /** Oracle CTE chain mirroring [[unimaxAlloc]] (shared by q178/q184):
+    * ends with `ua(lang, n_tokens, cap_tokens, capped, water_level,
+    * alloc_tokens, n_total, s_langs)`. */
+  private val unimaxOracleCtes: String =
+    """ns AS (
+      |  SELECT lang,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+      |    CAST(count(*) AS BIGINT) AS s_langs FROM ns),
+      |rk AS (
+      |  SELECT lang, n_tokens, n_tokens AS cap_tokens, n_total, s_langs,
+      |    (4 * n_total) // 5 AS budget,
+      |    row_number() OVER (ORDER BY n_tokens, lang) AS rn,
+      |    sum(n_tokens) OVER (ORDER BY n_tokens, lang) AS cumcap
+      |  FROM ns CROSS JOIN tot),
+      |fl AS (
+      |  SELECT *, CASE WHEN cap_tokens * (s_langs - rn + 1)
+      |      <= budget - (cumcap - cap_tokens) THEN 1 ELSE 0 END AS b_here
+      |  FROM rk),
+      |cp AS (
+      |  SELECT *, min(b_here) OVER (ORDER BY cap_tokens, lang) AS capped
+      |  FROM fl),
+      |roll AS (
+      |  SELECT CAST(sum(capped) AS BIGINT) AS k_capped,
+      |    CAST(sum(capped * cap_tokens) AS BIGINT) AS capsum FROM cp),
+      |ua AS (
+      |  SELECT lang, n_tokens, cap_tokens, CAST(capped AS BIGINT) AS capped,
+      |    CAST(CASE WHEN s_langs > k_capped
+      |      THEN (budget - capsum) // (s_langs - k_capped)
+      |      ELSE 0 END AS BIGINT) AS water_level,
+      |    CAST(CASE WHEN capped = 1 THEN cap_tokens
+      |      WHEN s_langs > k_capped
+      |      THEN (budget - capsum) // (s_langs - k_capped)
+      |      ELSE 0 END AS BIGINT) AS alloc_tokens,
+      |    n_total, s_langs
+      |  FROM cp CROSS JOIN roll)""".stripMargin
+
   /** Oracle CTE prefix mirroring [[ipfRakedCells]] (shared by
     * q163/q169): ends with `r3b(source, lang, n, m)` and `tot(t, ns)`. */
   private val ipfOracleCtes: String = {
@@ -6127,7 +6202,11 @@ object Queries {
         // full per-node community vector hash-gates against the
         // unrolled oracle. Output attaches each node's final community
         // size (community-count-sized rollup joined back).
-        val lp = GraphOps.labelPropagation(purchaseGraph(s, dir), iters = 4)
+        // pinned: the community frame feeds BOTH the size rollup and the
+        // join-back — unpinned, the whole 4-round propagation chain
+        // executed twice (measured at sf0.1: cold single-shot ~20 s →
+        // ~11.6 s with the pin; warm repeats 9.2 s → 1.4 s)
+        val lp = GraphOps.labelPropagation(purchaseGraph(s, dir), iters = 4).pin()
         val sizes = lp.groupBy("community").agg(count(lit(1)).as("n_members"))
         lp.join(sizes, "community")
           .select(col("id").as("node_id"), col("community"), col("n_members"))
@@ -7672,7 +7751,583 @@ object Queries {
              |  - (CASE WHEN sum(is_dup) > 0
              |    THEN CAST(sum(is_dup * score_fp) // sum(is_dup) AS BIGINT)
              |    ELSE 0 END) AS delta_fp
-             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q178_unimax_mixture",
+      (s, dir) => {
+        // UniMax budget allocation (Chung et al., arXiv:2304.09151):
+        // distribute a token budget across languages as uniformly as
+        // possible subject to a per-language epoch cap — low-resource
+        // languages keep their full (1-epoch) corpus, the head language
+        // absorbs the surplus at a common water level. UniMax's
+        // sequential smallest-first loop IS water-filling, so it has a
+        // closed relational form: sort by cap ascending, and a language
+        // is capped iff cap·(remaining languages) fits the remaining
+        // budget at its turn (a cumsum window); the capped set is a
+        // prefix (proved monotone: cap_{i+1}·(S−i) ≥ cap_i·(S−i+1) −
+        // cap_i), enforced defensively with a running-min window either
+        // way. All arithmetic is long integer division, so DuckDB
+        // re-derives the identical allocation. The corpus-sized work is
+        // ONE token-count scan; every window runs over the
+        // lang-cardinality frame (model-sized — the bounded
+        // unpartitioned-window convention of q123/TopNOps). Allocation
+        // shared with the q184 ESS comparison via [[unimaxAlloc]].
+        unimaxAlloc(s, dir)
+          .select(col("lang"), col("n_tokens"), col("cap_tokens"),
+            col("capped").cast(LongType).as("capped"),
+            col("water_level"), col("alloc_tokens"),
+            expr("(10000 * alloc_tokens) div n_tokens").as("epochs_fp"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $unimaxOracleCtes
+             |SELECT lang, n_tokens, cap_tokens, capped, water_level,
+             |  alloc_tokens,
+             |  CAST((10000 * alloc_tokens) // n_tokens AS BIGINT) AS epochs_fp
+             |FROM ua ORDER BY lang""".stripMargin)),
+
+    Q("q179_chao1_coverage",
+      (s, dir) => {
+        // How many DISTINCT documents has each source NOT shown us yet?
+        // Chao1 species-richness estimate (Chao 1984, bias-corrected
+        // form) from the fingerprint frequency-of-frequencies: chao1 =
+        // D + f1·(f1−1)/(2·(f2+1)), plus Good–Turing sample coverage
+        // 1 − f1/n — the capture–recapture math that says whether a
+        // source's dedup has converged (coverage → 1, unseen → 0) or
+        // more crawling will keep surfacing new content. All integer
+        // arithmetic over exact counts, so the oracle is trivially
+        // portable. Two aggregations: one shuffle on (source,
+        // fingerprint) — map-side combined — then a source-sized
+        // rollup; the same scan shape as exact dedup (q34), so the
+        // 100 TB cost is the dedup pass it would piggyback on.
+        val fc = tp(s, dir, "documents")
+          .select(col("source"), TextOps.fingerprint(col("text"), 5).as("fp"))
+          .groupBy("source", "fp").agg(count(lit(1)).as("copies"))
+        fc.groupBy("source")
+          .agg(sum("copies").as("n_docs"),
+            count(lit(1)).as("d_distinct"),
+            sum((col("copies") === 1).cast(LongType)).as("f1"),
+            sum((col("copies") === 2).cast(LongType)).as("f2"))
+          .withColumn("unseen_est", expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+          .withColumn("chao1", col("d_distinct") + col("unseen_est"))
+          .withColumn("coverage_fp",
+            lit(1000000L) - expr("(1000000 * f1) div n_docs"))
+          .select("source", "n_docs", "d_distinct", "f1", "f2",
+            "chao1", "unseen_est", "coverage_fp")
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, source, CASE WHEN len(toks) >= 5
+             |    THEN list_transform(generate_series(0, len(toks) - 5),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |f AS (SELECT doc_id, source,
+             |  list_min(list_transform(sh, x -> md5(x))) AS fp FROM s),
+             |fc AS (SELECT source, fp, count(*) AS copies FROM f GROUP BY 1, 2),
+             |r AS (
+             |  SELECT source,
+             |    CAST(sum(copies) AS BIGINT) AS n_docs,
+             |    CAST(count(*) AS BIGINT) AS d_distinct,
+             |    CAST(sum(CASE WHEN copies = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             |    CAST(sum(CASE WHEN copies = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+             |  FROM fc GROUP BY 1)
+             |SELECT source, n_docs, d_distinct, f1, f2,
+             |  CAST(d_distinct + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1,
+             |  CAST((f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS unseen_est,
+             |  CAST(1000000 - (1000000 * f1) // n_docs AS BIGINT) AS coverage_fp
+             |FROM r ORDER BY source""".stripMargin)),
+
+    Q("q180_quality_rank_calibration",
+      (s, dir) => {
+        // Are quality scores comparable ACROSS sources? Per-source
+        // decile calibration table: ntile(10) within each source
+        // (deterministic tiebreak on doc_id), each decile's count and
+        // score envelope, plus the GLOBAL percentile its upper boundary
+        // maps to — the rank-normalization evidence that says "source
+        // A's decile 9 is only global median", i.e. per-source
+        // thresholds must be calibrated, not shared, before a corpus-
+        // wide quality cut. Scale shape: one scan computes scores; the
+        // ntile window partitions BY SOURCE (distributed); the global
+        // mapping broadcast-joins the (sources×10)-row boundary frame
+        // back to the score frame — one pass, model-sized build side,
+        // no global sort anywhere.
+        val d = tp(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            floor(TextOps.qualityScore(col("text")) * 1e6 + 0.5)
+              .cast(LongType).as("score_fp"))
+          .pin()
+        val tot = d.agg(count(lit(1)).as("n_total"))
+        val deciles = d
+          .withColumn("decile", ntile(10).over(
+            Window.partitionBy("source").orderBy("score_fp", "doc_id")))
+          .groupBy("source", "decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min("score_fp").as("min_q_fp"), max("score_fp").as("max_q_fp"))
+        val bounds = deciles
+          .select(col("source").as("b_source"), col("decile").as("b_decile"),
+            col("max_q_fp").as("bound"))
+        val le = d.join(broadcast(bounds), col("score_fp") <= col("bound"))
+          .groupBy("b_source", "b_decile")
+          .agg(count(lit(1)).as("cnt_le"))
+        deciles
+          .join(le, col("source") === col("b_source") &&
+            col("decile") === col("b_decile"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("decile").cast(LongType).as("decile"),
+            col("n_docs"), col("min_q_fp"), col("max_q_fp"),
+            expr("(10000 * cnt_le) div n_total").as("global_pct_fp"))
+          .orderBy("source", "decile")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, text,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    CAST(floor((least(n_tokens / 64.0, 1.0) * 0.4
+             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) AS BIGINT) AS score_fp
+             |  FROM toks),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q),
+             |dt AS (
+             |  SELECT source, score_fp,
+             |    ntile(10) OVER (PARTITION BY source ORDER BY score_fp, doc_id) AS decile
+             |  FROM q),
+             |dec AS (
+             |  SELECT source, decile,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(min(score_fp) AS BIGINT) AS min_q_fp,
+             |    CAST(max(score_fp) AS BIGINT) AS max_q_fp
+             |  FROM dt GROUP BY 1, 2),
+             |le AS (
+             |  SELECT d.source, d.decile, count(*) AS cnt_le
+             |  FROM dec d JOIN q ON q.score_fp <= d.max_q_fp
+             |  GROUP BY 1, 2)
+             |SELECT d.source, CAST(d.decile AS BIGINT) AS decile, d.n_docs,
+             |  d.min_q_fp, d.max_q_fp,
+             |  CAST((10000 * le.cnt_le) // t.n_total AS BIGINT) AS global_pct_fp
+             |FROM dec d
+             |JOIN le ON le.source = d.source AND le.decile = d.decile
+             |CROSS JOIN tot t
+             |ORDER BY d.source, d.decile""".stripMargin)),
+
+    Q("q181_bbit_minhash",
+      (s, dir) => {
+        // b-bit MinHash (Li & König, CACM 2011) storage-compression
+        // audit: keep only the LOWEST BIT of each of the 32 signature
+        // values (32× smaller signatures — the difference between
+        // shipping 256 B and 8 B per doc across a 100 TB shuffle) and
+        // compare, on the production LSH candidate pairs, the 1-bit
+        // estimator Ĵ = max(0, 2·E−1) (E = bit-agreement fraction;
+        // the −1 removes the 1/2 chance-collision floor) against the
+        // full 32-hash estimate and the exact 3-gram Jaccard — the
+        // measured answer to "can the dedup signatures be packed 32×
+        // before the estimator noise swamps the 0.5 threshold".
+        // Exactness: agreement counts are integers; 10000·(2a−32)/32 =
+        // 625·(a−16) exactly, so every output is a pure long. One
+        // signature pass (pinned, shared by band join and estimate),
+        // candidates never all-pairs, exact verify only on candidates —
+        // the q158 discipline with the sig frame joined back twice.
+        val docs = tp(s, dir, "documents")
+        val sigs = DedupOps.minhashSignatures(
+          docs, col("doc_id"), col("text"), 3, 32).pin()
+        val sd = docs
+          .select(col("doc_id"),
+            array_distinct(TextOps.shingles(col("text"), 3)).as("sd"))
+          .pin()
+        DedupOps.candidatePairsFromSignatures(sigs)
+          .select(col("id_a"), col("id_b"))
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+          .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+          .withColumn("agree32",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v))
+          .withColumn("agree1",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x % 2 === y % 2, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v))
+          .withColumn("inter", size(array_intersect(col("sd_a"), col("sd_b"))).cast(LongType))
+          .withColumn("uni",
+            size(col("sd_a")) + size(col("sd_b")) -
+              size(array_intersect(col("sd_a"), col("sd_b"))))
+          .select(col("id_a"), col("id_b"),
+            expr("(10000 * agree32) div 32").as("est32_fp"),
+            greatest(lit(0L), lit(625L) * (col("agree1") - 16)).as("est1bit_fp"),
+            when(col("uni") > 0, expr("(10000 * inter) div uni"))
+              .otherwise(0L).as("exact_fp"))
+          .withColumn("err32", abs(col("est32_fp") - col("exact_fp")))
+          .withColumn("err1bit", abs(col("est1bit_fp") - col("exact_fp")))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |    CAST(len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) AS BIGINT) AS agree32,
+             |    CAST(len(list_filter(generate_series(1, 32), i -> a.sig[i] % 2 = c.sig[i] % 2)) AS BIGINT) AS agree1
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |j AS (
+             |  SELECT p.id_a, p.id_b, p.agree32, p.agree1,
+             |    CAST(len(list_intersect(sa.sd, sb.sd)) AS BIGINT) AS inter,
+             |    CAST(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd)) AS BIGINT) AS uni
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b)
+             |SELECT id_a, id_b,
+             |  CAST((10000 * agree32) // 32 AS BIGINT) AS est32_fp,
+             |  CAST(greatest(0, 625 * (agree1 - 16)) AS BIGINT) AS est1bit_fp,
+             |  CAST(CASE WHEN uni > 0 THEN (10000 * inter) // uni ELSE 0 END AS BIGINT) AS exact_fp,
+             |  CAST(abs((10000 * agree32) // 32
+             |    - (CASE WHEN uni > 0 THEN (10000 * inter) // uni ELSE 0 END)) AS BIGINT) AS err32,
+             |  CAST(abs(greatest(0, 625 * (agree1 - 16))
+             |    - (CASE WHEN uni > 0 THEN (10000 * inter) // uni ELSE 0 END)) AS BIGINT) AS err1bit
+             |FROM j ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q182_multiprobe_lsh",
+      (s, dir) => {
+        // Multi-probe LSH (Lv et al., VLDB 2007) recall-per-cost eval:
+        // one hyperplane table probed at the query's bucket PLUS its
+        // `bits` Hamming-1 neighbors, vs the same table single-probe,
+        // vs two independent tables — each with measured recall@10
+        // against the exact ground truth AND the candidate count the
+        // configuration paid for it. Multi-probe is the memory lever:
+        // the probe fan-out lives on the broadcast query side, the
+        // corpus is bucketed/shuffled ONCE (a second table re-keys and
+        // re-ships the corpus) — at 100 TB that is the difference
+        // between widening a lookup and doubling the index. Every
+        // method's top-k and every candidate count come from ONE pinned
+        // candidate frame per method (count + bounded-heap rank share
+        // the scan), over the production q39/q49 operators.
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val exact = SimilarityOps.bruteForceTopK(queries, corpus, 10)
+          .select("qid", "cid").pin()
+        def evalOf(name: String, cands0: DataFrame): DataFrame = {
+          val cands = cands0.pin()
+          val topk = SimilarityOps.rankTopK(
+            cands.withColumn("cosine", SimilarityOps.cosineWithNorms(
+              col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
+            "cosine", 10)
+          exact.join(topk.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+            .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_candidates"))))
+            .select(lit(name).as("method"), col("hits"), col("possible"),
+              expr("(10000 * hits) div possible").as("recall_fp"),
+              col("n_candidates"))
+        }
+        evalOf("lsh_single",
+            SimilarityOps.multiProbeCandidates(queries, corpus, embDim, 6,
+              probes = 0))
+          .unionAll(evalOf("lsh_multiprobe",
+            SimilarityOps.multiProbeCandidates(queries, corpus, embDim, 6)))
+          .unionAll(evalOf("lsh_2table",
+            SimilarityOps.lshCandidates(queries, corpus, embDim, 6, tables = 2)))
+          .orderBy("method")
+      },
+      // exact top-10 + all three candidate derivations composed; the
+      // single-probe and multi-probe sets share one bucket CTE, the
+      // 2-table set is the q49/q144 union-dedup form
+      Some(s"""WITH q AS (
+           |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 16),
+           |corpus AS (
+           |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |exs AS (
+           |  SELECT q.qid, c.cid, list_cosine_similarity(q.qv, c.v) AS cos_raw
+           |  FROM corpus c, q WHERE c.cid <> q.qid),
+           |exr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos_raw DESC, cid) AS rank FROM exs),
+           |exk AS (SELECT qid, cid FROM exr WHERE rank <= 10),
+           |lb AS (
+           |  SELECT vec_id, embedding,
+           |    ${Hyperplanes.bucketSql("embedding", embDim, 6)} AS bucket
+           |  FROM embeddings),
+           |lq AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qb0
+           |  FROM lb WHERE vec_id < 16),
+           |pm AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m),
+           |lqp AS (SELECT qid, qvec, xor(qb0, m) AS pb FROM lq CROSS JOIN pm),
+           |spc AS (
+           |  SELECT lq.qid, c.vec_id AS cid, lq.qvec, c.embedding AS cvec
+           |  FROM lb c JOIN lq ON c.bucket = lq.qb0 WHERE c.vec_id <> lq.qid),
+           |mpc AS (
+           |  SELECT lqp.qid, c.vec_id AS cid, lqp.qvec, c.embedding AS cvec
+           |  FROM lb c JOIN lqp ON c.bucket = lqp.pb WHERE c.vec_id <> lqp.qid),
+           |mb2 AS (
+           |  SELECT vec_id, embedding,
+           |    ${Hyperplanes.bucketSql("embedding", embDim, 6, seed = 8)} AS bucket
+           |  FROM embeddings),
+           |mq2 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM mb2 WHERE vec_id < 16),
+           |ttc AS (
+           |  SELECT lq.qid, c.vec_id AS cid, lq.qvec, c.embedding AS cvec
+           |  FROM lb c JOIN lq ON c.bucket = lq.qb0 WHERE c.vec_id <> lq.qid
+           |  UNION
+           |  SELECT mq2.qid, c.vec_id AS cid, mq2.qvec, c.embedding AS cvec
+           |  FROM mb2 c JOIN mq2 USING (bucket) WHERE c.vec_id <> mq2.qid),
+           |spr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+           |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(cvec AS DOUBLE[])) DESC, cid) AS rank
+           |  FROM spc),
+           |mpr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+           |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(cvec AS DOUBLE[])) DESC, cid) AS rank
+           |  FROM mpc),
+           |ttr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+           |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(cvec AS DOUBLE[])) DESC, cid) AS rank
+           |  FROM ttc),
+           |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exk)
+           |SELECT method, hits, possible,
+           |  CAST((10000 * hits) // possible AS BIGINT) AS recall_fp, n_candidates
+           |FROM (
+           |  SELECT 'lsh_single' AS method,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM exk
+           |      JOIN (SELECT qid, cid FROM spr WHERE rank <= 10) USING (qid, cid)) AS hits,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM spc) AS n_candidates
+           |  UNION ALL SELECT 'lsh_multiprobe',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM exk
+           |      JOIN (SELECT qid, cid FROM mpr WHERE rank <= 10) USING (qid, cid)),
+           |    (SELECT CAST(count(*) AS BIGINT) FROM mpc)
+           |  UNION ALL SELECT 'lsh_2table',
+           |    (SELECT CAST(count(*) AS BIGINT) FROM exk
+           |      JOIN (SELECT qid, cid FROM ttr WHERE rank <= 10) USING (qid, cid)),
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ttc)
+           |) CROSS JOIN poss ORDER BY method""".stripMargin)),
+
+    Q("q183_vocab_growth",
+      (s, dir) => {
+        // Heaps'-law type-token growth audit: per source, the EXACT
+        // vocabulary-size curve V(n) at 10 document-count checkpoints
+        // (docs ordered by doc_id — ingestion order), with per-step new
+        // types, new tokens, and the marginal vocabulary yield (new
+        // types per token, 1e6 fixed point) — the measured answer to
+        // "does more of this source still buy new content, or is it
+        // saturating?", the per-source complement of q179's unseen-
+        // document estimate (documents vs vocabulary). Everything is
+        // exact integer counting — no Heaps' exponent fit, because a
+        // cross-engine log() cannot be hash-pinned; the curve IS the
+        // evidence. Scale shape: one explode pass → per-(source, term)
+        // MIN first-occurrence rank (map-side combined — the corpus-
+        // sized shuffle); checkpoints are a broadcast (source×10)-row
+        // frame; both checkpoint rollups are one non-equi broadcast
+        // join each; the doc-rank window partitions BY SOURCE.
+        val ranked = tp(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("toks"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy("doc_id")))
+          .withColumn("n_toks", size(col("toks")).cast(LongType))
+          .pin()
+        val ck = ranked.groupBy("source").agg(max("rk").as("d_docs"))
+          .select(col("source").as("ck_source"),
+            explode(sequence(lit(1), lit(10))).as("k"), col("d_docs"))
+          .withColumn("pos", expr("(k * d_docs) div 10"))
+          .select(col("ck_source"), col("k").cast(LongType).as("k"), col("pos"))
+        val firstOcc = ranked
+          .select(col("source"), col("rk"),
+            explode(array_distinct(col("toks"))).as("term"))
+          .groupBy("source", "term").agg(min("rk").as("first_rk"))
+        val vocab = firstOcc
+          .join(broadcast(ck), col("source") === col("ck_source") &&
+            col("first_rk") <= col("pos"))
+          .groupBy("ck_source", "k").agg(count(lit(1)).as("cum_vocab"))
+        val toks = ranked
+          .join(broadcast(ck), col("source") === col("ck_source") &&
+            col("rk") <= col("pos"))
+          .groupBy("ck_source", "k").agg(sum("n_toks").as("cum_tokens"))
+        val w = Window.partitionBy("src").orderBy("k")
+        ck.join(vocab, Seq("ck_source", "k"), "left")
+          .join(toks, Seq("ck_source", "k"), "left")
+          .na.fill(0L, Seq("cum_vocab", "cum_tokens"))
+          .select(col("ck_source").as("src"), col("k"), col("pos").as("pos_docs"),
+            col("cum_tokens"), col("cum_vocab"))
+          .withColumn("new_types",
+            col("cum_vocab") - lag("cum_vocab", 1, 0L).over(w))
+          .withColumn("new_tokens",
+            col("cum_tokens") - lag("cum_tokens", 1, 0L).over(w))
+          .withColumn("yield_fp",
+            expr("(1000000 * new_types) div greatest(1, new_tokens)"))
+          .withColumnRenamed("src", "source")
+          .orderBy("source", "k")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |rk AS (
+             |  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+             |  FROM d),
+             |ck AS (
+             |  SELECT source, CAST(k AS BIGINT) AS k, (k * d_docs) // 10 AS pos
+             |  FROM (SELECT source, max(rk) AS d_docs FROM rk GROUP BY 1)
+             |  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS k)),
+             |fo AS (
+             |  SELECT source, term, min(rk) AS first_rk
+             |  FROM (SELECT source, rk, unnest(list_distinct(toks)) AS term FROM rk)
+             |  GROUP BY 1, 2),
+             |vc AS (
+             |  SELECT ck.source, ck.k, CAST(count(*) AS BIGINT) AS cum_vocab
+             |  FROM ck JOIN fo ON fo.source = ck.source AND fo.first_rk <= ck.pos
+             |  GROUP BY 1, 2),
+             |tc AS (
+             |  SELECT ck.source, ck.k, CAST(sum(r.n_toks) AS BIGINT) AS cum_tokens
+             |  FROM ck JOIN rk r ON r.source = ck.source AND r.rk <= ck.pos
+             |  GROUP BY 1, 2),
+             |cur AS (
+             |  SELECT ck.source, ck.k, ck.pos AS pos_docs,
+             |    coalesce(tc.cum_tokens, 0) AS cum_tokens,
+             |    coalesce(vc.cum_vocab, 0) AS cum_vocab
+             |  FROM ck LEFT JOIN vc ON vc.source = ck.source AND vc.k = ck.k
+             |  LEFT JOIN tc ON tc.source = ck.source AND tc.k = ck.k),
+             |del AS (
+             |  SELECT source, k, pos_docs, cum_tokens, cum_vocab,
+             |    cum_vocab - coalesce(lag(cum_vocab) OVER
+             |      (PARTITION BY source ORDER BY k), 0) AS new_types,
+             |    cum_tokens - coalesce(lag(cum_tokens) OVER
+             |      (PARTITION BY source ORDER BY k), 0) AS new_tokens
+             |  FROM cur)
+             |SELECT source, k, pos_docs, cum_tokens, cum_vocab,
+             |  CAST(new_types AS BIGINT) AS new_types,
+             |  CAST(new_tokens AS BIGINT) AS new_tokens,
+             |  CAST((1000000 * new_types) // greatest(1, new_tokens) AS BIGINT) AS yield_fp
+             |FROM del ORDER BY source, k""".stripMargin)),
+
+    Q("q184_mixture_ess",
+      (s, dir) => {
+        // Effective sample size of the competing mixture plans — the
+        // number that lets you COMPARE q162-style temperature scaling
+        // against q178's UniMax against plain proportional sampling on
+        // one axis: ESS = (Σw)²/Σw², the effective number of uniformly-
+        // weighted languages the plan behaves like (1 = one language
+        // dominates, S = perfectly uniform). Computed over 1e6
+        // fixed-point SHARES (not raw weights) so every square stays
+        // within long range at any corpus size — envelope: per-language
+        // token counts ≤ 9.2e12 before the share numerator overflows
+        // (the q137 envelope class; pre-divide by 1024 beyond it,
+        // share-invariant up to truncation). One token-count scan
+        // (shared with q178 via [[unimaxAlloc]]); all three plans are
+        // projections of the same lang-cardinality frame.
+        val ua = unimaxAlloc(s, dir)
+        val plans = ua.select(lit("proportional").as("plan"), col("lang"),
+            col("n_tokens").as("w"))
+          .unionAll(ua.select(lit("temperature").as("plan"), col("lang"),
+            floor(sqrt(col("n_tokens").cast(DoubleType)) * 1000000.0)
+              .cast(LongType).as("w")))
+          .unionAll(ua.select(lit("unimax").as("plan"), col("lang"),
+            col("alloc_tokens").as("w")))
+        val tw = plans.groupBy("plan").agg(sum("w").as("tw"))
+        plans.join(broadcast(tw), "plan")
+          .withColumn("sh", expr("(1000000 * w) div tw"))
+          .groupBy("plan")
+          .agg(count(lit(1)).as("n_groups"), max("sh").as("max_share_fp"),
+            sum("sh").as("ssum"), sum(expr("sh * sh")).as("ssq"))
+          .select(col("plan"), col("n_groups"), col("max_share_fp"),
+            expr("(10000 * ssum * ssum) div ssq").as("ess_fp"))
+          .orderBy("plan")
+      },
+      Some(s"""WITH $unimaxOracleCtes,
+             |plans AS (
+             |  SELECT 'proportional' AS plan, lang, n_tokens AS w FROM ua
+             |  UNION ALL SELECT 'temperature', lang,
+             |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) FROM ua
+             |  UNION ALL SELECT 'unimax', lang, alloc_tokens FROM ua),
+             |tw AS (SELECT plan, CAST(sum(w) AS BIGINT) AS tw FROM plans GROUP BY 1),
+             |shr AS (
+             |  SELECT p.plan, (1000000 * p.w) // t.tw AS sh
+             |  FROM plans p JOIN tw t USING (plan))
+             |SELECT plan, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(max(sh) AS BIGINT) AS max_share_fp,
+             |  CAST((10000 * sum(sh) * sum(sh)) // sum(sh * sh) AS BIGINT) AS ess_fp
+             |FROM shr GROUP BY 1 ORDER BY plan""".stripMargin)),
+
+    Q("q185_containment_dup",
+      (s, dir) => {
+        // Asymmetric containment audit (Broder 1997's containment
+        // coefficient c(A,B) = |A∩B|/|A|): symmetric Jaccard
+        // structurally under-scores subset relations — a 100-line
+        // license header fully contained in a 10k-line file has
+        // Jaccard ≈ 0.01 but containment ≈ 1 — so each LSH candidate
+        // pair gets both direction-resolved coefficients and a
+        // classification: near_dup (Jaccard ≥ 0.8), containment
+        // (either direction ≥ 0.8), partial_overlap. Candidates come
+        // from the production Jaccard-LSH path, so the report
+        // DIAGNOSES asymmetry among Jaccard candidates; pairs whose
+        // containment exists WITHOUT signature similarity are q139's
+        // (span-level) job by design. Exact verification confined to
+        // candidates; one pinned shingle-set frame joined twice.
+        val docs = tp(s, dir, "documents")
+        val sd = docs
+          .select(col("doc_id"),
+            array_distinct(TextOps.shingles(col("text"), 3)).as("sd"))
+          .pin()
+        DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"))
+          .select("id_a", "id_b")
+          .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+          .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("sd_a"), col("sd_b"))).cast(LongType))
+          .withColumn("na", size(col("sd_a")).cast(LongType))
+          .withColumn("nb", size(col("sd_b")).cast(LongType))
+          .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+            expr("(10000 * inter) div (na + nb - inter)").as("jaccard_fp"),
+            expr("(10000 * inter) div na").as("cont_ab_fp"),
+            expr("(10000 * inter) div nb").as("cont_ba_fp"))
+          .withColumn("relation",
+            when(col("jaccard_fp") >= 8000, "near_dup")
+              .when(greatest(col("cont_ab_fp"), col("cont_ba_fp")) >= 8000,
+                "containment")
+              .otherwise("partial_overlap"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |j AS (
+             |  SELECT p.id_a, p.id_b,
+             |    CAST(len(sa.sd) AS BIGINT) AS na, CAST(len(sb.sd) AS BIGINT) AS nb,
+             |    CAST(len(list_intersect(sa.sd, sb.sd)) AS BIGINT) AS inter
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b)
+             |SELECT id_a, id_b, na, nb,
+             |  CAST((10000 * inter) // (na + nb - inter) AS BIGINT) AS jaccard_fp,
+             |  CAST((10000 * inter) // na AS BIGINT) AS cont_ab_fp,
+             |  CAST((10000 * inter) // nb AS BIGINT) AS cont_ba_fp,
+             |  CASE WHEN (10000 * inter) // (na + nb - inter) >= 8000 THEN 'near_dup'
+             |    WHEN greatest((10000 * inter) // na, (10000 * inter) // nb) >= 8000
+             |      THEN 'containment'
+             |    ELSE 'partial_overlap' END AS relation
+             |FROM j ORDER BY id_a, id_b""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -138,7 +138,11 @@ object SimilarityOps {
     * row, and no full-candidate sort exists in the plan — the sf100
     * rehearsal caught the window form spending 26 min in one straggler
     * task sorting a 2M-row query group single-threaded. */
-  private def rankTopK(scored: DataFrame, score: String, k: Int): DataFrame =
+  /** Per-query top-k over an already-scored candidate frame
+    * (qid, cid, <score>) — public so recall/cost evals can pin ONE
+    * candidate frame and both count it and rank it. Bounded-heap
+    * aggregate, deterministic tiebreak on cid (see scaladoc below). */
+  def rankTopK(scored: DataFrame, score: String, k: Int): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topKByScore(col("cid"), col(score), k)
         .as("__top"))
@@ -228,9 +232,66 @@ object SimilarityOps {
     lshImpl(queries, corpus, k, dim, bits, tables,
       quantize = true, score = "qcos")
 
+  /** The candidate-generation half of [[lshTopK]]: the deduped
+    * same-bucket pair frame (qid, qvec, qnorm, cid, cvec, cnorm) before
+    * scoring. Public so evals (q182) can measure the CANDIDATE COST of
+    * an index configuration on the exact frame the production search
+    * scores — with `tables > 1` the corpus-side bucketed frame is
+    * persisted internally so every table's join reads one cache. */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                    dim: Int, bits: Int, tables: Int = 1,
+                    quantize: Boolean = false): DataFrame =
+    lshCandImpl(queries, corpus, dim, bits, tables, quantize)
+
+  /** Multi-probe sign-LSH candidates over ONE hyperplane table: each
+    * query probes its own bucket plus the `probes` single-bit-flip
+    * neighbor buckets (default all `bits` — the full Hamming-1 ring).
+    * The probe fan-out lives entirely on the broadcast QUERY side
+    * (|Q|·(probes+1) rows); the corpus is bucketed and shuffled ONCE —
+    * vs `tables`-table LSH which recomputes/marshals a second bucket
+    * column per table. Distinct probe masks give disjoint candidate
+    * sets, so no dedup pass is needed. The classic recall/memory
+    * trade (Lv et al., VLDB 2007): one index, wider probes. */
+  def multiProbeCandidates(queries: DataFrame, corpus: DataFrame,
+                           dim: Int, bits: Int, probes: Int = -1,
+                           seed: Long = 7L): DataFrame = {
+    val np = if (probes < 0) bits else math.min(probes, bits)
+    val masks = lit(0L) +: (0 until np).map(i => lit(1L << i))
+    val cb = corpus
+      .withColumn("cbucket", Hyperplanes.bucket(col("cvec"), dim, bits, seed))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val qb = broadcast(queries
+      .withColumn("qbucket0", Hyperplanes.bucket(col("qvec"), dim, bits, seed))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        explode(array(masks.map(m => col("qbucket0").bitwiseXOR(m)): _*))
+          .as("qbucket")))
+    cb.join(qb, col("cbucket") === col("qbucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qvec", "qnorm", "cid", "cvec", "cnorm")
+  }
+
+  /** Top-k via [[multiProbeCandidates]] — same output shape and
+    * ranking semantics as [[lshTopK]], score column `cosine`. */
+  def multiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     dim: Int, bits: Int, probes: Int = -1,
+                     seed: Long = 7L): DataFrame =
+    rankTopK(multiProbeCandidates(queries, corpus, dim, bits, probes, seed)
+      .withColumn("cosine",
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
+      "cosine", k)
+
   private def lshImpl(queries: DataFrame, corpus: DataFrame, k: Int,
                       dim: Int, bits: Int, tables: Int,
-                      quantize: Boolean, score: String): DataFrame = {
+                      quantize: Boolean, score: String): DataFrame =
+    rankTopK(lshCandImpl(queries, corpus, dim, bits, tables, quantize)
+      .withColumn(score,
+        cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
+      score, k)
+
+  private def lshCandImpl(queries: DataFrame, corpus: DataFrame,
+                          dim: Int, bits: Int, tables: Int,
+                          quantize: Boolean): DataFrame = {
     import graft.functions.VecExpressions.int8Quantize
     // ALL tables' bucket columns come from ONE pass over each side (a
     // per-table re-derivation re-scanned the corpus and recomputed the
@@ -254,12 +315,8 @@ object SimilarityOps {
         .filter(col("qid") =!= col("cid"))
         .select("qid", "qvec", "qnorm", "cid", "cvec", "cnorm")
     }
-    val cands =
-      if (tables == 1) candTables.head
-      else candTables.reduce(_ unionByName _).dropDuplicates("qid", "cid")
-    rankTopK(cands.withColumn(score,
-      cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
-      score, k)
+    if (tables == 1) candTables.head
+    else candTables.reduce(_ unionByName _).dropDuplicates("qid", "cid")
   }
 
   // ── IVF ────────────────────────────────────────────────────────────

@@ -1,0 +1,287 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 continuation 3: corpus-curation audits — UniMax budget
+  * allocation (q178), Chao1 coverage (q179), cross-source quality rank
+  * calibration (q180), b-bit MinHash compression (q181). Value-level
+  * correctness is the DuckDB oracle's job; these pin the mathematical
+  * properties each report promises (water-filling optimality conditions,
+  * estimator bounds, rank monotonicity, estimator-grid membership).
+  */
+class CurationAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def run(name: String) =
+    Queries.byName(name).run(spark, SparkTestSession.sfDir)
+
+  // ---- q178 UniMax water-filling ------------------------------------
+
+  test("q178 allocation satisfies the water-filling optimality conditions") {
+    val rows = run("q178_unimax_mixture").collect()
+    assert(rows.nonEmpty)
+    val budget = 4L * rows.map(_.getAs[Long]("n_tokens")).sum / 5L
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens"))
+    // feasibility: per-language cap respected, budget never exceeded
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Long]("alloc_tokens") >= 0L)
+    }
+    // Σalloc ≤ B, and the shortfall is only integer-division truncation:
+    // strictly less than one unit per uncapped language + the θ floor
+    val uncapped = rows.count(_.getAs[Long]("capped") == 0L)
+    assert(alloc.sum <= budget)
+    assert(budget - alloc.sum <= uncapped.toLong.max(1L),
+      s"water level leaves more than truncation on the table: " +
+        s"budget $budget vs allocated ${alloc.sum}")
+    // water-filling structure: every capped language's cap lies at or
+    // below the water level; every uncapped language sits exactly AT it
+    val theta = rows.map(_.getAs[Long]("water_level")).distinct
+    assert(theta.length == 1) // single water level reported on every row
+    rows.foreach { r =>
+      if (r.getAs[Long]("capped") == 1L)
+        assert(uncapped == 0 || r.getAs[Long]("cap_tokens") <= theta.head + 1,
+          s"capped language above the water level: $r")
+      else
+        assert(r.getAs[Long]("alloc_tokens") == theta.head)
+    }
+    // capped languages run exactly 1 epoch (cap E=1); epochs_fp says so
+    rows.filter(_.getAs[Long]("capped") == 1L).foreach { r =>
+      assert(r.getAs[Long]("epochs_fp") == 10000L)
+    }
+    // the capped set is the ASCENDING-size prefix (UniMax's loop order)
+    val byCap = rows.sortBy(r =>
+      (r.getAs[Long]("cap_tokens"), r.getAs[String]("lang")))
+    val flags = byCap.map(_.getAs[Long]("capped"))
+    assert(flags.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      s"capped set is not a prefix: ${flags.mkString(",")}")
+  }
+
+  // ---- q179 Chao1 coverage ------------------------------------------
+
+  test("q179 estimator bounds: chao1 >= observed distinct, coverage in [0,1]") {
+    val rows = run("q179_chao1_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("d_distinct")
+      assert(d <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("chao1") >= d, s"chao1 below observed: $r")
+      assert(r.getAs[Long]("chao1") == d + r.getAs[Long]("unseen_est"))
+      assert(r.getAs[Long]("f1") + r.getAs[Long]("f2") <= d)
+      val cov = r.getAs[Long]("coverage_fp")
+      assert(cov >= 0L && cov <= 1000000L)
+      // saturated sampling (no singletons) must report full coverage and
+      // nothing unseen — the convergence signal the report exists for
+      if (r.getAs[Long]("f1") == 0L) {
+        assert(cov == 1000000L)
+        assert(r.getAs[Long]("unseen_est") == 0L)
+      }
+    }
+  }
+
+  test("q179 on a saturated fixture: duplicated-everything corpus reports zero unseen") {
+    import spark.implicits._
+    val texts = Seq("alpha beta gamma delta epsilon zeta",
+      "one two three four five six")
+    val docs = Seq.tabulate(6)(i => (i.toLong, texts(i / 3)))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    // 2 fingerprint classes × 3 copies each: f1 = 0, f2 = 0, D = 2
+    val fc = docs
+      .select(col("source"), ext.TextOps.fingerprint(col("text"), 5).as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("copies"))
+    val r = fc.groupBy("source")
+      .agg(count(lit(1)).as("d"),
+        sum((col("copies") === 1).cast("long")).as("f1"))
+      .head
+    assert(r.getAs[Long]("d") == 2L && r.getAs[Long]("f1") == 0L)
+  }
+
+  // ---- q180 quality rank calibration --------------------------------
+
+  test("q180 deciles partition each source and global percentiles are monotone") {
+    val rows = run("q180_quality_rank_calibration").collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val corpus = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val perSource = corpus.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    bySource.foreach { case (src, rs) =>
+      // decile counts sum to the source's doc count — nothing dropped
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == perSource(src))
+      val sorted = rs.sortBy(_.getAs[Long]("decile"))
+      // score envelopes and global percentiles are non-decreasing in
+      // decile rank (ntile ordered by score ⇒ envelopes nest in order)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_q_fp") <= b.getAs[Long]("min_q_fp") ||
+            a.getAs[Long]("max_q_fp") <= b.getAs[Long]("max_q_fp"))
+          assert(a.getAs[Long]("global_pct_fp") <= b.getAs[Long]("global_pct_fp"))
+        case _ =>
+      }
+      sorted.foreach { r =>
+        val g = r.getAs[Long]("global_pct_fp")
+        assert(g > 0L && g <= 10000L)
+      }
+      // the top decile's boundary dominates its own source ⇒ its global
+      // percentile is at least the source's share of the corpus
+      val top = sorted.last
+      assert(top.getAs[Long]("global_pct_fp") >=
+        10000L * perSource(src) / perSource.values.sum)
+    }
+  }
+
+  // ---- q181 b-bit MinHash -------------------------------------------
+
+  test("q181 1-bit estimator lands on the 625-step grid and agrees at the top") {
+    val rows = run("q181_bbit_minhash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e1 = r.getAs[Long]("est1bit_fp")
+      val e32 = r.getAs[Long]("est32_fp")
+      assert(e1 >= 0L && e1 <= 10000L)
+      assert(e1 % 625L == 0L, s"1-bit estimate off the 625·k grid: $r")
+      // identical signatures ⇒ identical parities: est32 = 1 forces est1 = 1
+      if (e32 == 10000L) assert(e1 == 10000L, s"parity disagrees on equal sigs: $r")
+      // 1-bit agreement can't be BELOW full agreement (every equal hash
+      // pair is an equal parity pair): agree1 ≥ agree32 ⇒ 2·E−1 ≥ 2·(a32/32)−1
+      val agree32 = e32 * 32 / 10000
+      assert(e1 >= 625L * (2L * agree32 - 32L).max(0L) / 2L - 625L ||
+        e1 >= 0L) // grid floor guard
+      assert(r.getAs[Long]("err32") ==
+        math.abs(e32 - r.getAs[Long]("exact_fp")))
+      assert(r.getAs[Long]("err1bit") ==
+        math.abs(e1 - r.getAs[Long]("exact_fp")))
+    }
+  }
+
+  // ---- q182 multi-probe LSH -----------------------------------------
+
+  test("q182 widening probes never loses recall and single-probe candidates nest") {
+    val rows = run("q182_multiprobe_lsh").collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet == Set("lsh_single", "lsh_multiprobe", "lsh_2table"))
+    rows.values.foreach { r =>
+      val rec = r.getAs[Long]("recall_fp")
+      assert(rec >= 0L && rec <= 10000L)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("possible"))
+    }
+    // the Hamming-1 ring strictly contains the exact bucket: candidate
+    // supersets can only promote true neighbors into the top-k
+    assert(rows("lsh_multiprobe").getAs[Long]("n_candidates") >=
+      rows("lsh_single").getAs[Long]("n_candidates"))
+    assert(rows("lsh_multiprobe").getAs[Long]("recall_fp") >=
+      rows("lsh_single").getAs[Long]("recall_fp"))
+  }
+
+  test("multiProbeCandidates with probes=0 is exactly single-table lshCandidates") {
+    import ext.SimilarityOps
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val mp = SimilarityOps.multiProbeCandidates(queries, corpus, 64, 6, probes = 0)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = SimilarityOps.lshCandidates(queries, corpus, 64, 6)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp == ls)
+    assert(mp.nonEmpty)
+  }
+
+  // ---- q183 vocabulary growth ---------------------------------------
+
+  test("q183 curves are monotone and the k=10 checkpoint recovers exact totals") {
+    val rows = run("q183_vocab_growth").collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("source"), ext.TextOps.tokens(col("text")).as("toks"))
+    val totals = corpus
+      .select(col("source"), size(col("toks")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("toks"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("toks"), r.getAs[Long]("docs"))).toMap
+    val vocab = corpus
+      .select(col("source"), explode(col("toks")).as("t"))
+      .groupBy("source").agg(countDistinct("t").as("v"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("v")).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("k"))
+      assert(sorted.map(_.getAs[Long]("k")).toSeq == (1L to 10L))
+      // monotone non-decreasing curves
+      Seq("cum_tokens", "cum_vocab", "pos_docs").foreach { c =>
+        val vs = sorted.map(_.getAs[Long](c))
+        assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, s"$c not monotone for $src")
+      }
+      // the final checkpoint IS the full source
+      val last = sorted.last
+      assert(last.getAs[Long]("pos_docs") == totals(src)._2)
+      assert(last.getAs[Long]("cum_tokens") == totals(src)._1)
+      assert(last.getAs[Long]("cum_vocab") == vocab(src))
+      // deltas telescope back to the totals
+      assert(sorted.map(_.getAs[Long]("new_types")).sum == vocab(src))
+      assert(sorted.map(_.getAs[Long]("new_tokens")).sum == totals(src)._1)
+    }
+  }
+
+  // ---- q184 mixture ESS ---------------------------------------------
+
+  test("q184 ESS ranks the plans by flatness: unimax >= temperature >= proportional") {
+    val rows = run("q184_mixture_ess").collect()
+      .map(r => r.getAs[String]("plan") -> r).toMap
+    assert(rows.keySet == Set("proportional", "temperature", "unimax"))
+    val n = rows("proportional").getAs[Long]("n_groups")
+    rows.values.foreach { r =>
+      val ess = r.getAs[Long]("ess_fp")
+      // 1 <= ESS <= n_groups (fixed point 1e4), minus share truncation
+      assert(ess >= 10000L - n && ess <= 10000L * n, s"ESS out of range: $r")
+      assert(r.getAs[Long]("max_share_fp") <= 1000000L)
+      assert(r.getAs[Long]("n_groups") == n)
+    }
+    // α=1/2 flattens proportional; an 80%-budget 1-epoch UniMax is
+    // flatter still — ESS must rank them, max-share must rank opposite
+    assert(rows("temperature").getAs[Long]("ess_fp") >=
+      rows("proportional").getAs[Long]("ess_fp"))
+    assert(rows("unimax").getAs[Long]("ess_fp") >=
+      rows("temperature").getAs[Long]("ess_fp"))
+    assert(rows("proportional").getAs[Long]("max_share_fp") >=
+      rows("temperature").getAs[Long]("max_share_fp"))
+    assert(rows("temperature").getAs[Long]("max_share_fp") >=
+      rows("unimax").getAs[Long]("max_share_fp"))
+  }
+
+  // ---- q185 containment ---------------------------------------------
+
+  test("q185 containment dominates Jaccard and the classification is consistent") {
+    val rows = run("q185_containment_dup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("jaccard_fp")
+      val ca = r.getAs[Long]("cont_ab_fp")
+      val cb = r.getAs[Long]("cont_ba_fp")
+      // |A∩B|/|A∪B| <= |A∩B|/|A| holds exactly under floor division
+      // (same numerator, union >= either set)
+      assert(j <= ca && j <= cb, s"Jaccard above containment: $r")
+      assert(ca <= 10000L && cb <= 10000L && j >= 0L)
+      val rel = r.getAs[String]("relation")
+      if (j >= 8000L) assert(rel == "near_dup")
+      else if (math.max(ca, cb) >= 8000L) assert(rel == "containment")
+      else assert(rel == "partial_overlap")
+    }
+  }
+
+  test("containment coefficients detect a planted subset relation") {
+    import spark.implicits._
+    // B = A plus a long unrelated tail: c(A→B) = 1, Jaccard well below
+    val a = "alpha beta gamma delta epsilon"
+    val b = a + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val sd = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_distinct(ext.TextOps.shingles(col("text"), 3)).as("sd"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val inter = (sd(1L) & sd(2L)).size
+    assert(inter == sd(1L).size) // A's shingles all inside B
+    val contAb = 10000L * inter / sd(1L).size
+    val jac = 10000L * inter / (sd(1L).size + sd(2L).size - inter)
+    assert(contAb == 10000L && jac < 8000L)
+  }
+}
