@@ -8327,7 +8327,145 @@ object Queries {
              |    WHEN greatest((10000 * inter) // na, (10000 * inter) // nb) >= 8000
              |      THEN 'containment'
              |    ELSE 'partial_overlap' END AS relation
-             |FROM j ORDER BY id_a, id_b""".stripMargin))
+             |FROM j ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q186_dedup_agreement",
+      (s, dir) => {
+        // Which dedup methods are REDUNDANT on this corpus? Doc-level
+        // duplicate verdicts from all four families — exact
+        // (fingerprint class ≥ 2), MinHash (verified LSH candidate with
+        // est-Jaccard ≥ 0.5), SimHash (identical 64-bit signature),
+        // embedding (same sign-bucket pair with cosine ≥ 0.4, the q40
+        // configuration) — crossed into the full agreement matrix:
+        // flagged counts per method and the Jaccard overlap of every
+        // method pair. High off-diagonal agreement = the cheaper method
+        // subsumes the dearer one here; low = the stages catch
+        // DIFFERENT duplication and a cascade earns its cost. Every
+        // verdict reuses the production operators (q34/q35/q36/q40
+        // parameters); the matrix itself is method²-sized. The verdict
+        // union is pinned — counts and the pair intersection read one
+        // frame; the doc_id/vec_id identity join is the corpus contract
+        // (q129's precedent).
+        import s.implicits._
+        val docs = tp(s, dir, "documents")
+        val fps = docs.select(col("doc_id"),
+          TextOps.fingerprint(col("text"), 5).as("fp"))
+        val exactD = fps
+          .join(fps.groupBy("fp").agg(count(lit(1)).as("c")), "fp")
+          .filter(col("c") >= 2).select(col("doc_id"))
+        val mhD = DedupOps.minhashCandidatePairs(docs, col("doc_id"), col("text"))
+          .filter(col("est_jaccard") >= 0.5)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        val shSig = DedupOps.simhashSignatures(docs, col("doc_id"), col("text"))
+        val shD = shSig
+          .join(shSig.groupBy("simhash").agg(count(lit(1)).as("c")), "simhash")
+          .filter(col("c") >= 2).select(col("doc_id"))
+        val emD = DedupOps.embeddingNearDupPairs(tp(s, dir, "embeddings"),
+            col("vec_id"), col("embedding"), threshold = 0.4,
+            dim = embDim, signBits = 6)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        val v = exactD.select(col("doc_id"), lit("exact").as("m"))
+          .unionAll(mhD.select(col("doc_id"), lit("minhash").as("m")))
+          .unionAll(shD.select(col("doc_id"), lit("simhash").as("m")))
+          .unionAll(emD.select(col("doc_id"), lit("embedding").as("m")))
+          .pin()
+        val methods = Seq("embedding", "exact", "minhash", "simhash").toDF("m")
+        val counts = methods
+          .join(v.groupBy("m").agg(count(lit(1)).as("n")), Seq("m"), "left")
+          .na.fill(0L, Seq("n"))
+        val grid = counts.select(col("m").as("method_a"), col("n").as("n_a"))
+          .crossJoin(counts.select(col("m").as("method_b"), col("n").as("n_b")))
+          .filter(col("method_a") <= col("method_b"))
+        val both = v.select(col("doc_id"), col("m").as("method_a"))
+          .join(v.select(col("doc_id"), col("m").as("method_b")), "doc_id")
+          .filter(col("method_a") <= col("method_b"))
+          .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
+        grid.join(both, Seq("method_a", "method_b"), "left")
+          .na.fill(0L, Seq("n_both"))
+          .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            when(col("n_a") + col("n_b") - col("n_both") > 0,
+              expr("(10000 * n_both) div (n_a + n_b - n_both)"))
+              .otherwise(0L).as("agree_jaccard_fp"))
+          .orderBy("method_a", "method_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s5 AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 5
+             |    THEN list_transform(generate_series(0, len(toks) - 5),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |f AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM s5),
+             |fc AS (SELECT fp, count(*) AS c FROM f GROUP BY 1),
+             |exact_d AS (SELECT f.doc_id FROM f JOIN fc USING (fp) WHERE fc.c >= 2),
+             |s3 AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s3),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |mp AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+             |  WHERE len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) / 32.0 >= 0.5),
+             |mh_d AS (SELECT id_a AS doc_id FROM mp UNION SELECT id_b FROM mp),
+             |tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM documents),
+             |h AS (SELECT doc_id, ${PortableHash.int32Sql("tk", 0)} AS h1,
+             |             ${PortableHash.int32Sql("tk", 1)} AS h2 FROM tok),
+             |v AS (SELECT doc_id,
+             |      ${PortableHash.simhashSumsSql("h1", "h2")}
+             |      FROM h GROUP BY doc_id),
+             |shh AS (SELECT doc_id, ${PortableHash.simhashPackSql} AS simhash FROM v),
+             |shc AS (SELECT simhash, count(*) AS c FROM shh GROUP BY 1),
+             |sh_d AS (SELECT shh.doc_id FROM shh JOIN shc USING (simhash) WHERE shc.c >= 2),
+             |eb AS (
+             |  SELECT vec_id, embedding,
+             |    ${Hyperplanes.bucketSql("embedding", embDim, 6)} AS bucket
+             |  FROM embeddings),
+             |ep AS (
+             |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+             |  FROM eb a JOIN eb c USING (bucket)
+             |  WHERE a.vec_id < c.vec_id
+             |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |          CAST(c.embedding AS DOUBLE[])) >= 0.4),
+             |em_d AS (SELECT id_a AS doc_id FROM ep UNION SELECT id_b FROM ep),
+             |verd AS (
+             |  SELECT doc_id, 'exact' AS m FROM exact_d
+             |  UNION ALL SELECT doc_id, 'minhash' FROM mh_d
+             |  UNION ALL SELECT doc_id, 'simhash' FROM sh_d
+             |  UNION ALL SELECT doc_id, 'embedding' FROM em_d),
+             |methods AS (SELECT unnest(['embedding', 'exact', 'minhash', 'simhash']) AS m),
+             |cnt AS (
+             |  SELECT methods.m, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |  FROM methods LEFT JOIN
+             |    (SELECT m, count(*) AS n FROM verd GROUP BY 1) c USING (m)),
+             |grid AS (
+             |  SELECT a.m AS method_a, a.n AS n_a, b.m AS method_b, b.n AS n_b
+             |  FROM cnt a CROSS JOIN cnt b WHERE a.m <= b.m),
+             |bth AS (
+             |  SELECT va.m AS method_a, vb.m AS method_b,
+             |    CAST(count(*) AS BIGINT) AS n_both
+             |  FROM verd va JOIN verd vb USING (doc_id)
+             |  WHERE va.m <= vb.m GROUP BY 1, 2)
+             |SELECT g.method_a, g.method_b, g.n_a, g.n_b,
+             |  CAST(coalesce(b.n_both, 0) AS BIGINT) AS n_both,
+             |  CAST(CASE WHEN g.n_a + g.n_b - coalesce(b.n_both, 0) > 0
+             |    THEN (10000 * coalesce(b.n_both, 0))
+             |      // (g.n_a + g.n_b - coalesce(b.n_both, 0))
+             |    ELSE 0 END AS BIGINT) AS agree_jaccard_fp
+             |FROM grid g LEFT JOIN bth b
+             |  ON b.method_a = g.method_a AND b.method_b = g.method_b
+             |ORDER BY g.method_a, g.method_b""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

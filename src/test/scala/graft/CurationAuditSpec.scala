@@ -284,4 +284,28 @@ class CurationAuditSpec extends AnyFunSuite {
     val jac = 10000L * inter / (sd(1L).size + sd(2L).size - inter)
     assert(contAb == 10000L && jac < 8000L)
   }
+
+  // ---- q186 dedup agreement matrix ----------------------------------
+
+  test("q186 matrix is complete, diagonal-perfect, and intersection-bounded") {
+    val rows = run("q186_dedup_agreement").collect()
+    val ms = Seq("embedding", "exact", "minhash", "simhash")
+    // full upper-triangular grid including diagonal: 10 rows
+    assert(rows.length == 10)
+    val keys = rows.map(r =>
+      (r.getAs[String]("method_a"), r.getAs[String]("method_b"))).toSet
+    assert(keys == (for (a <- ms; b <- ms if a <= b) yield (a, b)).toSet)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb), s"intersection above a set size: $r")
+      val j = r.getAs[Long]("agree_jaccard_fp")
+      if (r.getAs[String]("method_a") == r.getAs[String]("method_b")) {
+        assert(both == na && (na == 0L || j == 10000L))
+      } else if (na + nb - both > 0) {
+        assert(j == 10000L * both / (na + nb - both))
+      }
+      assert(j >= 0L && j <= 10000L)
+    }
+  }
 }
