@@ -8465,7 +8465,78 @@ object Queries {
              |    ELSE 0 END AS BIGINT) AS agree_jaccard_fp
              |FROM grid g LEFT JOIN bth b
              |  ON b.method_a = g.method_a AND b.method_b = g.method_b
-             |ORDER BY g.method_a, g.method_b""".stripMargin))
+             |ORDER BY g.method_a, g.method_b""".stripMargin)),
+
+    Q("q187_unimax_apply",
+      (s, dir) => {
+        // Execute the q178 UniMax plan: admit documents per language in
+        // doc_id (ingestion) order while the cumulative token count
+        // stays within the language's allocation — hard-prefix
+        // semantics (the first doc that would overflow the quota is
+        // cut, and everything after it with it: the deterministic
+        // truncation rule q57 uses). Per-language fill report closes
+        // the plan→apply loop the way q169 does for IPF raking.
+        // Scale shape: the naive plan is one cumsum window PER
+        // LANGUAGE — five corpus-sized partitions, each serialized
+        // through one task. This is the q57 two-phase form keyed by
+        // doc_id buckets instead: bucket = doc_id div stride is
+        // monotone in doc_id, so (bucket, doc_id) IS the global
+        // per-language order; the within-bucket cumsum partitions by
+        // (lang, bucket) — ~1024 parallel partitions per language —
+        // and the only ordered windows left run over the ≤1024-row
+        // bucket rollup. The oracle computes the naive global cumsum,
+        // so the gate PROVES two-phase ≡ global. The max-doc_id probe
+        // is an aggregate, not a collect.
+        val ua = unimaxAlloc(s, dir)
+          .select(col("lang").as("q_lang"), col("alloc_tokens"))
+        val d = tp(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        val mx = d.agg(max("doc_id").as("mx"))
+        val base = d.crossJoin(broadcast(mx))
+          .withColumn("bk", expr("doc_id div greatest(1L, (mx + 1) div 1024)"))
+        val wIn = Window.partitionBy("lang", "bk").orderBy("doc_id")
+        val withCum = base.withColumn("cumIn", sum("n_tokens").over(wIn))
+        val perB = withCum.groupBy("lang", "bk").agg(max("cumIn").as("btok"))
+        val wAbove = Window.partitionBy("lang").orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val above = perB
+          .withColumn("above", coalesce(sum("btok").over(wAbove), lit(0L)))
+          .select("lang", "bk", "above")
+        withCum.join(broadcast(above), Seq("lang", "bk"))
+          .join(broadcast(ua), col("lang") === col("q_lang"))
+          .withColumn("admitted",
+            (col("above") + col("cumIn") <= col("alloc_tokens"))
+              .cast(LongType))
+          .groupBy("lang")
+          .agg(min("alloc_tokens").as("alloc_tokens"),
+            sum("admitted").as("n_admitted"),
+            sum(col("admitted") * col("n_tokens")).as("tokens_admitted"),
+            sum(lit(1L) - col("admitted")).as("n_rejected"))
+          .withColumn("fill_fp",
+            expr("(10000 * tokens_admitted) div greatest(1L, alloc_tokens)"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $unimaxOracleCtes,
+             |d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM d),
+             |adm AS (
+             |  SELECT c.lang, c.n_tokens, ua.alloc_tokens,
+             |    CASE WHEN c.cum <= ua.alloc_tokens THEN 1 ELSE 0 END AS a
+             |  FROM c JOIN ua ON ua.lang = c.lang)
+             |SELECT lang,
+             |  CAST(min(alloc_tokens) AS BIGINT) AS alloc_tokens,
+             |  CAST(sum(a) AS BIGINT) AS n_admitted,
+             |  CAST(sum(a * n_tokens) AS BIGINT) AS tokens_admitted,
+             |  CAST(sum(1 - a) AS BIGINT) AS n_rejected,
+             |  CAST((10000 * sum(a * n_tokens)) // greatest(1, min(alloc_tokens)) AS BIGINT) AS fill_fp
+             |FROM adm GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
