@@ -8536,7 +8536,99 @@ object Queries {
              |  CAST(sum(a * n_tokens) AS BIGINT) AS tokens_admitted,
              |  CAST(sum(1 - a) AS BIGINT) AS n_rejected,
              |  CAST((10000 * sum(a * n_tokens)) // greatest(1, min(alloc_tokens)) AS BIGINT) AS fill_fp
-             |FROM adm GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM adm GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("q188_leakage_safe_splits",
+      (s, dir) => {
+        // Leakage-safe train/val/test assignment: hash the NEAR-DUP
+        // CLASS, not the document — a benchmark answer duplicated into
+        // train under a per-doc hash split is exactly the
+        // contamination q53 hunts after the fact; splitting by the dup
+        // class prevents it BY CONSTRUCTION. The report proves it
+        // relationally: for each split under both policies, the doc
+        // count and the number of dup pairs with exactly one endpoint
+        // in the split — structurally ZERO for the class-keyed policy
+        // (same fp ⇒ same hash ⇒ same split), measurably nonzero for
+        // the per-doc policy on a corpus with duplicates. Classes are
+        // fingerprint classes (the q44 oracle-checkable generator; the
+        // LSH-cluster path composes the same assignSplit over
+        // resolveClusters ids, spec-covered). One fingerprint scan
+        // (pinned) feeds the split labels, both rollups, and the
+        // pair self-join; splits are the q51 portable-hash family, so
+        // fractions land deterministically in any engine.
+        import s.implicits._
+        val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val fps = tp(s, dir, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
+        val d = DedupOps.assignSplit(
+            DedupOps.assignSplit(fps, col("doc_id"), fracs)
+              .withColumnRenamed("split", "naive_split"),
+            col("fp"), fracs)
+          .withColumnRenamed("split", "cluster_split")
+          .pin()
+        val a = d.select(col("fp"), col("doc_id").as("id_a"),
+          col("naive_split").as("nsa"), col("cluster_split").as("csa"))
+        val b = d.select(col("fp"), col("doc_id").as("id_b"),
+          col("naive_split").as("nsb"), col("cluster_split").as("csb"))
+        val pairs = a.join(b, Seq("fp"))
+          .filter(col("id_a") < col("id_b")).pin()
+        val naiveLeak = pairs.filter(col("nsa") =!= col("nsb"))
+          .select(explode(array(col("nsa"), col("nsb"))).as("split"))
+          .groupBy("split").agg(count(lit(1)).as("cross_pairs_naive"))
+        val clusterLeak = pairs.filter(col("csa") =!= col("csb"))
+          .select(explode(array(col("csa"), col("csb"))).as("split"))
+          .groupBy("split").agg(count(lit(1)).as("cross_pairs_cluster"))
+        Seq("test", "train", "val").toDF("split")
+          .join(d.groupBy(col("cluster_split").as("split"))
+            .agg(count(lit(1)).as("n_docs_cluster")), Seq("split"), "left")
+          .join(d.groupBy(col("naive_split").as("split"))
+            .agg(count(lit(1)).as("n_docs_naive")), Seq("split"), "left")
+          .join(clusterLeak, Seq("split"), "left")
+          .join(naiveLeak, Seq("split"), "left")
+          .na.fill(0L, Seq("n_docs_cluster", "n_docs_naive",
+            "cross_pairs_cluster", "cross_pairs_naive"))
+          .orderBy("split")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |sh AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 5
+             |    THEN list_transform(generate_series(0, len(toks) - 5),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |f AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM sh),
+             |d AS (
+             |  SELECT doc_id, fp,
+             |    ${DedupOps.assignSplitSql("doc_id::VARCHAR",
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS naive_split,
+             |    ${DedupOps.assignSplitSql("fp",
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS cluster_split
+             |  FROM f),
+             |p AS (
+             |  SELECT a.naive_split AS nsa, b.naive_split AS nsb,
+             |    a.cluster_split AS csa, b.cluster_split AS csb
+             |  FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+             |nl AS (
+             |  SELECT split, CAST(count(*) AS BIGINT) AS cross_pairs_naive
+             |  FROM (SELECT unnest([nsa, nsb]) AS split FROM p WHERE nsa <> nsb)
+             |  GROUP BY 1),
+             |cl AS (
+             |  SELECT split, CAST(count(*) AS BIGINT) AS cross_pairs_cluster
+             |  FROM (SELECT unnest([csa, csb]) AS split FROM p WHERE csa <> csb)
+             |  GROUP BY 1),
+             |cc AS (SELECT cluster_split AS split, CAST(count(*) AS BIGINT) AS n_docs_cluster
+             |  FROM d GROUP BY 1),
+             |nc AS (SELECT naive_split AS split, CAST(count(*) AS BIGINT) AS n_docs_naive
+             |  FROM d GROUP BY 1),
+             |sp AS (SELECT unnest(['test', 'train', 'val']) AS split)
+             |SELECT sp.split,
+             |  CAST(coalesce(cc.n_docs_cluster, 0) AS BIGINT) AS n_docs_cluster,
+             |  CAST(coalesce(nc.n_docs_naive, 0) AS BIGINT) AS n_docs_naive,
+             |  CAST(coalesce(cl.cross_pairs_cluster, 0) AS BIGINT) AS cross_pairs_cluster,
+             |  CAST(coalesce(nl.cross_pairs_naive, 0) AS BIGINT) AS cross_pairs_naive
+             |FROM sp LEFT JOIN cc USING (split) LEFT JOIN nc USING (split)
+             |LEFT JOIN cl USING (split) LEFT JOIN nl USING (split)
+             |ORDER BY sp.split""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

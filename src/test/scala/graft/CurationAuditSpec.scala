@@ -308,4 +308,40 @@ class CurationAuditSpec extends AnyFunSuite {
       assert(j >= 0L && j <= 10000L)
     }
   }
+
+  // ---- q188 leakage-safe splits -------------------------------------
+
+  test("q188 class-keyed splits leak zero dup pairs; both policies partition the corpus") {
+    val rows = run("q188_leakage_safe_splits").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    val total = Tables.load(spark, SparkTestSession.sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs_cluster")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_docs_naive")).sum == total)
+    rows.foreach { r =>
+      // the structural guarantee: same fingerprint => same hash input
+      // => same split, so no dup pair can cross a boundary
+      assert(r.getAs[Long]("cross_pairs_cluster") == 0L,
+        s"class-keyed split leaked: $r")
+      assert(r.getAs[Long]("cross_pairs_naive") >= 0L)
+    }
+    // train gets the lion's share under both policies (0.8 fraction)
+    val byName = rows.map(r => r.getAs[String]("split") -> r).toMap
+    assert(byName("train").getAs[Long]("n_docs_cluster") >
+      byName("val").getAs[Long]("n_docs_cluster"))
+    assert(byName("train").getAs[Long]("n_docs_naive") >
+      byName("test").getAs[Long]("n_docs_naive"))
+  }
+
+  test("assignSplit on the class key is constant within a dup class") {
+    import spark.implicits._
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // three classes, each with 3 member docs sharing the class key
+    val d = (0 until 9).map(i => (i.toLong, s"class_${i % 3}"))
+      .toDF("doc_id", "ck")
+    val labeled = ext.DedupOps.assignSplit(d, col("ck"), fracs)
+    val perClass = labeled.groupBy("ck")
+      .agg(countDistinct("split").as("n_labels")).collect()
+    assert(perClass.forall(_.getAs[Long]("n_labels") == 1L))
+  }
 }
