@@ -116,6 +116,28 @@ object Queries {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** Unrolled k-core peeling oracle mirroring [[graft.analytics
+    * .GraphOps.kCore]]: per round, degrees over the current edge set,
+    * the ≥k survivor set, and the edge restriction — pure set algebra,
+    * so the full surviving (node, degree) table hash-gates. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each e_i references e_{i-1} three times — left
+    // inlined, DuckDB re-expands the chain 3^rounds times
+    val steps = (1 to rounds).map { i =>
+      s"""kp$i AS MATERIALIZED (
+         |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN kp$i a ON a.src = e.src
+         |  JOIN kp$i b ON b.src = e.dst)"""
+    }.mkString(",\n")
+    s"""WITH $purchaseGraphCtes,
+       |e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+       |$steps
+       |SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Unrolled integer power-iteration oracle mirroring q154: global
     * int8 quantization, exact long Gram/sum accumulators, truncated
     * integer-centered covariance, and the fixed-point matvec
@@ -8628,7 +8650,26 @@ object Queries {
              |  CAST(coalesce(nl.cross_pairs_naive, 0) AS BIGINT) AS cross_pairs_naive
              |FROM sp LEFT JOIN cc USING (split) LEFT JOIN nc USING (split)
              |LEFT JOIN cl USING (split) LEFT JOIN nl USING (split)
-             |ORDER BY sp.split""".stripMargin))
+             |ORDER BY sp.split""".stripMargin)),
+
+    Q("q189_kcore",
+      (s, dir) => {
+        // 20-core of the purchase graph — the sixth member of the graph
+        // family (PageRank centrality, BFS reachability, CC/LPA
+        // community, triangles cohesion, k-core ENGAGEMENT TIER): peel
+        // nodes of degree < 20 for 4 fixed rounds (cascade included —
+        // removing a hub demotes its neighbors), keeping the maximal
+        // subgraph where every customer/supplier has ≥ 20 surviving
+        // relationships. Convergence at this k is round 3 on both test
+        // scales (rounds 4 removes nothing — the fixpoint evidence the
+        // bounded-round contract asks for; the spec pins the worst case
+        // on a path graph, which peels exactly 2 nodes/round). Output
+        // is each core member with its IN-CORE degree, so the oracle
+        // hash-gates the full peeled subgraph, not just a count.
+        GraphOps.kCore(purchaseGraph(s, dir), k = 20, rounds = 4)
+          .orderBy("id")
+      },
+      Some(kcoreOracleSql(20, 4)))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

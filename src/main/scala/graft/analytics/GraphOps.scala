@@ -209,6 +209,44 @@ object GraphOps {
       labels.select(col("id"), col("lbl").as("community")))
   }
 
+  /** k-core peeling for a FIXED number of rounds over an undirected
+    * edge list (both directions present, as [[graft.Queries]]'
+    * purchase graph provides): each round drops every node whose
+    * current degree is below `k`, along with its edges; surviving
+    * nodes' degrees shrink and the next round re-peels. After enough
+    * rounds this is exactly the k-core (the maximal subgraph of
+    * min-degree ≥ k); with bounded `rounds` it is the standard
+    * bounded-peel approximation from the outside in — callers pin
+    * convergence by checking that the last round removed nothing
+    * (round count needed equals the graph's "peel depth", ≤ diameter;
+    * a path graph of length 2R is the worst case, spec-pinned).
+    *
+    * Per round: ONE degree aggregation (map-side combined) + two
+    * semi-joins restricting the edge list — all key-partitioned, no
+    * driver data. The edge frame is persisted per round and released
+    * at the end ([[graft.CachePolicy]]); rounds are fixed and small,
+    * so lineage stays shallow (the bounded-round contract above).
+    *
+    * Returns surviving (id, degree) — degree measured IN the core. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            release: Boolean = false): DataFrame = {
+    var e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kid"))
+      e = e.join(keep.withColumnRenamed("kid", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("kid", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += e
+    }
+    graft.CachePolicy.finish(release, caches.toSeq)(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree")))
+  }
+
   /** Duration-weighted mean of a fixed-point value per key: each
     * observation is weighted by the seconds until the key's NEXT
     * observation (the last one carries no weight — its duration is

@@ -105,6 +105,41 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(added.size <= 1, s"leaked caches: ${added.size - 1}")
   }
 
+  test("kCore: a pendant chain peels off round by round, the triangle survives") {
+    // triangle {1,2,3} + chain 3-4-5: k=2 peels 5 (deg 1) in round 1,
+    // then 4 (demoted to deg 1) in round 2 — the cascade — leaving the
+    // triangle with in-core degree 2 everywhere
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = GraphOps.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round fewer leaves the half-peeled chain visible
+    val partial = GraphOps.kCore(edges, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("kCore: a path graph is the worst case - exactly two nodes per round, then empty") {
+    val und = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // 12 nodes (0..11), endpoints peel pairwise: 12-2r survive round r
+    (1 to 6).foreach { r =>
+      val n = GraphOps.kCore(edges, k = 2, rounds = r, release = true).count()
+      assert(n == math.max(0, 12 - 2 * r), s"round $r")
+    }
+  }
+
+  test("kCore: release=true frees per-call caches") {
+    val sc = spark.sparkContext
+    val und = Seq((301L, 302L), (302L, 303L), (301L, 303L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    assert(GraphOps.kCore(edges, k = 2, rounds = 2, release = true).count() == 3)
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked caches: ${added.size - 1}")
+  }
+
   test("timeWeightedAvg: last observation carries no weight") {
     val ev = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L), (1L, 40L, 3L, 5L),
       (2L, 0L, 4L, 7L)) // single-event key → no output row
