@@ -8669,7 +8669,79 @@ object Queries {
         GraphOps.kCore(purchaseGraph(s, dir), k = 20, rounds = 4)
           .orderBy("id")
       },
-      Some(kcoreOracleSql(20, 4)))
+      Some(kcoreOracleSql(20, 4))),
+
+    Q("q190_burst_detection",
+      (s, dir) => {
+        // Rate-burst detection over the event stream: hours where a
+        // type's count exceeds 1.5× its trailing-24h hourly mean (with
+        // an absolute floor of 3 events — a 2-on-a-baseline-of-1 is
+        // noise, not a burst). The comparison is pure integer cross-
+        // multiplication (2·24·n > 3·Σtrail), no division until the
+        // reported ratio. The trailing window runs over a DENSE
+        // per-type hour grid — without densification, silent hours
+        // vanish and a row-based window silently stretches over days,
+        // understating the baseline exactly when activity is sparse.
+        // Scale shape: one (hour, type) count pass (map-side
+        // combined); the grid is types × hours (explode of one
+        // broadcast bounds row — tiny at any corpus size); the window
+        // partitions BY TYPE over the grid, which is time-range-sized,
+        // not event-sized. Full-window rows only (trail_n = 24), so
+        // the first day warms up silently.
+        val ev = t(s, dir, "events")
+          .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+            col("event_type"))
+          .groupBy("hour_ts", "event_type").agg(count(lit(1)).as("n_events"))
+          .pin()
+        val bounds = ev.agg(min("hour_ts").as("h0"), max("hour_ts").as("h1"))
+        val grid = ev.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour_ts"))
+        val dense = grid.join(ev, Seq("event_type", "hour_ts"), "left")
+          .na.fill(0L, Seq("n_events"))
+        val w = Window.partitionBy("event_type").orderBy("hour_ts")
+          .rowsBetween(-24, -1)
+        dense
+          .withColumn("trail_sum", coalesce(sum("n_events").over(w), lit(0L)))
+          .withColumn("trail_n", count(lit(1)).over(w))
+          .filter(col("trail_n") === 24 &&
+            col("n_events") * 2 * 24 > col("trail_sum") * 3 &&
+            col("n_events") >= 3)
+          .select(col("event_type"), col("hour_ts"), col("n_events"),
+            col("trail_sum"),
+            expr("(10000 * 24 * n_events) div greatest(1, trail_sum)")
+              .as("burst_ratio_fp"))
+          .orderBy("event_type", "hour_ts")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(EXTRACT(EPOCH FROM date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+             |    event_type
+             |  FROM events),
+             |k AS (SELECT hour_ts, event_type, CAST(count(*) AS BIGINT) AS n_events
+             |  FROM ev GROUP BY 1, 2),
+             |b AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM k),
+             |ty AS (SELECT DISTINCT event_type FROM k),
+             |grid AS (
+             |  SELECT event_type, unnest(generate_series(h0, h1, 3600)) AS hour_ts
+             |  FROM ty CROSS JOIN b),
+             |dense AS (
+             |  SELECT g.event_type, g.hour_ts, coalesce(k.n_events, 0) AS n_events
+             |  FROM grid g LEFT JOIN k
+             |    ON k.event_type = g.event_type AND k.hour_ts = g.hour_ts),
+             |wnd AS (
+             |  SELECT event_type, hour_ts, n_events,
+             |    sum(n_events) OVER (PARTITION BY event_type ORDER BY hour_ts
+             |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+             |    count(*) OVER (PARTITION BY event_type ORDER BY hour_ts
+             |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_n
+             |  FROM dense)
+             |SELECT event_type, hour_ts, n_events,
+             |  CAST(coalesce(trail_sum, 0) AS BIGINT) AS trail_sum,
+             |  CAST((10000 * 24 * n_events) // greatest(1, trail_sum) AS BIGINT) AS burst_ratio_fp
+             |FROM wnd
+             |WHERE trail_n = 24 AND n_events * 2 * 24 > trail_sum * 3 AND n_events >= 3
+             |ORDER BY event_type, hour_ts""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -333,6 +333,57 @@ class CurationAuditSpec extends AnyFunSuite {
       byName("test").getAs[Long]("n_docs_naive"))
   }
 
+  // ---- q190 burst detection -----------------------------------------
+
+  test("q190 flags a planted 5x burst with the exact ratio and nothing else") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    // steady 2 events/hour for 30 hours, hour 28 spikes to 10:
+    // trail_sum = 24·2 = 48, ratio = 24·10/48 = 5× → 50000 fp
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h == 28) 10 else 2
+      (0 until n).map { j =>
+        (h.toLong * 100 + j,
+          new java.sql.Timestamp((base + h * 3600L) * 1000L + j * 1000L),
+          j.toLong, "x", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val out = run2(dir.toString, "q190_burst_detection").collect()
+    assert(out.length == 1, s"expected exactly the planted burst: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("n_events") == 10L)
+    assert(r.getAs[Long]("trail_sum") == 48L)
+    assert(r.getAs[Long]("burst_ratio_fp") == 50000L)
+    assert(r.getAs[Long]("hour_ts") == base + 28 * 3600L)
+  }
+
+  test("q190 densification: a silent gap lowers the baseline instead of stretching over it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst_gap")
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime / 1000
+    // 2/hour for hours 0..9, SILENCE for hours 10..39, then 4 events at
+    // hour 40: dense trailing window (hours 16..39) is all zeros →
+    // trail_sum = 0 → flagged. A row-based window over sparse rows
+    // would instead reach back to the active hours and miss it.
+    val rows = (0 until 10).flatMap { h =>
+      (0 until 2).map(j => (h.toLong * 10 + j,
+        new java.sql.Timestamp((base + h * 3600L) * 1000L), j.toLong, "y", 1.0, "{}"))
+    } ++ (0 until 4).map(j => (900L + j,
+      new java.sql.Timestamp((base + 40 * 3600L) * 1000L), j.toLong, "y", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val out = run2(dir.toString, "q190_burst_detection").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("trail_sum") == 0L)
+    assert(out.head.getAs[Long]("hour_ts") == base + 40 * 3600L)
+  }
+
+  private def run2(dir: String, name: String) =
+    Queries.byName(name).run(spark, dir)
+
   test("assignSplit on the class key is constant within a dup class") {
     import spark.implicits._
     val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
