@@ -116,6 +116,65 @@ object Queries {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** Shared PCA fit (q154/q191): globally int8-quantized embedding
+    * frame (vec_id, label, q — pinned: the quantization scan serves
+    * the Gram pass here and any projection consumer), plus the
+    * SIGN-FIXED top principal direction (1e6 fixed point) and the
+    * dominant-eigenvalue estimate from 6 integer power-iteration
+    * rounds on the DRIVER over the collected d²-long covariance
+    * (model-sized state — an in-plan iteration was measured
+    * exponentially worse: each round's broadcast re-executes every
+    * earlier round's uncached subtree, 2^6 re-evaluations). Scala Long
+    * division truncates toward zero exactly like Spark's div and
+    * DuckDB's //, so the driver arithmetic stays engine-portable. See
+    * q154's scaladoc for the overflow envelope. */
+  private def pcaFit(s: SparkSession, dir: String): (DataFrame, Array[Long], Long) = {
+    val emb = tp(s, dir, "embeddings")
+    val gm = emb.agg(
+      (greatest(max(graft.functions.VecExpressions.vecAbsMax(
+        col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
+    val qv = emb.crossJoin(broadcast(gm))
+      .select(col("vec_id"), col("label"),
+        expr("""transform(embedding, x ->
+          CAST(greatest(-127.0D, least(127.0D,
+            floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
+      .pin()
+    val e2 = qv.select(col("vec_id"),
+      posexplode(col("q")).as(Seq("i", "qi")))
+    val sv = e2.groupBy("i").agg(sum("qi").as("s"))
+    val gr = qv.select(expr(
+        """explode(flatten(transform(q, (xi, i) ->
+          transform(q, (xj, j) ->
+            named_struct('i', i, 'j', j, 'p', xi * xj))))) AS pp"""))
+      .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
+      .agg(sum("pp.p").as("g"))
+    val nn = emb.agg(count(lit(1)).as("n"))
+    val cRows = gr
+      .join(sv.select(col("i"), col("s").as("s_i")), "i")
+      .join(sv.select(col("i").as("j"), col("s").as("s_j")), "j")
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        (col("g") - expr("(s_i * s_j) div n")).as("c"))
+      .collect()
+    val d = cRows.iterator.map(_.getInt(0)).max + 1
+    val cm = Array.ofDim[Long](d, d)
+    cRows.foreach(r => cm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val top0 = (0 until d).maxBy(i => (cm(i)(i), -i))
+    var v = Array.tabulate(d)(i => if (i == top0) 1000000L else 0L)
+    var lambdaEst = 0L
+    val iters = 6
+    for (k <- 1 to iters) {
+      val m = Array.tabulate(d)(i =>
+        (0 until d).map(j => cm(i)(j) * v(j)).sum)
+      val mx = m.map(math.abs).max
+      v = m.map(_ / math.max(mx / 1000000L, 1L))
+      if (k == iters) lambdaEst = mx / 1000000L
+    }
+    val topAbs = (0 until d).maxBy(i => (math.abs(v(i)), -i))
+    val sg = if (v(topAbs) < 0) -1L else 1L
+    (qv, v.map(_ * sg), lambdaEst)
+  }
+
   /** Unrolled k-core peeling oracle mirroring [[graft.analytics
     * .GraphOps.kCore]]: per round, degrees over the current edge set,
     * the ≥k survivor set, and the edge restriction — pure set algebra,
@@ -143,7 +202,10 @@ object Queries {
     * integer-centered covariance, and the fixed-point matvec
     * normalization — every `//` has the same truncate-toward-zero
     * semantics as Spark's `div`, so the full eigvector hash-gates. */
-  private def pcaOracleSql(iters: Int): String = {
+  /** CTE prefix shared by the PCA-derived oracles (q154/q191): ends
+    * with `qv(vec_id, label, q)`, `v$iters(i, v)` (UNSIGNED top
+    * direction), `sg(sg)` (the sign fix) and `le(lambda_est)`. */
+  private def pcaOracleCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""m$i AS (
          |  SELECT cm.i, CAST(sum(cm.c * v.v) AS BIGINT) AS m
@@ -153,12 +215,12 @@ object Queries {
          |  SELECT i, m // greatest(mx // 1000000, 1) AS v
          |  FROM m$i CROSS JOIN x$i)"""
     }.mkString(",\n")
-    s"""WITH gm AS (
+    s"""gm AS (
        |  SELECT greatest(max(list_max(list_transform(embedding,
        |    x -> abs(x::DOUBLE)))), 1e-30) / 127.0 AS gsc
        |  FROM embeddings),
        |qv AS (
-       |  SELECT vec_id, list_transform(embedding, x ->
+       |  SELECT vec_id, label, list_transform(embedding, x ->
        |    CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / gsc + 0.5)))
        |      AS BIGINT)) AS q
        |  FROM embeddings CROSS JOIN gm),
@@ -184,12 +246,15 @@ object Queries {
        |sg AS (
        |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
        |  FROM v$iters ORDER BY abs(v) DESC, i LIMIT 1),
-       |le AS (SELECT mx // 1000000 AS lambda_est FROM x$iters)
+       |le AS (SELECT mx // 1000000 AS lambda_est FROM x$iters)""".stripMargin
+  }
+
+  private def pcaOracleSql(iters: Int): String =
+    s"""WITH ${pcaOracleCtes(iters)}
        |SELECT v.i AS dim, CAST(v.v * sg.sg AS BIGINT) AS v_fp,
        |  CAST(lambda_est AS BIGINT) AS lambda_est
        |FROM v$iters v CROSS JOIN sg CROSS JOIN le
        |ORDER BY dim""".stripMargin
-  }
 
   /** SCD2 state intervals from the event log (shared by q96/q101):
     * consecutive repeats collapsed, half-open [valid_from, valid_to)
@@ -6259,60 +6324,10 @@ object Queries {
         // at d = 64; beyond that, pre-scale C by (n div K) once.
         // λ_est is the dominant-eigenvalue estimate in C-units
         // (max|Cv| div max|v|).
-        val emb = tp(s, dir, "embeddings")
-        val gm = emb.agg(
-          (greatest(max(graft.functions.VecExpressions.vecAbsMax(
-            col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
-        val qv = emb.crossJoin(broadcast(gm))
-          .select(col("vec_id"),
-            expr("""transform(embedding, x ->
-              CAST(greatest(-127.0D, least(127.0D,
-                floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
-        val e2 = qv.select(col("vec_id"),
-          posexplode(col("q")).as(Seq("i", "qi")))
-        val sv = e2.groupBy("i").agg(sum("qi").as("s"))
-        val gr = qv.select(expr(
-            """explode(flatten(transform(q, (xi, i) ->
-              transform(q, (xj, j) ->
-                named_struct('i', i, 'j', j, 'p', xi * xj))))) AS pp"""))
-          .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
-          .agg(sum("pp.p").as("g"))
-        val nn = emb.agg(count(lit(1)).as("n"))
-        // ONE distributed action materializes the d²-row covariance;
-        // the power iteration then runs on the DRIVER over that
-        // model-sized state (d² longs — the same class as IVF centroid
-        // literals, NOT data-path rows). An in-plan iteration was
-        // measured exponentially worse: each round's broadcast
-        // re-executes every earlier round's uncached subtree (plans are
-        // trees), 2^6 re-evaluations of the matvec chain. Scala Long
-        // division truncates toward zero exactly like Spark's div and
-        // DuckDB's //, so the driver arithmetic stays engine-portable.
-        val cRows = gr
-          .join(sv.select(col("i"), col("s").as("s_i")), "i")
-          .join(sv.select(col("i").as("j"), col("s").as("s_j")), "j")
-          .crossJoin(broadcast(nn))
-          .select(col("i"), col("j"),
-            (col("g") - expr("(s_i * s_j) div n")).as("c"))
-          .collect()
-        val d = cRows.iterator.map(_.getInt(0)).max + 1
-        val cm = Array.ofDim[Long](d, d)
-        cRows.foreach(r => cm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-        val top0 = (0 until d).maxBy(i => (cm(i)(i), -i))
-        var v = Array.tabulate(d)(i => if (i == top0) 1000000L else 0L)
-        var lambdaEst = 0L
-        val iters = 6
-        for (k <- 1 to iters) {
-          val m = Array.tabulate(d)(i =>
-            (0 until d).map(j => cm(i)(j) * v(j)).sum)
-          val mx = m.map(math.abs).max
-          v = m.map(_ / math.max(mx / 1000000L, 1L))
-          if (k == iters) lambdaEst = mx / 1000000L
-        }
-        val topAbs = (0 until d).maxBy(i => (math.abs(v(i)), -i))
-        val sg = if (v(topAbs) < 0) -1L else 1L
+        val (_, v, lambdaEst) = pcaFit(s, dir)
         import s.implicits._
         v.zipWithIndex
-          .map { case (x, i) => (i.toLong, x * sg, lambdaEst) }.toSeq
+          .map { case (x, i) => (i.toLong, x, lambdaEst) }.toSeq
           .toDF("dim", "v_fp", "lambda_est")
           .orderBy("dim")
       },
@@ -8741,7 +8756,77 @@ object Queries {
              |  CAST((10000 * 24 * n_events) // greatest(1, trail_sum) AS BIGINT) AS burst_ratio_fp
              |FROM wnd
              |WHERE trail_n = 24 AND n_events * 2 * 24 > trail_sum * 3 AND n_events >= 3
-             |ORDER BY event_type, hour_ts""".stripMargin))
+             |ORDER BY event_type, hour_ts""".stripMargin)),
+
+    Q("q191_anisotropy",
+      (s, dir) => {
+        // Embedding anisotropy audit (Ethayarajh, EMNLP 2019: contextual
+        // embeddings concentrate in a narrow cone): per label cluster,
+        // the mean squared cosine of each vector to the corpus's TOP
+        // PRINCIPAL DIRECTION (the shared q154 fit — same quantized
+        // frame, same driver power iteration). Isotropic data scores
+        // ≈ 1/d (156 fp at d=64); a cluster far above it lives along
+        // the dominant axis — the warning that raw cosine thresholds
+        // (dedup τ, ANN recall) are being inflated by a common
+        // component and the corpus wants centering/whitening first.
+        // times_isotropic_fp = mean·d reads directly as "×-above-
+        // isotropic". Exactness: dot and norms are exact longs; each
+        // per-row cos² is ONE identical IEEE double sequence floored
+        // to 1e6 (the q164 discipline); cluster means are long sums
+        // div counts. One pass over the pinned quantized frame; the
+        // direction is model-sized driver state.
+        val (qv, v, _) = pcaFit(s, dir)
+        val n2v = v.map(x => x * x).sum
+        val vLit = array(v.map(lit): _*)
+        qv
+          .withColumn("dt",
+            aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x))
+          .withColumn("n2q",
+            aggregate(transform(col("q"), x => x * x),
+              lit(0L), (acc, x) => acc + x))
+          .withColumn("cos2_fp",
+            when(col("n2q") > 0 && lit(n2v) > 0,
+              floor(col("dt").cast(DoubleType) * col("dt").cast(DoubleType)
+                / (col("n2q").cast(DoubleType) * lit(n2v.toDouble))
+                * 1000000.0).cast(LongType))
+              .otherwise(lit(0L)))
+          .groupBy(col("label").cast(LongType).as("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum("cos2_fp").as("sum_cos2"),
+            max("cos2_fp").as("max_cos2_fp"))
+          .withColumn("mean_cos2_fp", expr("sum_cos2 div n_vecs"))
+          .withColumn("times_isotropic_fp",
+            expr(s"(10000 * $embDim * (sum_cos2 div n_vecs)) div 1000000"))
+          .select("label", "n_vecs", "mean_cos2_fp", "max_cos2_fp",
+            "times_isotropic_fp")
+          .orderBy("label")
+      },
+      Some(s"""WITH ${pcaOracleCtes(6)},
+             |vv AS (SELECT i, v * sg AS v FROM v6 CROSS JOIN sg),
+             |n2v AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2v FROM vv),
+             |va AS (SELECT list(v ORDER BY i) AS varr FROM vv),
+             |pr AS (
+             |  SELECT qv.label,
+             |    CAST(list_sum(list_transform(generate_series(1, len(q)),
+             |      i -> q[i] * varr[i])) AS BIGINT) AS dt,
+             |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2q
+             |  FROM qv CROSS JOIN va),
+             |sc AS (
+             |  SELECT label,
+             |    CASE WHEN n2q > 0 AND n2v > 0 THEN
+             |      CAST(floor(CAST(dt AS DOUBLE) * CAST(dt AS DOUBLE)
+             |        / (CAST(n2q AS DOUBLE) * CAST(n2v AS DOUBLE))
+             |        * 1000000.0) AS BIGINT)
+             |    ELSE 0 END AS cos2_fp
+             |  FROM pr CROSS JOIN n2v)
+             |SELECT CAST(label AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(cos2_fp) // count(*) AS BIGINT) AS mean_cos2_fp,
+             |  CAST(max(cos2_fp) AS BIGINT) AS max_cos2_fp,
+             |  CAST((10000 * $embDim * (sum(cos2_fp) // count(*))) // 1000000 AS BIGINT)
+             |    AS times_isotropic_fp
+             |FROM sc GROUP BY 1 ORDER BY label""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

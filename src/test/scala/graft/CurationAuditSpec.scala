@@ -384,6 +384,42 @@ class CurationAuditSpec extends AnyFunSuite {
   private def run2(dir: String, name: String) =
     Queries.byName(name).run(spark, dir)
 
+  // ---- q191 anisotropy ----------------------------------------------
+
+  test("q191 bounds hold and the multiplier column is recomputable") {
+    val rows = run("q191_anisotropy").collect()
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, SparkTestSession.sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val mean = r.getAs[Long]("mean_cos2_fp")
+      val mx = r.getAs[Long]("max_cos2_fp")
+      assert(mean >= 0L && mean <= mx && mx <= 1000000L)
+      assert(r.getAs[Long]("times_isotropic_fp") ==
+        (10000L * 64L * mean) / 1000000L)
+    }
+  }
+
+  test("q191 on a corpus living on one axis reports full anisotropy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_aniso")
+    // ±e0 vectors: nonzero variance ONLY along dim 0 → top direction
+    // is e0 and every vector's cos² to it is exactly 1
+    val rows = (0 until 20).map { i =>
+      val v = Array.fill(64)(0.0f); v(0) = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, v.toSeq, i % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(dir.resolve("embeddings.parquet").toString)
+    val out = run2(dir.toString, "q191_anisotropy").collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("mean_cos2_fp") == 1000000L, s"expected cos²=1: $r")
+      assert(r.getAs[Long]("times_isotropic_fp") == 640000L)
+    }
+  }
+
   test("assignSplit on the class key is constant within a dup class") {
     import spark.implicits._
     val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
