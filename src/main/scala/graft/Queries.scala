@@ -8826,7 +8826,143 @@ object Queries {
              |  CAST(max(cos2_fp) AS BIGINT) AS max_cos2_fp,
              |  CAST((10000 * $embDim * (sum(cos2_fp) // count(*))) // 1000000 AS BIGINT)
              |    AS times_isotropic_fp
-             |FROM sc GROUP BY 1 ORDER BY label""".stripMargin))
+             |FROM sc GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    Q("q192_centering_knn_lift",
+      (s, dir) => {
+        // Does mean-centering fix what q191 diagnoses? The q173
+        // leave-one-out kNN label accuracy, run twice from one query —
+        // on the raw vectors and on MEAN-CENTERED ones — with the
+        // per-class delta. Centering is the cheapest anisotropy
+        // remedy (subtract the common component q191 measures); this
+        // is the measured before/after that says whether it actually
+        // buys neighbor quality on THIS corpus. Exactness: centering
+        // happens in 1e4 fixed point — per-dim means are exact long
+        // divisions, centered components are exact longs ≤ ~6e4, so
+        // every dot/norm² partial sum (≤ 64·3.6e9 ≈ 2.3e11 ≪ 2^53)
+        // is EXACTLY representable in double and the cosine is
+        // summation-order-independent in any engine. The mean vector
+        // is model-sized driver state (64 longs — the IVF-centroid
+        // class); the centered corpus is one more projection of the
+        // pinned fixed-point frame.
+        val emb = tp(s, dir, "embeddings")
+        def accOf(queries: DataFrame, corpus: DataFrame,
+                  alias: String): DataFrame = {
+          val nn = SimilarityOps.bruteForceTopK(queries, corpus, 10)
+          val pred = broadcast(nn.select("qid", "cid"))
+            .join(emb.select(col("vec_id").as("cid"),
+              col("label").cast(LongType).as("nlabel")), "cid")
+            .groupBy("qid", "nlabel").agg(count(lit(1)).as("v"))
+            .groupBy("qid")
+            .agg(max(struct(col("v"), (lit(0L) - col("nlabel")).as("negl"))).as("m"))
+            .select(col("qid"), (lit(0L) - col("m").getField("negl")).as("pred"))
+          emb.filter(col("vec_id") < 64)
+            .select(col("vec_id").as("qid"), col("label").cast(LongType).as("label"))
+            .join(broadcast(pred), "qid")
+            .groupBy("label")
+            .agg(count(lit(1)).as(s"n_$alias"),
+              sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as(alias))
+        }
+        val rawQ = emb.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val rawC = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val fx = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))")
+            .as("fx")).pin()
+        val mRows = fx.select(posexplode(col("fx")).as(Seq("i", "v")))
+          .groupBy("i").agg(sum("v").as("sv"))
+          .crossJoin(broadcast(fx.agg(count(lit(1)).as("nv"))))
+          .select(col("i"), expr("sv div nv").as("m")).collect()
+        val mArr = Array.ofDim[Long](embDim)
+        mRows.foreach(r => mArr(r.getInt(0)) = r.getLong(1))
+        val mLit = array(mArr.map(lit): _*)
+        val cent = fx.withColumn("cv",
+          zip_with(col("fx"), mLit, (a, b) => (a - b).cast(DoubleType)))
+        val cenQ = cent.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("qid"), col("cv").as("qvec"))
+        val cenC = cent.select(col("vec_id").as("cid"), col("cv").as("cvec"))
+        accOf(rawQ, rawC, "c_raw")
+          .join(accOf(cenQ, cenC, "c_cen"), Seq("label"))
+          .select(col("label"), col("n_c_raw").as("n"),
+            expr("(10000 * c_raw) div n_c_raw").as("acc_raw_fp"),
+            expr("(10000 * c_cen) div n_c_cen").as("acc_centered_fp"))
+          .withColumn("delta_fp",
+            col("acc_centered_fp") - col("acc_raw_fp"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qvec,
+             |    CAST(label AS BIGINT) AS qlabel
+             |  FROM embeddings WHERE vec_id < 64),
+             |scored AS (
+             |  SELECT q.qid, c.vec_id AS cid,
+             |    list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+             |  FROM embeddings c, q WHERE c.vec_id <> q.qid),
+             |ranked AS (
+             |  SELECT qid, cid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+             |  FROM scored),
+             |nl AS (
+             |  SELECT r.qid, CAST(e.label AS BIGINT) AS nlabel
+             |  FROM ranked r JOIN embeddings e ON e.vec_id = r.cid
+             |  WHERE r.rank <= 10),
+             |votes AS (SELECT qid, nlabel, count(*) AS v FROM nl GROUP BY 1, 2),
+             |pred AS (
+             |  SELECT qid, nlabel AS pred FROM (
+             |    SELECT qid, nlabel,
+             |      row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS rn
+             |    FROM votes) WHERE rn = 1),
+             |raw_acc AS (
+             |  SELECT q.qlabel AS label, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN p.pred = q.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             |  FROM q JOIN pred p USING (qid) GROUP BY 1),
+             |fx AS (
+             |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 10000.0) AS BIGINT)) AS fx
+             |  FROM embeddings),
+             |nn2 AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM fx),
+             |mv AS (
+             |  SELECT i, CAST(sum(v) AS BIGINT) AS sv
+             |  FROM (SELECT unnest(generate_series(1, len(fx))) AS i, unnest(fx) AS v FROM fx)
+             |  GROUP BY 1),
+             |mm AS (SELECT i, sv // nv AS m FROM mv CROSS JOIN nn2),
+             |ma AS (SELECT list(m ORDER BY i) AS marr FROM mm),
+             |cen AS (
+             |  SELECT vec_id, label,
+             |    list_transform(generate_series(1, len(fx)),
+             |      i -> CAST(fx[i] - marr[i] AS DOUBLE)) AS cv
+             |  FROM fx CROSS JOIN ma),
+             |cq AS (SELECT vec_id AS qid, label AS qlabel, cv AS qvec
+             |  FROM cen WHERE vec_id < 64),
+             |csc AS (
+             |  SELECT cq.qid, c.vec_id AS cid,
+             |    list_cosine_similarity(cq.qvec, c.cv) AS cos_raw
+             |  FROM cen c, cq WHERE c.vec_id <> cq.qid),
+             |crk AS (
+             |  SELECT qid, cid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+             |  FROM csc),
+             |cnl AS (
+             |  SELECT r.qid, CAST(e.label AS BIGINT) AS nlabel
+             |  FROM crk r JOIN embeddings e ON e.vec_id = r.cid
+             |  WHERE r.rank <= 10),
+             |cvt AS (SELECT qid, nlabel, count(*) AS v FROM cnl GROUP BY 1, 2),
+             |cpr AS (
+             |  SELECT qid, nlabel AS pred FROM (
+             |    SELECT qid, nlabel,
+             |      row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS rn
+             |    FROM cvt) WHERE rn = 1),
+             |cen_acc AS (
+             |  SELECT cq.qlabel AS label, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN p.pred = cq.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             |  FROM cq JOIN cpr p USING (qid) GROUP BY 1)
+             |SELECT r.label, r.n,
+             |  CAST((10000 * r.n_correct) // r.n AS BIGINT) AS acc_raw_fp,
+             |  CAST((10000 * c.n_correct) // c.n AS BIGINT) AS acc_centered_fp,
+             |  CAST((10000 * c.n_correct) // c.n - (10000 * r.n_correct) // r.n AS BIGINT)
+             |    AS delta_fp
+             |FROM raw_acc r JOIN cen_acc c USING (label)
+             |ORDER BY r.label""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

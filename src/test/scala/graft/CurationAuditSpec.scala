@@ -420,6 +420,22 @@ class CurationAuditSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q192 centering lift ------------------------------------------
+
+  test("q192 anchors partition into classes and the delta column is consistent") {
+    val rows = run("q192_centering_knn_lift").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum == 64L) // the 64 anchors
+    rows.foreach { r =>
+      Seq("acc_raw_fp", "acc_centered_fp").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 10000L, s"$c out of range: $r")
+      }
+      assert(r.getAs[Long]("delta_fp") ==
+        r.getAs[Long]("acc_centered_fp") - r.getAs[Long]("acc_raw_fp"))
+    }
+  }
+
   test("assignSplit on the class key is constant within a dup class") {
     import spark.implicits._
     val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
