@@ -8962,7 +8962,71 @@ object Queries {
              |  CAST((10000 * c.n_correct) // c.n - (10000 * r.n_correct) // r.n AS BIGINT)
              |    AS delta_fp
              |FROM raw_acc r JOIN cen_acc c USING (label)
-             |ORDER BY r.label""".stripMargin))
+             |ORDER BY r.label""".stripMargin)),
+
+    Q("q193_ivf_nprobe_curve",
+      (s, dir) => {
+        // The IVF operating curve: recall@10 at nprobe ∈ {1, 2, 4, 8}
+        // of a 16-list index against the exact ground truth, plus the
+        // corpus fraction each setting scans (625·nprobe fp) — the
+        // sweep that picks the latency/recall point BEFORE committing
+        // a 100 TB serving config (q144 reports the single production
+        // point; this is the dial around it). All four arms read the
+        // SAME cached IVF fit (the q41/q70/q129/q134/q146/q164 index —
+        // fit once, probed four ways) and the same pinned exact top-k;
+        // each arm is a semi-join + two broadcast count rollups.
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val exact = SimilarityOps.bruteForceTopK(queries, corpus, 10)
+          .select("qid", "cid").pin()
+        val model = SimilarityOps.ivfFitCached(s"embeddings:$dir", corpus, 16)
+        def armOf(np: Int): DataFrame =
+          exact.join(SimilarityOps.ivfTopK(queries, model, 10, np)
+              .select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+            .select(lit(np.toLong).as("nprobe"), col("hits"), col("possible"),
+              expr("(10000 * hits) div possible").as("recall_fp"),
+              lit(625L * np).as("probed_fp"))
+        Seq(1, 2, 4, 8).map(armOf).reduce(_ unionAll _).orderBy("nprobe")
+      },
+      // the full IVF fit re-derived once; probe ranks computed WITHOUT
+      // the fixed rn<=4 cut so each arm slices its own depth
+      Some(s"""$ivfOracleCtes,
+           |probeAll AS (
+           |  SELECT q.qid, k.kid,
+           |    row_number() OVER (PARTITION BY q.qid
+           |      ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS prn
+           |  FROM q CROSS JOIN cent2 k),
+           |exs AS (
+           |  SELECT q.qid, c.cid, list_cosine_similarity(q.qv, c.v) AS cos_raw
+           |  FROM corpus c, q WHERE c.cid <> q.qid),
+           |exr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos_raw DESC, cid) AS rank FROM exs),
+           |exk AS (SELECT qid, cid FROM exr WHERE rank <= 10),
+           |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exk),
+           |${Seq(1, 2, 4, 8).map { np =>
+             s"""ivs$np AS (
+                |  SELECT q.qid, a.cid, list_cosine_similarity(q.qv, a.v) AS cos_raw
+                |  FROM (SELECT qid, kid FROM probeAll WHERE prn <= $np) p
+                |  JOIN q ON q.qid = p.qid JOIN asgF a ON a.kid = p.kid
+                |  WHERE a.cid <> q.qid),
+                |ivr$np AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                |    ORDER BY cos_raw DESC, cid) AS rank FROM ivs$np),
+                |ivk$np AS (SELECT qid, cid FROM ivr$np WHERE rank <= 10)""".stripMargin
+           }.mkString(",\n")}
+           |SELECT nprobe, hits, possible,
+           |  CAST((10000 * hits) // possible AS BIGINT) AS recall_fp,
+           |  CAST(625 * nprobe AS BIGINT) AS probed_fp
+           |FROM (
+           |${Seq(1, 2, 4, 8).map { np =>
+             s"""  SELECT CAST($np AS BIGINT) AS nprobe,
+                |    (SELECT CAST(count(*) AS BIGINT)
+                |     FROM exk JOIN ivk$np USING (qid, cid)) AS hits""".stripMargin
+           }.mkString("\n  UNION ALL\n")}
+           |) CROSS JOIN poss ORDER BY nprobe""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -436,6 +436,23 @@ class CurationAuditSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q193 IVF nprobe curve ----------------------------------------
+
+  test("q193 recall is monotone in nprobe (probe prefixes nest candidates)") {
+    val rows = run("q193_ivf_nprobe_curve").collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_fp") >= 0L &&
+        r.getAs[Long]("recall_fp") <= 10000L)
+      assert(r.getAs[Long]("probed_fp") == 625L * r.getAs[Long]("nprobe"))
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("possible"))
+    }
+    val recalls = rows.map(_.getAs[Long]("recall_fp"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.mkString(",")}")
+  }
+
   test("assignSplit on the class key is constant within a dup class") {
     import spark.implicits._
     val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
