@@ -8669,22 +8669,24 @@ object Queries {
 
     Q("q189_kcore",
       (s, dir) => {
-        // 20-core of the purchase graph — the sixth member of the graph
+        // 8-core of the purchase graph — the sixth member of the graph
         // family (PageRank centrality, BFS reachability, CC/LPA
         // community, triangles cohesion, k-core ENGAGEMENT TIER): peel
-        // nodes of degree < 20 for 4 fixed rounds (cascade included —
+        // nodes of degree < 8 for 4 fixed rounds (cascade included —
         // removing a hub demotes its neighbors), keeping the maximal
-        // subgraph where every customer/supplier has ≥ 20 surviving
-        // relationships. Convergence at this k is round 3 on both test
-        // scales (rounds 4 removes nothing — the fixpoint evidence the
-        // bounded-round contract asks for; the spec pins the worst case
-        // on a path graph, which peels exactly 2 nodes/round). Output
-        // is each core member with its IN-CORE degree, so the oracle
-        // hash-gates the full peeled subgraph, not just a count.
-        GraphOps.kCore(purchaseGraph(s, dir), k = 20, rounds = 4)
+        // subgraph where every customer/supplier has ≥ 8 surviving
+        // relationships. k = 8 peels a real fringe at every test scale
+        // while leaving a non-empty core even on the sf0.001 smoke
+        // graph (degrees ~10 there); the fixpoint lands within the 4
+        // rounds at all three scales — the convergence evidence the
+        // bounded-round contract asks for (the spec pins the worst
+        // case on a path graph, which peels exactly 2 nodes/round).
+        // Output is each core member with its IN-CORE degree, so the
+        // oracle hash-gates the full peeled subgraph, not just a count.
+        GraphOps.kCore(purchaseGraph(s, dir), k = 8, rounds = 4)
           .orderBy("id")
       },
-      Some(kcoreOracleSql(20, 4))),
+      Some(kcoreOracleSql(8, 4))),
 
     Q("q190_burst_detection",
       (s, dir) => {
