@@ -55,36 +55,58 @@ object Bench {
     // here — they are MEMORY_AND_DISK and eviction-managed. Verify (the
     // correctness path, where timing is irrelevant) drains per query.
     val drainEvery = sys.env.getOrElse("SPARK_GRAFT_DRAIN_EVERY", "0").toInt
+    // Per-query WARM RUN (untimed) before the timed repeats: each
+    // entry's reported min is over a query whose own pins are warm, so
+    // the number no longer depends on which queries ran before it in
+    // the sweep (r7's q57–q67 cluster regressed 7× in the driver sweep
+    // purely because 55 new queries changed warm-cache adjacency; the
+    // same queries re-benched at ~0.3 s isolated). The warm run also
+    // reports its own time ("cold" map) so one sweep yields both the
+    // in-sweep-cold and self-warm figures. SPARK_GRAFT_WARMRUN=0
+    // restores the old timing (first timed repeat pays the build).
+    val warmRun = sys.env.getOrElse("SPARK_GRAFT_WARMRUN", "1") != "0"
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
         var ok = true
+        val tw = System.nanoTime()
+        if (warmRun) {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
+        }
+        val cold = (System.nanoTime() - tw) / 1e9
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => ok = false }
           (System.nanoTime() - t0) / 1e9
         }
         if (drainEvery > 0 && (idx + 1) % drainEvery == 0) QueryCaches.drain()
-        (name, ok, times.min, times.max)
+        (name, ok, times.min, times.max, cold)
     }
-    val qs = results.map { case (k, ok, v, _) => "\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, ok, v, _, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
     // per-query run-to-run spread (max/min of the repeats, 2 decimals):
     // a query whose min moved >2x across rounds while its spread stayed
     // ~1.0x is a real regression, not box noise. Locale.ROOT: the JVM
     // default locale may use a comma decimal separator, which would
     // corrupt the JSON.
-    val spread = results.map { case (k, ok, mn, mx) =>
+    val spread = results.map { case (k, ok, mn, mx, _) =>
       "\"" + k + "\":" + (if (ok && mn > 0)
         String.format(java.util.Locale.ROOT, "%.2f", (mx / mn): java.lang.Double)
       else "-1")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, false, _, _) => "\"" + k + "\"" }
+    // in-sweep first-execution time (the untimed warm run): cold/min is
+    // each entry's own build amortization, decoupled from sweep order
+    val cold = results.map { case (k, ok, _, _, c) =>
+      "\"" + k + "\":" + (if (ok && warmRun)
+        String.format(java.util.Locale.ROOT, "%.3f", c: java.lang.Double)
+      else "-1")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, true, v, _) => v }.sum
+    val total = results.collect { case (_, true, v, _, _) => v }.sum
     // per-query times LAST: a tail-truncating log capture then clips the
     // (re-derivable) spread map, not the primary measurement (round 5's
     // BENCH file lost the times map to exactly this)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"sf":"$sfDir","spread":$spread,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failed,"sf":"$sfDir","spread":$spread,"cold":$cold,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -253,6 +253,17 @@ object GraphOps {
     var prevKept = -1L
     var r = 0
     var stop = false
+    // Plan compaction (the bfsLevels discipline): each round's edge
+    // frame references the previous round's plan TWICE (directly and
+    // via each keep semi-join), so the raw logical plan doubles per
+    // round — at rounds ≥ ~6 the explain string alone (built per
+    // action for the SQL listener) is exponential and OOMs the driver.
+    // A lazy localCheckpoint every round truncates lineage to the
+    // persisted blocks; the round's keep.count() materializes it, so
+    // compaction adds no extra job. Checkpoint blocks are freed on
+    // release via their LogicalRDD handles (CacheManager doesn't track
+    // them), exactly as bfsLevels does.
+    val ckFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (r < rounds && !stop) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("kid"))
@@ -266,14 +277,19 @@ object GraphOps {
           .join(broadcast(keep.withColumnRenamed("kid", "dst")),
             Seq("dst"), "left_semi")
           .select("src", "dst")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        caches += e
+          .localCheckpoint(eager = false)
+        ckFrames += e
         prevKept = kn
       }
       r += 1
     }
-    graft.CachePolicy.finish(release, caches.toSeq)(
+    val result = graft.CachePolicy.finish(release, caches.toSeq)(
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree")))
+    if (release) ckFrames.foreach(_.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    })
+    result
   }
 
   /** Duration-weighted mean of a fixed-point value per key: each

@@ -331,22 +331,34 @@ object DedupOps {
     graft.CachePolicy.finish(release, Seq(sigs))(pairs)
   }
 
+  /** Sentinel for `signBits`: size the bucket width from the corpus
+    * count via [[SimilarityOps.autoSignBits]] (occupancy-targeted —
+    * ~1000 vectors/bucket). This is the production default: a pinned
+    * bit width that balances buckets at one scale goes quadratic at
+    * 1000× (the sf100 rehearsal measured exactly this at signBits=6);
+    * the count is one metadata-cheap pass over parquet footers. */
+  val AutoBits = 0
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed
     * by sign-LSH over `signBits` seeded random hyperplanes (see
     * [[Hyperplanes]] — random projections keep buckets balanced where
     * raw leading dimensions would skew them) so only same-bucket pairs
     * are compared. For recall, callers can union several seeds;
-    * exactness is traded for the bucket join's scalability. */
+    * exactness is traded for the bucket join's scalability.
+    * `signBits` defaults to [[AutoBits]] = corpus-count-sized. */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
                             threshold: Double, dim: Int,
-                            signBits: Int = 8, seed: Long = 7L,
+                            signBits: Int = AutoBits, seed: Long = 7L,
                             release: Boolean = false): DataFrame = {
+    val bits =
+      if (signBits == AutoBits) SimilarityOps.autoSignBits(df.count())
+      else signBits
     // persisted: the a/b join branches read ONE bucket+norm pass from
     // cache instead of re-deriving the (wide, codegen'd) hyperplane
     // projection over the full corpus twice
     val bucketed = df.select(
       id.as("vid"), vec.as("v"),
-      SimilarityOps.signBucket(vec, dim, signBits, seed).as("bucket"),
+      SimilarityOps.signBucket(vec, dim, bits, seed).as("bucket"),
       SimilarityOps.l2Norm(vec).as("vn")) // norm once per doc, not per pair
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("vid").as("id_a"),
@@ -473,7 +485,7 @@ object DedupOps {
     * a~c below it still merge transitively). */
   def nearDedupEmbeddings(df: DataFrame, id: Column, vec: Column,
                           threshold: Double, dim: Int,
-                          signBits: Int = 8, seed: Long = 7L,
+                          signBits: Int = AutoBits, seed: Long = 7L,
                           release: Boolean = false): DataFrame = {
     val pairs = embeddingNearDupPairs(df, id, vec, threshold, dim, signBits, seed,
       release = release)

@@ -47,10 +47,17 @@ object ExactSubstrOps {
     *                       times corpus-wide (2 = the paper's "appears
     *                       twice"; within-doc repeats count, as they do
     *                       in a suffix array)
+    * @param mergeGap       spans separated by at most this many clean
+    *                       tokens merge into one reported span (Lee et
+    *                       al. merge near-adjacent duplicate ranges so a
+    *                       one-token edit inside a boilerplate block
+    *                       doesn't split the report in two); 0 = merge
+    *                       only overlapping/contiguous covers
     */
   def dupSpanProfile(docs: DataFrame, id: Column, text: Column,
-                     l: Int = 8, minOccurrences: Long = 2L): DataFrame =
-    spanFrames(docs, id, text, l, minOccurrences)._2
+                     l: Int = 8, minOccurrences: Long = 2L,
+                     mergeGap: Int = 0): DataFrame =
+    spanFrames(docs, id, text, l, minOccurrences, mergeGap)._2
       .groupBy("doc_id", "n_tokens")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("sp_end") - col("sp_start") + 1L).as("dup_tokens"))
@@ -243,27 +250,31 @@ object ExactSubstrOps {
 
   /** Shared internals: (tokenized docs, merged maximal spans). */
   private def spanFrames(docs: DataFrame, id: Column, text: Column,
-                         l: Int, minOccurrences: Long): (DataFrame, DataFrame) = {
+                         l: Int, minOccurrences: Long,
+                         mergeGap: Int = 0): (DataFrame, DataFrame) = {
     val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
     val dupPos = grams.join(dupKeys, Seq("gkey"), "left_semi")
       .select(col("doc_id"), col("n_tokens"), col("pos"))
-    (toks, mergeIslands(dupPos, l))
+    (toks, mergeIslands(dupPos, l, mergeGap))
   }
 
   /** Gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge
-    * overlapping or contiguous covers into maximal spans. The island
-    * cumsum consumes the running-max frame's output, so the two Window
-    * nodes cannot fuse — but they pipeline over ONE (doc_id, pos)
+    * overlapping or contiguous covers — and covers separated by at most
+    * `mergeGap` clean tokens — into maximal spans. The island cumsum
+    * consumes the running-max frame's output, so the two Window nodes
+    * cannot fuse — but they pipeline over ONE (doc_id, pos)
     * exchange+sort with no re-partition between them (spec-pinned).
     * Input: (doc_id, n_tokens, pos); output: (doc_id, n_tokens,
     * span_id, sp_start, sp_end). */
-  private def mergeIslands(positions: DataFrame, l: Int): DataFrame = {
+  private def mergeIslands(positions: DataFrame, l: Int,
+                           mergeGap: Int = 0): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(l - 1).cast(LongType))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
     positions
       .withColumn("new_span",
-        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
+        when(prevEnd.isNull || col("pos") > prevEnd + 1L + mergeGap, 1L)
+          .otherwise(0L))
       .withColumn("span_id",
         sum("new_span").over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "n_tokens", "span_id")

@@ -1,0 +1,1603 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+
+import graft.analytics._
+import graft.etl.ChangeCapture
+import graft.ext._
+import graft.QueryCaches.Pinned
+import graft.QueryHelpers._
+
+/** Deduplication family: exact/MinHash/SimHash/n-gram near-dup,
+  * cluster resolution, exact-substring spans, decontamination,
+  * calibration sweeps and dedup quality audits.
+  *
+  * Split from the monolithic Queries.scala (round 8); shared plan
+  * helpers and oracle CTE builders live in [[QueryHelpers]]. Output
+  * conventions (column naming, rounding, tiebreaks) are documented on
+  * [[Queries]].
+  */
+private[graft] object QueriesDedup {
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q34_exact_dup_classes",
+      (s, dir) => DedupOps.exactDupClasses(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .groupBy(col("copies"))
+        .agg(count(lit(1)).as("n_classes"))
+        .orderBy("copies"),
+      Some("""SELECT copies, count(*) AS n_classes FROM (
+             |  SELECT md5(text) AS digest, count(*) AS copies
+             |  FROM documents GROUP BY 1)
+             |GROUP BY copies ORDER BY copies""".stripMargin)),
+
+    Q("q35_minhash_neardup",
+      (s, dir) => DedupOps.minhashCandidatePairs(
+          tp(s, dir, "documents"), col("doc_id"), col("text"))
+        .filter(col("est_jaccard") >= 0.5)
+        .agg(count(lit(1)).as("candidate_pairs")),
+      // Fully oracled since the portable (md5-derived universal) hash
+      // family landed: DuckDB reproduces the exact signatures, band
+      // buckets and the est-jaccard filter.
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sig AS sig_a, c.sig AS sig_b
+             |  FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS candidate_pairs FROM p
+             |WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5""".stripMargin)),
+
+    Q("q36_simhash_classes",
+      (s, dir) => DedupOps.simhashSignatures(
+          tp(s, dir, "documents"), col("doc_id"), col("text"))
+        .groupBy(col("simhash")).agg(count(lit(1)).as("copies"))
+        .groupBy(col("copies")).agg(count(lit(1)).as("n_classes"))
+        .orderBy("copies"),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+             |h AS (SELECT doc_id, ${PortableHash.int32Sql("t", 0)} AS h1,
+             |             ${PortableHash.int32Sql("t", 1)} AS h2 FROM tok),
+             |v AS (SELECT doc_id,
+             |      ${PortableHash.simhashSumsSql("h1", "h2")}
+             |      FROM h GROUP BY doc_id),
+             |sh AS (SELECT doc_id, ${PortableHash.simhashPackSql} AS simhash FROM v),
+             |c AS (SELECT simhash, CAST(count(*) AS BIGINT) AS copies FROM sh GROUP BY simhash)
+             |SELECT copies, CAST(count(*) AS BIGINT) AS n_classes
+             |FROM c GROUP BY copies ORDER BY copies""".stripMargin)),
+
+    Q("q37_ngram_jaccard",
+      (s, dir) => {
+        // Exact 3-gram Jaccard over LSH candidate pairs (verify stage).
+        // Single-pass shape: the signature frame is persisted and texts
+        // ride through the band explode — no re-derivation, no join-back
+        // (the r01 double-derivation shape cost 13.7 s = 30% of the
+        // whole bench; this one computes MinHash once).
+        val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        DedupOps.minhashVerifiedPairs(docs, col("doc_id"), col("text"),
+            shingleSize = 3, numHashes = 32, bands = 8, estThreshold = 0.5)
+          .filter(r4(col("jaccard")) >= 0.8)
+          .agg(count(lit(1)).as("dup_pairs"))
+      },
+      // Oracled end to end (candidates AND verify) via the portable
+      // hash family — was rows-only while signatures were xxhash64.
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |d AS (SELECT doc_id, list_distinct(sh) AS sd,
+             |        list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, sd, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM d),
+             |bk AS (
+             |  SELECT doc_id, sig, sd, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |         a.sig AS sig_a, c.sig AS sig_b, a.sd AS sd_a, c.sd AS sd_b
+             |  FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |e AS (
+             |  SELECT id_a, id_b,
+             |    len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est,
+             |    floor((CAST(len(list_intersect(sd_a, sd_b)) AS DOUBLE)
+             |      / (len(sd_a) + len(sd_b) - len(list_intersect(sd_a, sd_b)))) * 10000.0 + 0.5) / 10000.0 AS j
+             |  FROM p)
+             |SELECT CAST(count(*) AS BIGINT) AS dup_pairs FROM e
+             |WHERE est >= 0.5 AND j >= 0.8""".stripMargin)),
+
+    Q("q44_neardup_resolution",
+      (s, dir) => {
+        // Pairs → connected components → cluster sizes. Candidates come
+        // from fingerprint collisions (min-md5 5-gram — a deterministic,
+        // SQL-expressible candidate generator), so components == finger-
+        // print classes and the result is oracle-checkable; the LSH
+        // candidate path reuses the same resolveClusters (spec-covered).
+        // persisted: ONE fingerprint pass feeds both join branches (and
+        // the join-key null filter reads the cached column instead of
+        // re-deriving the min-md5-5-gram pipeline per row)
+        val fps = tp(s, dir, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
+          .pin()
+        val a = fps.select(col("fp"), col("doc_id").as("id_a"))
+        val b = fps.select(col("fp"), col("doc_id").as("id_b"))
+        val pairs = a.join(b, Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        DedupOps.resolveClusters(pairs)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("csize"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 5
+             |      THEN list_transform(generate_series(0, len(toks) - 5),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh
+             |  FROM t),
+             |f AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM s)
+             |SELECT min(doc_id) AS cluster_id, CAST(count(*) AS BIGINT) AS csize
+             |FROM f GROUP BY fp HAVING count(*) >= 2
+             |ORDER BY cluster_id""".stripMargin)),
+
+    Q("q46_jaccard_verify",
+      (s, dir) => {
+        // The q37 VERIFY stage on a fixed, SQL-expressible candidate
+        // list (fingerprint-collision pairs): exact 3-gram Jaccard per
+        // pair, fully oracled — candidate GENERATION via xxhash64 LSH
+        // stays engine-specific (q35/q37 rows-only).
+        // distinct 3-gram shingle sets come from the SESSION-SHARED
+        // materialization (QueryHelpers.shingleSets — one corpus pass
+        // serves the whole q46/q158/q172/q185/q186 verify family); the
+        // per-pair jaccard then works on cached arrays instead of
+        // re-deriving the shingle pipeline per reference
+        val fps = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.fingerprint(col("text"), 5).as("fp"))
+          .join(shingleSets(s, dir), "doc_id")
+          .pin()
+        val a = fps.select(col("fp"), col("doc_id").as("id_a"), col("sd").as("sd_a"))
+        val b = fps.select(col("fp"), col("doc_id").as("id_b"), col("sd").as("sd_b"))
+        a.join(b, Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            r4(DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(generate_series(0, len(toks) - 3),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh3,
+             |    CASE WHEN len(toks) >= 5
+             |      THEN list_transform(generate_series(0, len(toks) - 5),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh5
+             |  FROM t),
+             |f AS (
+             |  SELECT doc_id, list_distinct(sh3) AS sd,
+             |    list_min(list_transform(sh5, x -> md5(x))) AS fp
+             |  FROM s)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  floor((CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+             |    / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── Similarity search (training-pipeline ext) ─────────────────────,
+
+    Q("q47_embedding_cluster_resolution",
+      (s, dir) => {
+        // General-graph component resolution, ORACLED: hyperplane-LSH
+        // cosine pairs form non-clique graphs (a~b, b~c above the
+        // threshold, a~c below it), so the DuckDB oracle needs a
+        // RECURSIVE transitive closure — this is the query that proves
+        // resolveClusters does real transitive merging, not GROUP BY.
+        val emb = tp(s, dir, "embeddings")
+        val pairs = DedupOps.embeddingNearDupPairs(
+            emb, col("vec_id"), col("embedding"),
+            threshold = 0.4, dim = embDim, signBits = 6)
+          .select("id_a", "id_b")
+        DedupOps.resolveClusters(pairs)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("csize"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE b AS (
+             |  SELECT vec_id, embedding,
+             |    ${Hyperplanes.bucketSql("embedding", embDim, 6)} AS bucket
+             |  FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+             |  FROM b a JOIN b c USING (bucket)
+             |  WHERE a.vec_id < c.vec_id
+             |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |          CAST(c.embedding AS DOUBLE[])) >= 0.4),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |lab AS (
+             |  SELECT src AS id, least(src, min(dst)) AS label
+             |  FROM reach GROUP BY src)
+             |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS csize
+             |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin)),
+
+    // ── Training-pipeline staples: deterministic split + repetition ──,
+
+    Q("q48_corpus_clean",
+      (s, dir) => {
+        // The composed training-data prep pipeline, oracled end to end:
+        // language gate → quality gate → exact dedup (keep min id) →
+        // fingerprint near-dup resolution. Output is the one-row
+        // attrition funnel a pipeline owner monitors.
+        val docs = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        CorpusPipeline.cleanSummary(docs, col("doc_id"), col("text"),
+          lang = "en", minQuality = 0.5)
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, text,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS h_en,
+             |    len(regexp_extract_all(text, '\b(el|la|de|que|y|en|un|es)\b')) AS h_es,
+             |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|ein|zu)\b')) AS h_de,
+             |    len(regexp_extract_all(text, '\b(le|la|de|et|un|est|que|en)\b')) AS h_fr
+             |  FROM documents),
+             |u AS (
+             |  SELECT doc_id, unnest(['de','en','es','fr']) AS code,
+             |         unnest([h_de, h_en, h_es, h_fr]) AS hits,
+             |         unnest([0, 1, 2, 3]) AS rank
+             |  FROM h),
+             |best AS (
+             |  SELECT doc_id, arg_max(code, hits * 10 + rank) AS code, max(hits) AS mh
+             |  FROM u GROUP BY doc_id),
+             |lang AS (
+             |  SELECT doc_id, CASE WHEN mh > 0 THEN code ELSE 'und' END AS pred FROM best),
+             |toks AS (
+             |  SELECT doc_id, text,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM documents),
+             |qual AS (
+             |  SELECT doc_id,
+             |    floor((least(n_tokens / 64.0, 1.0) * 0.4
+             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS quality
+             |  FROM toks),
+             |g AS (
+             |  SELECT d.doc_id, d.text FROM documents d
+             |  JOIN lang ON lang.doc_id = d.doc_id
+             |  JOIN qual ON qual.doc_id = d.doc_id
+             |  WHERE lang.pred = 'en' AND qual.quality >= 0.5),
+             |e AS (SELECT DISTINCT text FROM g),
+             |sh AS (
+             |  SELECT CASE WHEN len(tk) >= 5
+             |    THEN list_transform(generate_series(0, len(tk) - 5),
+             |           i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(tk, ' ')] END AS sh
+             |  FROM (SELECT string_split_regex(trim(text), '\s+') AS tk FROM e)),
+             |f AS (SELECT list_min(list_transform(sh, x -> md5(x))) AS fp FROM sh)
+             |SELECT (SELECT count(*) FROM documents) AS n_input,
+             |       (SELECT count(*) FROM g) AS n_gated,
+             |       (SELECT count(*) FROM e) AS n_exact,
+             |       (SELECT count(DISTINCT fp) FROM f) AS n_final""".stripMargin)),
+
+    Q("q50_simhash_neardup",
+      (s, dir) => DedupOps.simhashNearDupPairs(
+          tp(s, dir, "documents"), col("doc_id"), col("text"),
+          maxHamming = 3, bands = 4)
+        .agg(count(lit(1)).as("neardup_pairs")),
+      // The >> & mask band extraction is shift-semantics-proof: DuckDB's
+      // arithmetic shift sign-extends where Spark's shiftrightunsigned
+      // zero-fills, but the & 65535 mask keeps only bits both agree on.
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+             |h AS (SELECT doc_id, ${PortableHash.int32Sql("t", 0)} AS h1,
+             |             ${PortableHash.int32Sql("t", 1)} AS h2 FROM tok),
+             |v AS (SELECT doc_id,
+             |      ${PortableHash.simhashSumsSql("h1", "h2")}
+             |      FROM h GROUP BY doc_id),
+             |sh AS (SELECT doc_id, ${PortableHash.simhashPackSql} AS simhash FROM v),
+             |k AS (
+             |  SELECT doc_id, simhash, band, ((simhash >> (band * 16)) & 65535) AS block
+             |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |         a.simhash AS sh_a, c.simhash AS sh_b
+             |  FROM k a JOIN k c ON a.band = c.band AND a.block = c.block AND a.doc_id < c.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS neardup_pairs FROM p
+             |WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin)),
+
+    Q("q53_decontamination",
+      (s, dir) => {
+        // benchmark = every 50th document (standing in for an eval set
+        // drawn from the corpus distribution); flag any corpus doc
+        // sharing a 5-gram with it
+        val d = tp(s, dir, "documents")
+        val bench = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("text").as("btext"))
+        TrainingSetOps.contaminationFlags(d, col("doc_id"), col("text"),
+            bench, col("btext"), k = 5)
+          .groupBy("contaminated").agg(count(lit(1)).as("n_docs"))
+          .orderBy("contaminated")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+             |    THEN list_transform(generate_series(0, len(toks) - 5),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END) AS s FROM t),
+             |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+             |hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bs USING (s))
+             |SELECT (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q60_paragraph_dedup",
+      (s, dir) => {
+        // plant paragraph structure: a corpus-wide disclaimer, a
+        // paragraph shared by every 7th doc, and a unique signature —
+        // only the FIRST global occurrence of each repeat may survive
+        val d2 = tp(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("COMMON DISCLAIMER APPLIES TO ALL DOCUMENTS"),
+            concat(lit("note "), pmod(col("doc_id"), lit(7))),
+            concat(lit("sig "), col("doc_id"))).as("text"))
+        TrainingSetOps.dedupParagraphs(d2, col("doc_id"), col("text"))
+          .withColumn("n_pars", size(split(col("text"), "\n")).cast(LongType))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, text || chr(10) || 'COMMON DISCLAIMER APPLIES TO ALL DOCUMENTS'
+             |    || chr(10) || ('note ' || (doc_id % 7)) || chr(10) || ('sig ' || doc_id) AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d2),
+             |e AS (SELECT doc_id, unnest(ls) AS par, unnest(range(len(ls))) AS pos FROM t),
+             |f AS (SELECT doc_id, par, pos FROM e WHERE trim(par) <> ''),
+             |k AS (SELECT doc_id, pos, par,
+             |        row_number() OVER (PARTITION BY trim(par) ORDER BY doc_id, pos) AS rn
+             |      FROM f)
+             |SELECT doc_id, array_to_string(list(par ORDER BY pos), chr(10)) AS text,
+             |  CAST(count(*) AS BIGINT) AS n_pars
+             |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q66_incremental_dedup",
+      (s, dir) => {
+        // snapshot refresh: every 3rd doc is the incoming batch; planted
+        // digests collide with the reference (dropped) or repeat within
+        // the batch (first id wins)
+        val d = tp(s, dir, "documents")
+        val incoming = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              concat(lit("SHARED SNAPSHOT DOC "), pmod(col("doc_id"), lit(4))))
+              .when(pmod(col("doc_id"), lit(9)) === 3,
+                concat(lit("BATCH LOCAL DUP "), pmod(col("doc_id"), lit(2))))
+              .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+        val reference = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("SHARED SNAPSHOT DOC "), pmod(col("doc_id"), lit(4))))
+            .otherwise(col("text")).as("rtext"))
+        val kept = TrainingSetOps.incrementalDedup(incoming, reference,
+          col("doc_id"), col("text"), col("rtext"))
+        val nInc = incoming.agg(count(lit(1)).as("n_incoming"))
+        kept.agg(count(lit(1)).as("n_kept"),
+            sum(when(col("text").startsWith("BATCH LOCAL DUP"), 1L)
+              .otherwise(0L)).as("n_batch_dup_kept"))
+          .crossJoin(broadcast(nInc))
+          .select("n_incoming", "n_kept", "n_batch_dup_kept")
+      },
+      Some("""WITH inc AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN 'SHARED SNAPSHOT DOC ' || (doc_id % 4)
+             |                      WHEN doc_id % 9 = 3 THEN 'BATCH LOCAL DUP ' || (doc_id % 2)
+             |                      ELSE text || ' v2' END AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |ref AS (
+             |  SELECT CASE WHEN doc_id % 5 = 1 THEN 'SHARED SNAPSHOT DOC ' || (doc_id % 4)
+             |              ELSE text END AS rtext
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |kept AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text,
+             |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM inc WHERE md5(text) NOT IN (SELECT md5(rtext) FROM ref)) s
+             |  WHERE rn = 1)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_incoming,
+             |  CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN text LIKE 'BATCH LOCAL DUP%' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup_kept
+             |FROM kept""".stripMargin)),
+
+    Q("q88_fuzzy_match",
+      (s, dir) => {
+        // Dirty-catalog entity resolution: part names with one
+        // deterministically dropped character matched back to the
+        // clean catalog within edit distance 2. Spark side is the
+        // q-gram-blocked join (candidates bounded by shared-gram
+        // occupancy, pruned by the distinct-gram count bound BEFORE
+        // any levenshtein); the oracle verifies every pair naively —
+        // the hash-match proves the blocking complete.
+        val names = t(s, dir, "part").select(col("p_name")).distinct()
+        val clean = names.select(col("p_name").as("id"), col("p_name").as("s"))
+        val dirty = names.select(
+          col("p_name").as("id"),
+          concat(substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3)")).as("s"))
+        FuzzyJoinOps.editDistanceJoin(dirty, clean, maxDist = 2, q = 3)
+          .select(col("l_id").as("dirty_name"), col("r_id").as("clean_name"),
+            col("dist"))
+          .orderBy("dirty_name", "clean_name")
+      },
+      Some("""WITH names AS (SELECT DISTINCT p_name FROM part),
+             |dirty AS (
+             |  SELECT p_name AS id,
+             |    substring(p_name, 1, 1) || substring(p_name, 3) AS s
+             |  FROM names)
+             |SELECT d.id AS dirty_name, n.p_name AS clean_name,
+             |  CAST(levenshtein(d.s, n.p_name) AS BIGINT) AS dist
+             |FROM dirty d JOIN names n
+             |  ON levenshtein(d.s, n.p_name) <= 2
+             |ORDER BY dirty_name, clean_name""".stripMargin)),
+
+    Q("q126_setsim_join",
+      (s, dir) => {
+        // Exact-recall near-dup pairs via prefix-filtered set-similarity
+        // join over distinct 3-gram shingle sets (Jaccard >= 0.6 as the
+        // rational 6/10 — integer verify, no float boundary rows). The
+        // oracle runs the naive all-pairs join, so the hash-match IS the
+        // completeness proof for the prefix blocking.
+        val docs = tp(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            array_distinct(TextOps.shingles(col("text"), 3)).as("toks"))
+        SetSimJoinOps.jaccardJoin(docs, tNum = 6, tDen = 10)
+          .withColumn("jaccard",
+            r4(col("inter").cast(DoubleType) / col("uni").cast(DoubleType)))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |d AS (
+             |  SELECT id, list_distinct(CASE WHEN len(w) >= 3
+             |    THEN list_transform(generate_series(0, len(w) - 3),
+             |           i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(w, ' ')] END) AS toks
+             |  FROM t),
+             |p AS (
+             |  SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+             |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+             |  FROM d a JOIN d b ON a.id < b.id)
+             |SELECT id_a, id_b, inter, uni,
+             |  floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |FROM p WHERE inter * 10 >= uni * 6 ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q129_semantic_dedup",
+      (s, dir) => {
+        // SemDeDup: k-means-cluster the embeddings (the SAME cached IVF
+        // fit q41/q70 search with), then greedily drop any vector whose
+        // cosine to a lower-id cluster mate is >= tau. The pair join
+        // never leaves a cluster — nlist bounds the quadratic term.
+        val corpus = tp(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.semanticDedup(corpus, tau = 0.4, nlist = 16,
+            cacheKey = Some(s"embeddings:$dir"))
+          .select(col("cid").as("vec_id"),
+            col("centroid_id").cast(IntegerType).as("cluster"))
+          .orderBy("vec_id")
+      },
+      // q41's full IVF-fit re-derivation, then the same greedy
+      // within-cluster prune relationally in SQL
+      Some(s"""$ivfOracleCtes,
+           |dropped AS (
+           |  SELECT DISTINCT b.cid FROM asgF a JOIN asgF b
+           |    ON a.kid = b.kid AND a.cid < b.cid
+           |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+           |SELECT a.cid AS vec_id, CAST(a.kid AS INT) AS cluster
+           |FROM asgF a LEFT JOIN dropped d ON d.cid = a.cid
+           |WHERE d.cid IS NULL
+           |ORDER BY vec_id""".stripMargin)),
+
+    Q("q135_source_overlap",
+      (s, dir) => {
+        // Pairwise source-level corpus overlap — the cross-source
+        // leakage diagnostic run before mixing corpora (is 'web'
+        // contaminated with 'wiki'?): exact Jaccard of each source's
+        // DISTINCT 3-gram shingle set, computed via one self-join on
+        // the shingle key. Scale shape: the (source, shingle) distinct
+        // frame is one shuffle; the self-join fans out at most
+        // S²/2 rows per shingle (S = #sources, a handful), then
+        // map-side combines into an S²-sized pair frame — never an
+        // all-pairs document join. Zero-overlap pairs are kept (the
+        // S²-row dim-only cross join is broadcast).
+        val sh = tp(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+          .distinct()
+          .pin()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val co = sh.as("a").join(sh.as("b"), "sh")
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        sizes.as("x").crossJoin(sizes.as("y"))
+          .filter(col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+            col("x.n").as("n_a"), col("y.n").as("n_b"))
+          .join(co, Seq("src_a", "src_b"), "left")
+          .na.fill(0L, Seq("n_common"))
+          .select(col("src_a"), col("src_b"), col("n_common"),
+            col("n_a"), col("n_b"),
+            expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+              .as("jaccard_fp"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |s3 AS (
+             |  SELECT source,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN list_transform(generate_series(0, len(toks) - 3),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh3
+             |  FROM t),
+             |sh AS (SELECT DISTINCT source, unnest(sh3) AS sh FROM s3),
+             |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+             |co AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT x.source AS src_a, y.source AS src_b,
+             |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+             |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+             |  CAST((1000000 * COALESCE(n_common, 0))
+             |    // (x.n + y.n - COALESCE(n_common, 0)) AS BIGINT) AS jaccard_fp
+             |FROM sz x JOIN sz y ON x.source < y.source
+             |LEFT JOIN co ON co.src_a = x.source AND co.src_b = y.source
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    Q("q137_passage_neardup",
+      (s, dir) => {
+        // Passage-level cross-document near-dup detection: q99's
+        // overlapping 64-token chunk grid, MinHash+LSH over the CHUNKS
+        // (the same portable signature pipeline as q35 — band-bucket
+        // join, never all-pairs), candidates restricted to chunks of
+        // DIFFERENT documents, rolled up to (doc_a, doc_b) with the
+        // matching-chunk count — catches documents that share an
+        // edited passage but are globally dissimilar, which
+        // whole-document MinHash (q35) misses by design. Chunk ids
+        // pack (doc_id, grid position) into one long (position <
+        // 1e6 — 48M tokens/doc — ENFORCED: PackedIds.packGridId
+        // raise_errors on out-of-envelope ids rather than silently
+        // colliding across documents); cid ordering therefore implies
+        // doc_a <= doc_b, and the cross-doc filter makes it strict.
+        val winSize = 64
+        val stride = 48
+        val chunks = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+              .as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+              .as(Seq("chunk_id", "st")),
+            col("toks"))
+          .select(
+            graft.functions.PackedIds.packGridId(col("doc_id"), col("chunk_id"))
+              .as("cid"),
+            array_join(slice(col("toks"), col("st") + 1, lit(winSize)), " ")
+              .as("ctext"))
+        DedupOps.minhashCandidatePairs(chunks, col("cid"), col("ctext"))
+          .filter(col("est_jaccard") >= 0.5)
+          .filter(expr("id_a div 1000000") =!= expr("id_b div 1000000"))
+          .groupBy(expr("id_a div 1000000").as("doc_a"),
+            expr("id_b div 1000000").as("doc_b"))
+          .agg(count(lit(1)).as("n_chunk_pairs"),
+            r4(max(col("est_jaccard"))).as("max_est"))
+          .orderBy("doc_a", "doc_b")
+      },
+      // q99's chunk grid + q35's full signature/band re-derivation,
+      // composed: DuckDB rebuilds every chunk signature from scratch
+      Some(s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+             |ch AS (
+             |  SELECT doc_id * 1000000 + (start // 48) AS cid,
+             |    array_to_string(toks[start + 1 : start + 64], ' ') AS ctext
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(0, n - 1, 48)) AS start FROM nz)),
+             |t AS (SELECT cid, string_split_regex(trim(ctext), '\\s+') AS toks FROM ch),
+             |s AS (
+             |  SELECT cid, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT cid, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT cid, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT cid, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.cid AS id_a, c.cid AS id_b, a.sig AS sig_a, c.sig AS sig_b
+             |  FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket AND a.cid < c.cid),
+             |f AS (
+             |  SELECT id_a // 1000000 AS doc_a, id_b // 1000000 AS doc_b,
+             |    len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 AS est
+             |  FROM p
+             |  WHERE len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
+             |    AND id_a // 1000000 <> id_b // 1000000)
+             |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_chunk_pairs,
+             |  floor(max(est) * 10000.0 + 0.5) / 10000.0 AS max_est
+             |FROM f GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("q139_exact_substring_spans",
+      (s, dir) =>
+        // ExactSubstr dedup profiling (Lee et al., arXiv:2107.06499) via
+        // rolling 8-token grams + gaps-and-islands span reassembly — the
+        // boilerplate/license-header detector that whole-doc MinHash
+        // (q35) and the chunk grid (q137) both miss. Plan shape is in
+        // ExactSubstrOps: one gram count shuffle (map-side combined), a
+        // LEFT SEMI feedback join, per-document windows; never
+        // all-pairs. Top-50 most-covered documents.
+        ExactSubstrOps.dupSpanProfile(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+          .orderBy(col("coverage_fp").desc, col("doc_id"))
+          .limit(50),
+      Some(exactSubstrOracleSql(l = 8, mergeGap = 0, limit = 50))),
+
+    Q("q194_exact_substring_l20",
+      (s, dir) =>
+        // The LONGER-GRAM ExactSubstr operating point (Lee et al. use a
+        // 50-token match floor on web-scale docs; this corpus's median
+        // doc is ~56 tokens, so 20 tokens is the equivalent "only long
+        // verbatim passages count" regime) with a nonzero span-merge
+        // distance: duplicate ranges separated by <= 4 clean tokens
+        // merge into one reported span, so a one-word edit inside a
+        // boilerplate block doesn't split the report. Same plan shape
+        // as q139 — one gram-count shuffle, LEFT SEMI feedback,
+        // per-document windows.
+        ExactSubstrOps.dupSpanProfile(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), l = 20, minOccurrences = 2L,
+            mergeGap = 4)
+          .orderBy(col("coverage_fp").desc, col("doc_id"))
+          .limit(50),
+      Some(exactSubstrOracleSql(l = 20, mergeGap = 4, limit = 50))),
+
+    Q("q143_strip_dup_spans",
+      (s, dir) =>
+        // The APPLY side of q139: rebuild each affected document with
+        // its duplicated spans removed (strip-everywhere policy — see
+        // ExactSubstrOps.stripDupSpans scaladoc) and return the 50 most-
+        // reduced documents WITH the reconstructed text, so the oracle
+        // proves the actual byte-level rewrite, not just the counts.
+        ExactSubstrOps.stripDupSpans(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+          .orderBy(col("removed_tokens").desc, col("doc_id"))
+          .limit(50),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |nz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d
+             |  WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+             |dp AS (SELECT doc_id, n, pos FROM g
+             |  WHERE gkey IN (SELECT gkey FROM dup)),
+             |m AS (SELECT doc_id, n, pos,
+             |  max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM dp),
+             |mk AS (SELECT doc_id, n, pos,
+             |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM m),
+             |sp AS (SELECT doc_id, n, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM mk),
+             |spans AS (SELECT doc_id, n, span_id, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM sp GROUP BY 1, 2, 3),
+             |cov AS (SELECT doc_id, unnest(generate_series(CAST(st AS INT),
+             |    CAST(en AS INT))) AS pos FROM spans),
+             |allpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 1)) AS pos FROM nz),
+             |tokpos AS (SELECT doc_id, n, pos, t[pos + 1] AS tok FROM allpos),
+             |kept AS (SELECT k.doc_id, k.n, k.pos, k.tok FROM tokpos k
+             |  ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos),
+             |reb AS (SELECT doc_id, n,
+             |    CAST(count(*) AS BIGINT) AS kept_tokens,
+             |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+             |  FROM kept GROUP BY doc_id, n),
+             |aff AS (SELECT DISTINCT doc_id, n FROM spans)
+             |SELECT aff.doc_id, aff.n AS n_tokens,
+             |  COALESCE(kept_tokens, 0) AS kept_tokens,
+             |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
+             |  COALESCE(cleaned_text, '') AS cleaned_text
+             |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
+             |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin)),
+
+    Q("q145_keep_one_dedup",
+      (s, dir) =>
+        // Lee-faithful keep-one ExactSubstr apply: each duplicated gram
+        // elects the corpus-min (doc_id, pos) occurrence as canonical;
+        // a position is stripped only when no covering gram occurrence
+        // is canonical — so the FIRST copy of every duplicated passage
+        // survives verbatim (q143 strips all copies). Election is one
+        // grouped min per gram key; no cross-doc pairing anywhere.
+        ExactSubstrOps.stripDupSpansKeepOne(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+          .orderBy(col("removed_tokens").desc, col("doc_id"))
+          .limit(50),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |nz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d
+             |  WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+             |dp2 AS (SELECT doc_id, n, pos, gkey FROM g
+             |  WHERE gkey IN (SELECT gkey FROM dup)),
+             |canon AS (SELECT gkey, doc_id AS cdoc, pos AS cpos FROM (
+             |  SELECT gkey, doc_id, pos,
+             |    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rn
+             |  FROM dp2) WHERE rn = 1),
+             |occf AS (SELECT d2.doc_id, d2.n, d2.pos,
+             |  CASE WHEN d2.doc_id = c.cdoc AND d2.pos = c.cpos THEN 1 ELSE 0 END AS ic
+             |  FROM dp2 d2 JOIN canon c USING (gkey)),
+             |pc AS (SELECT doc_id, n, pos + unnest(generate_series(0, 7)) AS p, ic
+             |  FROM occf),
+             |pcov AS (SELECT doc_id, n, p, max(ic) AS keep FROM pc GROUP BY 1, 2, 3),
+             |strip AS (SELECT doc_id, n, p AS pos FROM pcov WHERE keep = 0),
+             |allpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 1)) AS pos FROM nz),
+             |tokpos AS (SELECT doc_id, n, pos, t[pos + 1] AS tok FROM allpos),
+             |kept AS (SELECT k.doc_id, k.n, k.pos, k.tok FROM tokpos k
+             |  ANTI JOIN strip s ON k.doc_id = s.doc_id AND k.pos = s.pos),
+             |reb AS (SELECT doc_id, n,
+             |    CAST(count(*) AS BIGINT) AS kept_tokens,
+             |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+             |  FROM kept GROUP BY doc_id, n),
+             |aff AS (SELECT DISTINCT doc_id, n FROM strip)
+             |SELECT aff.doc_id, aff.n AS n_tokens,
+             |  COALESCE(kept_tokens, 0) AS kept_tokens,
+             |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
+             |  COALESCE(cleaned_text, '') AS cleaned_text
+             |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
+             |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin)),
+
+    Q("q155_span_decontamination",
+      (s, dir) => {
+        // Span-level decontamination audit: which train documents
+        // contain verbatim ≥8-token passages from the benchmark slice
+        // (sources src0–src3 stand in for the eval suite)? Doc-level
+        // decontamination (q53) drops whole documents on any 13-gram
+        // hit; this measures WHERE and HOW MUCH — per-doc maximal
+        // contaminated spans and token fraction, the evidence you want
+        // before choosing drop-vs-excise. Plan shape in ExactSubstrOps:
+        // benchmark keys are one distinct on 8-byte gram keys, the scan
+        // is a LEFT SEMI join, islands merge per-doc — never all-pairs.
+        ExactSubstrOps.crossContamination(tp(s, dir, "documents"),
+            col("doc_id"), col("text"),
+            col("source").isin("src0", "src1", "src2", "src3"), l = 8)
+          .orderBy(col("contamination_fp").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_bench,
+             |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |nz AS (SELECT doc_id, is_bench, t, CAST(len(t) AS BIGINT) AS n
+             |  FROM d WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, is_bench, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, is_bench, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |bk AS (SELECT DISTINCT gkey FROM g WHERE is_bench),
+             |dp AS (SELECT doc_id, n, pos FROM g
+             |  WHERE NOT is_bench AND gkey IN (SELECT gkey FROM bk)),
+             |m AS (SELECT doc_id, n, pos,
+             |  max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM dp),
+             |mk AS (SELECT doc_id, n, pos,
+             |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM m),
+             |sp AS (SELECT doc_id, n, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM mk),
+             |spans AS (SELECT doc_id, n, span_id, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM sp GROUP BY 1, 2, 3),
+             |outp AS (SELECT doc_id, count(*) AS n_spans,
+             |  sum(en - st + 1) AS contam_tokens, n AS n_tokens
+             |  FROM spans GROUP BY doc_id, n)
+             |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+             |  CAST(contam_tokens AS BIGINT) AS contam_tokens, n_tokens,
+             |  CAST((10000 * contam_tokens) // n_tokens AS BIGINT)
+             |    AS contamination_fp
+             |FROM outp ORDER BY contamination_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("q156_blocking_quality",
+      (s, dir) => {
+        // Blocking-quality evaluation for the q88 fuzzy-join: reduction
+        // ratio (pairs pruned before the levenshtein verify) and pair
+        // completeness (true matches surviving the blocking) — the two
+        // standard record-linkage blocking metrics (Christen, TKDE'12).
+        // Ground truth is the NAIVE quadratic join over a deterministic
+        // 5% name sample — exactly how you'd calibrate blocking on
+        // 100 TB: brute-force a bounded sample, then trust the measured
+        // completeness for the full run (here it is provably 10000 —
+        // the gram-count bound is lossless — and the eval DEMONSTRATES
+        // it rather than assuming it). All counts are 1-row broadcast
+        // frames; only the sampled quadratic join is ever materialized.
+        val names = t(s, dir, "part")
+          .filter(col("p_partkey") % 20 === 0)
+          .select(col("p_name")).distinct()
+        val clean = names.select(col("p_name").as("id"), col("p_name").as("s"))
+        val dirty = names.select(col("p_name").as("id"),
+          concat(substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3)")).as("s"))
+        val cand = FuzzyJoinOps.candidatePairs(dirty, clean, maxDist = 2, q = 3)
+          .pin()
+        val found = cand
+          .filter(levenshtein(col("l_s"), col("r_s")) <= 2)
+        val truth = dirty.select(col("s").as("ds"))
+          .crossJoin(clean.select(col("s").as("cs")))
+          .filter(levenshtein(col("ds"), col("cs")) <= 2)
+        dirty.agg(count(lit(1)).as("n_left"))
+          .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_right"))))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+          .select(col("n_left"), col("n_right"), col("n_candidates"),
+            col("n_true"), col("n_found"),
+            expr("(10000 * (n_left * n_right - n_candidates)) div (n_left * n_right)")
+              .as("reduction_fp"),
+            expr("(10000 * n_found) div n_true").as("completeness_fp"))
+      },
+      Some("""WITH names AS (
+             |  SELECT DISTINCT p_name FROM part WHERE p_partkey % 20 = 0),
+             |cl AS (SELECT p_name AS id, p_name AS s FROM names),
+             |dt AS (SELECT p_name AS id,
+             |  substring(p_name, 1, 1) || substring(p_name, 3) AS s FROM names),
+             |lg0 AS (SELECT id, s,
+             |  list_distinct(list_transform(generate_series(1, greatest(length(s) - 2, 0)),
+             |    i -> substring(s, i, 3))) AS g FROM dt),
+             |rg0 AS (SELECT id, s,
+             |  list_distinct(list_transform(generate_series(1, greatest(length(s) - 2, 0)),
+             |    i -> substring(s, i, 3))) AS g FROM cl),
+             |lg AS (SELECT id AS l_id, unnest(g) AS gr FROM lg0),
+             |rg AS (SELECT id AS r_id, unnest(g) AS gr FROM rg0),
+             |sh AS (SELECT l_id, r_id, count(*) AS shared
+             |  FROM lg JOIN rg USING (gr) GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT sh.l_id, sh.r_id, lg0.s AS l_s, rg0.s AS r_s
+             |  FROM sh JOIN lg0 ON lg0.id = sh.l_id JOIN rg0 ON rg0.id = sh.r_id
+             |  WHERE abs(length(lg0.s) - length(rg0.s)) <= 2
+             |    AND sh.shared >= greatest(len(lg0.g), len(rg0.g)) - 6),
+             |found AS (SELECT l_id FROM cand WHERE levenshtein(l_s, r_s) <= 2),
+             |troo AS (SELECT dt.id FROM dt CROSS JOIN cl
+             |  WHERE levenshtein(dt.s, cl.s) <= 2),
+             |st AS (
+             |  SELECT (SELECT count(*) FROM dt) AS n_left,
+             |    (SELECT count(*) FROM cl) AS n_right,
+             |    (SELECT count(*) FROM cand) AS n_candidates,
+             |    (SELECT count(*) FROM troo) AS n_true,
+             |    (SELECT count(*) FROM found) AS n_found)
+             |SELECT CAST(n_left AS BIGINT) AS n_left,
+             |  CAST(n_right AS BIGINT) AS n_right,
+             |  CAST(n_candidates AS BIGINT) AS n_candidates,
+             |  CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(n_found AS BIGINT) AS n_found,
+             |  CAST((10000 * (n_left * n_right - n_candidates))
+             |    // (n_left * n_right) AS BIGINT) AS reduction_fp,
+             |  CAST((10000 * n_found) // n_true AS BIGINT) AS completeness_fp
+             |FROM st""".stripMargin)),
+
+    Q("q158_minhash_calibration",
+      (s, dir) => {
+        // MinHash estimator calibration: for every LSH candidate pair,
+        // the signature-agreement Jaccard estimate (k matching rows /
+        // 32) next to the EXACT 3-gram Jaccard and the absolute error —
+        // the measurement that tells you whether 32 hashes and an 0.5
+        // threshold are adequate before keying a 100 TB dedup on them
+        // (q144 is the same discipline for the ANN indexes). Candidate
+        // generation and signatures are the production q35 path
+        // (portable hash family); BOTH corpus-sized inputs — candidate
+        // pairs and per-doc shingle sets — are the session-shared
+        // materializations (QueryHelpers), so the whole query is
+        // candidate-sized beyond the family's one-time build.
+        val sd = shingleSets(s, dir)
+        minhashPairs(s, dir)
+          .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+          .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            r4(col("est_jaccard")).as("est_jaccard"),
+            r4(DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b")))
+              .as("exact_jaccard"),
+            r4(abs(col("est_jaccard") -
+              DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))))
+              .as("abs_err"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |    len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) / 32.0 AS est
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |j AS (
+             |  SELECT p.id_a, p.id_b, p.est,
+             |    CASE WHEN (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) > 0
+             |      THEN CAST(len(list_intersect(sa.sd, sb.sd)) AS DOUBLE)
+             |        / (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd)))
+             |      ELSE 0.0 END AS ex
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b)
+             |SELECT id_a, id_b,
+             |  floor(est * 10000.0 + 0.5) / 10000.0 AS est_jaccard,
+             |  floor(ex * 10000.0 + 0.5) / 10000.0 AS exact_jaccard,
+             |  floor(abs(est - ex) * 10000.0 + 0.5) / 10000.0 AS abs_err
+             |FROM j ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q166_dedup_roi",
+      (s, dir) => {
+        // Dedup ROI by duplicate-class size: for each class size, how
+        // many classes exist, how many documents and tokens a
+        // keep-first (min doc_id) dedup would remove — the report that
+        // prices a dedup pass BEFORE running it at 100 TB (classes of
+        // size 2 dominate the count; one size-1000 class dominates the
+        // savings). Classes are fingerprint collisions (q44's
+        // deterministic min-md5-5-gram candidate generator, so the
+        // oracle re-derives them exactly); the plan is one fingerprint
+        // pass + a class-sized rollup + a size-sized rollup — the
+        // canonical survivor's tokens ride the SAME aggregation as a
+        // struct-min, no second join back to the corpus.
+        val fps = tp(s, dir, "documents")
+          .select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"),
+            TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        fps.groupBy("fp")
+          .agg(count(lit(1)).as("csize"),
+            sum("n_tokens").as("toks"),
+            min(struct(col("doc_id"), col("n_tokens"))).as("canon"))
+          .select(col("csize"), col("toks"),
+            col("canon").getField("n_tokens").as("keep_toks"))
+          .groupBy("csize")
+          .agg(count(lit(1)).as("n_classes"),
+            sum(col("csize") - 1).as("docs_removed"),
+            sum("toks").as("tokens_total"),
+            sum(col("toks") - col("keep_toks")).as("tokens_removed"))
+          .orderBy("csize")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CASE WHEN len(toks) >= 5
+             |      THEN list_transform(generate_series(0, len(toks) - 5),
+             |             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(toks, ' ')] END AS sh
+             |  FROM t),
+             |f AS (
+             |  SELECT doc_id, n_tokens,
+             |    list_min(list_transform(sh, x -> md5(x))) AS fp
+             |  FROM s),
+             |cls AS (
+             |  SELECT fp, CAST(count(*) AS BIGINT) AS csize,
+             |    CAST(sum(n_tokens) AS BIGINT) AS toks,
+             |    CAST(arg_min(n_tokens, doc_id) AS BIGINT) AS keep_toks
+             |  FROM f GROUP BY 1)
+             |SELECT csize, CAST(count(*) AS BIGINT) AS n_classes,
+             |  CAST(sum(csize - 1) AS BIGINT) AS docs_removed,
+             |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+             |  CAST(sum(toks - keep_toks) AS BIGINT) AS tokens_removed
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q172_neardup_threshold_sweep",
+      (s, dir) => {
+        // Threshold sensitivity of MinHash near-dedup: for est-Jaccard
+        // cuts 0.5–0.9, how many candidate pairs survive, how many
+        // documents are touched, and how many a greedy pairwise
+        // keep-smaller-id pass would drop — the sweep a corpus owner
+        // reads before fixing the q35 threshold for a 100 TB dedup (the
+        // knee of pairs_ge vs t is the operating point). Candidates
+        // come from the SESSION-SHARED production banding frame
+        // (QueryHelpers.minhashPairs) fanned ×5 by a literal threshold
+        // array; everything after is candidate-pair-sized. Thresholds
+        // compare as t/10.0 — the identical double in both engines;
+        // est values are k/32, which never manufactures a tie against
+        // t/10 except the exact 0.5, handled identically by >= on both
+        // sides.
+        val pairs = minhashPairs(s, dir)
+        val f = pairs
+          .select(col("id_a"), col("id_b"), col("est_jaccard"),
+            explode(array((5 to 9).map(t => lit(t.toLong)): _*)).as("t10"))
+          .filter(col("est_jaccard") >= col("t10") / lit(10.0))
+          .pin()
+        val touched = f
+          .select(col("t10"), explode(array(col("id_a"), col("id_b"))).as("d"))
+          .groupBy("t10").agg(countDistinct("d").as("docs_touched"))
+        f.groupBy("t10")
+          .agg(count(lit(1)).as("pairs_ge"),
+            countDistinct("id_b").as("docs_removed_greedy"))
+          .join(touched, "t10")
+          .orderBy("t10")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |    len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) / 32.0 AS est
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |th AS (SELECT CAST(unnest(generate_series(5, 9)) AS BIGINT) AS t10),
+             |f AS (
+             |  SELECT th.t10, p.id_a, p.id_b FROM p CROSS JOIN th
+             |  WHERE p.est >= th.t10 / 10.0),
+             |tc AS (
+             |  SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS docs_touched
+             |  FROM (SELECT t10, unnest([id_a, id_b]) AS d FROM f) GROUP BY 1)
+             |SELECT f.t10, CAST(count(*) AS BIGINT) AS pairs_ge,
+             |  CAST(count(DISTINCT f.id_b) AS BIGINT) AS docs_removed_greedy,
+             |  tc.docs_touched
+             |FROM f JOIN tc USING (t10)
+             |GROUP BY f.t10, tc.docs_touched
+             |ORDER BY f.t10""".stripMargin)),
+
+    Q("q175_normalization_dedup_lift",
+      (s, dir) => {
+        // What text normalization buys the deduper: per source, docs in
+        // exact-dup classes BEFORE (raw md5) vs AFTER normalization
+        // (lower + control/zero-width strip + whitespace collapse —
+        // TextOps.normalize, built inside the Java-regex/RE2 common
+        // subset precisely so this oracle can mirror it), and the lift.
+        // Raw-identical texts normalize identically, so lift ≥ 0 by
+        // construction (spec-pinned). Two digest passes over one pinned
+        // scan; class memberships are map-side-combined count joins.
+        val d = tp(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("text")).as("dr"),
+            md5(TextOps.normalize(col("text"))).as("dn"))
+          .pin()
+        val rFlag = d
+          .join(d.groupBy("dr").agg(count(lit(1)).as("rc")), "dr")
+          .select(col("doc_id"), (col("rc") >= 2).cast(LongType).as("is_raw"))
+        val nFlag = d
+          .join(d.groupBy("dn").agg(count(lit(1)).as("nc")), "dn")
+          .select(col("doc_id"), (col("nc") >= 2).cast(LongType).as("is_norm"))
+        d.select("doc_id", "source")
+          .join(rFlag, "doc_id").join(nFlag, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("is_raw").as("raw_dup_docs"),
+            sum("is_norm").as("norm_dup_docs"))
+          .select(col("source"), col("n_docs"), col("raw_dup_docs"),
+            col("norm_dup_docs"),
+            (col("norm_dup_docs") - col("raw_dup_docs")).as("lift_docs"),
+            expr("(10000 * norm_dup_docs) div n_docs").as("norm_rate_fp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, source, md5(text) AS dr,
+             |    md5(lower(trim(regexp_replace(regexp_replace(text,
+             |      '[\\x00-\\x08\\x0e-\\x1f\\x7f' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+             |      '\\s+', ' ', 'g')))) AS dn
+             |  FROM documents),
+             |rc AS (SELECT dr, count(*) AS rc FROM d GROUP BY 1),
+             |nc AS (SELECT dn, count(*) AS nc FROM d GROUP BY 1),
+             |fl AS (
+             |  SELECT d.doc_id, d.source,
+             |    CASE WHEN rc.rc >= 2 THEN 1 ELSE 0 END AS is_raw,
+             |    CASE WHEN nc.nc >= 2 THEN 1 ELSE 0 END AS is_norm
+             |  FROM d JOIN rc USING (dr) JOIN nc USING (dn))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(is_raw) AS BIGINT) AS raw_dup_docs,
+             |  CAST(sum(is_norm) AS BIGINT) AS norm_dup_docs,
+             |  CAST(sum(is_norm) - sum(is_raw) AS BIGINT) AS lift_docs,
+             |  CAST((10000 * sum(is_norm)) // count(*) AS BIGINT) AS norm_rate_fp
+             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q176_lsh_band_sensitivity",
+      (s, dir) => {
+        // LSH S-curve operating points: the SAME 32-hash signatures
+        // banded three ways (4×8, 8×4, 16×2), each config scored by
+        // candidate volume and PRECISION (exact 3-gram Jaccard ≥ 0.5
+        // verified on candidates only — never all-pairs, so the
+        // diagnostic itself has the production scale shape). More
+        // bands/shorter rows → more candidates, lower precision; this
+        // is the measured curve a 100 TB dedup owner picks a banding
+        // from (q158 calibrates the estimator, this calibrates the
+        // blocking). ONE signature pass is shared by all three configs
+        // (pinned); the shingle sets are the session-shared frame.
+        val docs = tp(s, dir, "documents")
+        val sigs = DedupOps.minhashSignatures(docs, col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 32).pin()
+        val sd = shingleSets(s, dir)
+        val perConfig = Seq(4, 8, 16).map { b =>
+          DedupOps.candidatePairsFromSignatures(sigs, numHashes = 32, bands = b)
+            .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+            .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+            .select((DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))
+              >= 0.5).cast(LongType).as("is_true"))
+            .agg(count(lit(1)).as("n_candidates"),
+              coalesce(sum("is_true"), lit(0L)).as("n_true"))
+            .select(lit(b.toLong).as("bands"), lit((32 / b).toLong).as("rows_per_band"),
+              col("n_candidates"), col("n_true"))
+        }
+        perConfig.reduce(_ unionByName _)
+          .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+            col("n_true"),
+            when(col("n_candidates") > 0,
+              expr("(10000 * n_true) div n_candidates")).otherwise(0L)
+              .as("precision_fp"))
+          .orderBy("bands")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2)) AS v(bands, rpb)),
+             |bk AS (
+             |  SELECT c.bands, g.doc_id, g.sig, bb.band,
+             |    array_to_string(list_slice(g.sig, bb.band * c.rpb + 1, bb.band * c.rpb + c.rpb), ',') AS bucket
+             |  FROM sig g CROSS JOIN cfg c
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bb
+             |  WHERE bb.band < c.bands),
+             |p AS (
+             |  SELECT DISTINCT a.bands, a.doc_id AS id_a, b2.doc_id AS id_b
+             |  FROM bk a JOIN bk b2
+             |    ON a.bands = b2.bands AND a.band = b2.band
+             |    AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+             |j AS (
+             |  SELECT p.bands,
+             |    CASE WHEN (CASE WHEN (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) > 0
+             |      THEN CAST(len(list_intersect(sa.sd, sb.sd)) AS DOUBLE)
+             |        / (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd)))
+             |      ELSE 0.0 END) >= 0.5 THEN 1 ELSE 0 END AS is_true
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b),
+             |res AS (
+             |  SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates,
+             |    CAST(sum(is_true) AS BIGINT) AS n_true
+             |  FROM j GROUP BY 1)
+             |SELECT CAST(c.bands AS BIGINT) AS bands,
+             |  CAST(c.rpb AS BIGINT) AS rows_per_band,
+             |  COALESCE(r.n_candidates, 0) AS n_candidates,
+             |  COALESCE(r.n_true, 0) AS n_true,
+             |  CASE WHEN COALESCE(r.n_candidates, 0) > 0
+             |    THEN CAST((10000 * r.n_true) // r.n_candidates AS BIGINT)
+             |    ELSE 0 END AS precision_fp
+             |FROM cfg c LEFT JOIN res r USING (bands)
+             |ORDER BY bands""".stripMargin)),
+
+    Q("q177_dup_quality_interaction",
+      (s, dir) => {
+        // Do duplicated documents skew low-quality? Per source: mean
+        // q31 quality (exact integer means of per-doc 1e6-floored
+        // scores — no float-summation sensitivity) of docs inside
+        // fingerprint dup classes vs unique docs, and the delta — the
+        // evidence for/against "dedup doubles as a quality filter" on
+        // THIS corpus, per source. Shares the q44 fingerprint
+        // generator and the q167 score fixed-pointing; one scan,
+        // two count-join rollups.
+        val d = tp(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.fingerprint(col("text"), 5).as("fp"),
+            floor(TextOps.qualityScore(col("text")) * 1e6 + 0.5)
+              .cast(LongType).as("score_fp"))
+          .pin()
+        d.join(d.groupBy("fp").agg(count(lit(1)).as("copies")), "fp")
+          .select(col("source"), col("score_fp"),
+            (col("copies") >= 2).cast(LongType).as("is_dup"))
+          .groupBy("source")
+          .agg(sum("is_dup").as("n_dup"),
+            sum(col("is_dup") * col("score_fp")).as("sq_dup"),
+            sum(lit(1L) - col("is_dup")).as("n_uniq"),
+            sum((lit(1L) - col("is_dup")) * col("score_fp")).as("sq_uniq"))
+          .select(col("source"), col("n_dup"),
+            when(col("n_dup") > 0, expr("sq_dup div n_dup")).otherwise(0L)
+              .as("mean_q_dup_fp"),
+            col("n_uniq"),
+            when(col("n_uniq") > 0, expr("sq_uniq div n_uniq")).otherwise(0L)
+              .as("mean_q_uniq_fp"))
+          .withColumn("delta_fp",
+            col("mean_q_uniq_fp") - col("mean_q_dup_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, text,
+             |    string_split_regex(trim(text), '\s+') AS t,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    CAST(floor((least(n_tokens / 64.0, 1.0) * 0.4
+             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) AS BIGINT) AS score_fp,
+             |    CASE WHEN len(t) >= 5
+             |      THEN list_transform(generate_series(0, len(t) - 5),
+             |             i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+             |      ELSE [array_to_string(t, ' ')] END AS sh
+             |  FROM toks),
+             |f AS (SELECT doc_id, source, score_fp,
+             |  list_min(list_transform(sh, x -> md5(x))) AS fp FROM q),
+             |fc AS (SELECT fp, count(*) AS copies FROM f GROUP BY 1),
+             |fl AS (
+             |  SELECT f.source, f.score_fp,
+             |    CASE WHEN fc.copies >= 2 THEN 1 ELSE 0 END AS is_dup
+             |  FROM f JOIN fc USING (fp))
+             |SELECT source,
+             |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+             |  CASE WHEN sum(is_dup) > 0
+             |    THEN CAST(sum(is_dup * score_fp) // sum(is_dup) AS BIGINT)
+             |    ELSE 0 END AS mean_q_dup_fp,
+             |  CAST(sum(1 - is_dup) AS BIGINT) AS n_uniq,
+             |  CASE WHEN sum(1 - is_dup) > 0
+             |    THEN CAST(sum((1 - is_dup) * score_fp) // sum(1 - is_dup) AS BIGINT)
+             |    ELSE 0 END AS mean_q_uniq_fp,
+             |  (CASE WHEN sum(1 - is_dup) > 0
+             |    THEN CAST(sum((1 - is_dup) * score_fp) // sum(1 - is_dup) AS BIGINT)
+             |    ELSE 0 END)
+             |  - (CASE WHEN sum(is_dup) > 0
+             |    THEN CAST(sum(is_dup * score_fp) // sum(is_dup) AS BIGINT)
+             |    ELSE 0 END) AS delta_fp
+             |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q181_bbit_minhash",
+      (s, dir) => {
+        // b-bit MinHash (Li & König, CACM 2011) storage-compression
+        // audit: keep only the LOWEST BIT of each of the 32 signature
+        // values (32× smaller signatures — the difference between
+        // shipping 256 B and 8 B per doc across a 100 TB shuffle) and
+        // compare, on the production LSH candidate pairs, the 1-bit
+        // estimator Ĵ = max(0, 2·E−1) (E = bit-agreement fraction;
+        // the −1 removes the 1/2 chance-collision floor) against the
+        // full 32-hash estimate and the exact 3-gram Jaccard — the
+        // measured answer to "can the dedup signatures be packed 32×
+        // before the estimator noise swamps the 0.5 threshold".
+        // Exactness: agreement counts are integers; 10000·(2a−32)/32 =
+        // 625·(a−16) exactly, so every output is a pure long. One
+        // signature pass (pinned, shared by band join and estimate),
+        // candidates never all-pairs, exact verify only on candidates —
+        // the q158 discipline with the sig frame joined back twice.
+        val docs = tp(s, dir, "documents")
+        val sigs = DedupOps.minhashSignatures(
+          docs, col("doc_id"), col("text"), 3, 32).pin()
+        val sd = shingleSets(s, dir)
+        DedupOps.candidatePairsFromSignatures(sigs)
+          .select(col("id_a"), col("id_b"))
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+          .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+          .withColumn("agree32",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v))
+          .withColumn("agree1",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x % 2 === y % 2, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v))
+          .withColumn("inter", size(array_intersect(col("sd_a"), col("sd_b"))).cast(LongType))
+          .withColumn("uni",
+            size(col("sd_a")) + size(col("sd_b")) -
+              size(array_intersect(col("sd_a"), col("sd_b"))))
+          .select(col("id_a"), col("id_b"),
+            expr("(10000 * agree32) div 32").as("est32_fp"),
+            greatest(lit(0L), lit(625L) * (col("agree1") - 16)).as("est1bit_fp"),
+            when(col("uni") > 0, expr("(10000 * inter) div uni"))
+              .otherwise(0L).as("exact_fp"))
+          .withColumn("err32", abs(col("est32_fp") - col("exact_fp")))
+          .withColumn("err1bit", abs(col("est1bit_fp") - col("exact_fp")))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             |    CAST(len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) AS BIGINT) AS agree32,
+             |    CAST(len(list_filter(generate_series(1, 32), i -> a.sig[i] % 2 = c.sig[i] % 2)) AS BIGINT) AS agree1
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |j AS (
+             |  SELECT p.id_a, p.id_b, p.agree32, p.agree1,
+             |    CAST(len(list_intersect(sa.sd, sb.sd)) AS BIGINT) AS inter,
+             |    CAST(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd)) AS BIGINT) AS uni
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b)
+             |SELECT id_a, id_b,
+             |  CAST((10000 * agree32) // 32 AS BIGINT) AS est32_fp,
+             |  CAST(greatest(0, 625 * (agree1 - 16)) AS BIGINT) AS est1bit_fp,
+             |  CAST(CASE WHEN uni > 0 THEN (10000 * inter) // uni ELSE 0 END AS BIGINT) AS exact_fp,
+             |  CAST(abs((10000 * agree32) // 32
+             |    - (CASE WHEN uni > 0 THEN (10000 * inter) // uni ELSE 0 END)) AS BIGINT) AS err32,
+             |  CAST(abs(greatest(0, 625 * (agree1 - 16))
+             |    - (CASE WHEN uni > 0 THEN (10000 * inter) // uni ELSE 0 END)) AS BIGINT) AS err1bit
+             |FROM j ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q185_containment_dup",
+      (s, dir) => {
+        // Asymmetric containment audit (Broder 1997's containment
+        // coefficient c(A,B) = |A∩B|/|A|): symmetric Jaccard
+        // structurally under-scores subset relations — a 100-line
+        // license header fully contained in a 10k-line file has
+        // Jaccard ≈ 0.01 but containment ≈ 1 — so each LSH candidate
+        // pair gets both direction-resolved coefficients and a
+        // classification: near_dup (Jaccard ≥ 0.8), containment
+        // (either direction ≥ 0.8), partial_overlap. Candidates come
+        // from the production Jaccard-LSH path, so the report
+        // DIAGNOSES asymmetry among Jaccard candidates; pairs whose
+        // containment exists WITHOUT signature similarity are q139's
+        // (span-level) job by design. Exact verification confined to
+        // candidates; the shingle-set frame and the candidate pairs are
+        // the session-shared materializations (QueryHelpers), so the
+        // corpus-sized shingle build the ×100 rehearsal flagged here is
+        // paid once per session, not once per query.
+        val sd = shingleSets(s, dir)
+        minhashPairs(s, dir)
+          .select("id_a", "id_b")
+          .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+          .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("sd_a"), col("sd_b"))).cast(LongType))
+          .withColumn("na", size(col("sd_a")).cast(LongType))
+          .withColumn("nb", size(col("sd_b")).cast(LongType))
+          .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+            expr("(10000 * inter) div (na + nb - inter)").as("jaccard_fp"),
+            expr("(10000 * inter) div na").as("cont_ab_fp"),
+            expr("(10000 * inter) div nb").as("cont_ba_fp"))
+          .withColumn("relation",
+            when(col("jaccard_fp") >= 8000, "near_dup")
+              .when(greatest(col("cont_ab_fp"), col("cont_ba_fp")) >= 8000,
+                "containment")
+              .otherwise("partial_overlap"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+             |j AS (
+             |  SELECT p.id_a, p.id_b,
+             |    CAST(len(sa.sd) AS BIGINT) AS na, CAST(len(sb.sd) AS BIGINT) AS nb,
+             |    CAST(len(list_intersect(sa.sd, sb.sd)) AS BIGINT) AS inter
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b)
+             |SELECT id_a, id_b, na, nb,
+             |  CAST((10000 * inter) // (na + nb - inter) AS BIGINT) AS jaccard_fp,
+             |  CAST((10000 * inter) // na AS BIGINT) AS cont_ab_fp,
+             |  CAST((10000 * inter) // nb AS BIGINT) AS cont_ba_fp,
+             |  CASE WHEN (10000 * inter) // (na + nb - inter) >= 8000 THEN 'near_dup'
+             |    WHEN greatest((10000 * inter) // na, (10000 * inter) // nb) >= 8000
+             |      THEN 'containment'
+             |    ELSE 'partial_overlap' END AS relation
+             |FROM j ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q186_dedup_agreement",
+      (s, dir) => {
+        // Which dedup methods are REDUNDANT on this corpus? Doc-level
+        // duplicate verdicts from all four families — exact
+        // (fingerprint class ≥ 2), MinHash (verified LSH candidate with
+        // est-Jaccard ≥ 0.5), SimHash (identical 64-bit signature),
+        // embedding (same sign-bucket pair with cosine ≥ 0.4, the q40
+        // configuration) — crossed into the full agreement matrix:
+        // flagged counts per method and the Jaccard overlap of every
+        // method pair. High off-diagonal agreement = the cheaper method
+        // subsumes the dearer one here; low = the stages catch
+        // DIFFERENT duplication and a cascade earns its cost. Every
+        // verdict reuses the production operators (q34/q35/q36/q40
+        // parameters); the matrix itself is method²-sized. The verdict
+        // union is pinned — counts and the pair intersection read one
+        // frame; the doc_id/vec_id identity join is the corpus contract
+        // (q129's precedent).
+        import s.implicits._
+        val docs = tp(s, dir, "documents")
+        val fps = docs.select(col("doc_id"),
+          TextOps.fingerprint(col("text"), 5).as("fp"))
+        val exactD = fps
+          .join(fps.groupBy("fp").agg(count(lit(1)).as("c")), "fp")
+          .filter(col("c") >= 2).select(col("doc_id"))
+        val mhD = minhashPairs(s, dir)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        val shSig = DedupOps.simhashSignatures(docs, col("doc_id"), col("text"))
+        val shD = shSig
+          .join(shSig.groupBy("simhash").agg(count(lit(1)).as("c")), "simhash")
+          .filter(col("c") >= 2).select(col("doc_id"))
+        val emD = DedupOps.embeddingNearDupPairs(tp(s, dir, "embeddings"),
+            col("vec_id"), col("embedding"), threshold = 0.4,
+            dim = embDim, signBits = 6)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        val v = exactD.select(col("doc_id"), lit("exact").as("m"))
+          .unionAll(mhD.select(col("doc_id"), lit("minhash").as("m")))
+          .unionAll(shD.select(col("doc_id"), lit("simhash").as("m")))
+          .unionAll(emD.select(col("doc_id"), lit("embedding").as("m")))
+          .pin()
+        val methods = Seq("embedding", "exact", "minhash", "simhash").toDF("m")
+        val counts = methods
+          .join(v.groupBy("m").agg(count(lit(1)).as("n")), Seq("m"), "left")
+          .na.fill(0L, Seq("n"))
+        val grid = counts.select(col("m").as("method_a"), col("n").as("n_a"))
+          .crossJoin(counts.select(col("m").as("method_b"), col("n").as("n_b")))
+          .filter(col("method_a") <= col("method_b"))
+        val both = v.select(col("doc_id"), col("m").as("method_a"))
+          .join(v.select(col("doc_id"), col("m").as("method_b")), "doc_id")
+          .filter(col("method_a") <= col("method_b"))
+          .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
+        grid.join(both, Seq("method_a", "method_b"), "left")
+          .na.fill(0L, Seq("n_both"))
+          .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            when(col("n_a") + col("n_b") - col("n_both") > 0,
+              expr("(10000 * n_both) div (n_a + n_b - n_both)"))
+              .otherwise(0L).as("agree_jaccard_fp"))
+          .orderBy("method_a", "method_b")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             |s5 AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 5
+             |    THEN list_transform(generate_series(0, len(toks) - 5),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |f AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM s5),
+             |fc AS (SELECT fp, count(*) AS c FROM f GROUP BY 1),
+             |exact_d AS (SELECT f.doc_id FROM f JOIN fc USING (fp) WHERE fc.c >= 2),
+             |s3 AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s3),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT doc_id, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |mp AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |  FROM bk a JOIN bk c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+             |  WHERE len(list_filter(generate_series(1, 32), i -> a.sig[i] = c.sig[i])) / 32.0 >= 0.5),
+             |mh_d AS (SELECT id_a AS doc_id FROM mp UNION SELECT id_b FROM mp),
+             |tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM documents),
+             |h AS (SELECT doc_id, ${PortableHash.int32Sql("tk", 0)} AS h1,
+             |             ${PortableHash.int32Sql("tk", 1)} AS h2 FROM tok),
+             |v AS (SELECT doc_id,
+             |      ${PortableHash.simhashSumsSql("h1", "h2")}
+             |      FROM h GROUP BY doc_id),
+             |shh AS (SELECT doc_id, ${PortableHash.simhashPackSql} AS simhash FROM v),
+             |shc AS (SELECT simhash, count(*) AS c FROM shh GROUP BY 1),
+             |sh_d AS (SELECT shh.doc_id FROM shh JOIN shc USING (simhash) WHERE shc.c >= 2),
+             |eb AS (
+             |  SELECT vec_id, embedding,
+             |    ${Hyperplanes.bucketSql("embedding", embDim, 6)} AS bucket
+             |  FROM embeddings),
+             |ep AS (
+             |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+             |  FROM eb a JOIN eb c USING (bucket)
+             |  WHERE a.vec_id < c.vec_id
+             |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |          CAST(c.embedding AS DOUBLE[])) >= 0.4),
+             |em_d AS (SELECT id_a AS doc_id FROM ep UNION SELECT id_b FROM ep),
+             |verd AS (
+             |  SELECT doc_id, 'exact' AS m FROM exact_d
+             |  UNION ALL SELECT doc_id, 'minhash' FROM mh_d
+             |  UNION ALL SELECT doc_id, 'simhash' FROM sh_d
+             |  UNION ALL SELECT doc_id, 'embedding' FROM em_d),
+             |methods AS (SELECT unnest(['embedding', 'exact', 'minhash', 'simhash']) AS m),
+             |cnt AS (
+             |  SELECT methods.m, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |  FROM methods LEFT JOIN
+             |    (SELECT m, count(*) AS n FROM verd GROUP BY 1) c USING (m)),
+             |grid AS (
+             |  SELECT a.m AS method_a, a.n AS n_a, b.m AS method_b, b.n AS n_b
+             |  FROM cnt a CROSS JOIN cnt b WHERE a.m <= b.m),
+             |bth AS (
+             |  SELECT va.m AS method_a, vb.m AS method_b,
+             |    CAST(count(*) AS BIGINT) AS n_both
+             |  FROM verd va JOIN verd vb USING (doc_id)
+             |  WHERE va.m <= vb.m GROUP BY 1, 2)
+             |SELECT g.method_a, g.method_b, g.n_a, g.n_b,
+             |  CAST(coalesce(b.n_both, 0) AS BIGINT) AS n_both,
+             |  CAST(CASE WHEN g.n_a + g.n_b - coalesce(b.n_both, 0) > 0
+             |    THEN (10000 * coalesce(b.n_both, 0))
+             |      // (g.n_a + g.n_b - coalesce(b.n_both, 0))
+             |    ELSE 0 END AS BIGINT) AS agree_jaccard_fp
+             |FROM grid g LEFT JOIN bth b
+             |  ON b.method_a = g.method_a AND b.method_b = g.method_b
+             |ORDER BY g.method_a, g.method_b""".stripMargin)),
+  )
+}

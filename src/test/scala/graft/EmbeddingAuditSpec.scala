@@ -96,4 +96,23 @@ class EmbeddingAuditSpec extends AnyFunSuite {
       assert(removed >= 1L || pairs == 0L)
     }
   }
+
+  test("q154 fit is partition-invariant (treeAggregate fold, no driver-side O(partitions) state)") {
+    // The Gram/sum pass folds with treeAggregate; exact long addition is
+    // associative, so the fit must be bit-identical under ANY input split.
+    // Re-run in a sibling session whose scan splits are forced tiny (many
+    // partitions) and shuffle width is coprime to the default — a
+    // partition-count-dependent fold would change the collected partials.
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    val base = run("q154_pca_power_iteration").collect().map(key).sorted
+    QueryCaches.drain() // force the alt run to recompute, not reuse pins
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    alt.conf.set("spark.sql.files.openCostInBytes", "0")
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    val rows = Queries.byName("q154_pca_power_iteration")
+      .run(alt, SparkTestSession.sfDir).collect().map(key).sorted
+    QueryCaches.drain()
+    assert(rows.toSeq == base.toSeq)
+  }
 }

@@ -233,6 +233,31 @@ class ExtSpec extends AnyFunSuite {
       autoSignBits(1 << 20, targetBucket = 10000))
   }
 
+  test("embeddingNearDupPairs defaults to occupancy-targeted signBits (two corpus sizes)") {
+    // The production entry must not carry a pinned bit width across
+    // corpus scales (the sf100 rehearsal's q47 lesson): the default is
+    // AutoBits → autoSignBits(count). Pin the equivalence at two sizes:
+    // the default-call pair set equals the explicit autoSignBits(n) call.
+    import graft.ext.SimilarityOps.autoSignBits
+    def corpus(n: Int) = (0 until n).map { i =>
+      val r = math.toRadians((i * 7919) % 360)
+      (i.toLong, Array(math.cos(r).toFloat, math.sin(r).toFloat))
+    }.toDF("vid", "v")
+    for (n <- Seq(50, 400)) {
+      val df = corpus(n)
+      def pairSet(df2: org.apache.spark.sql.DataFrame) = df2
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val auto = pairSet(DedupOps.embeddingNearDupPairs(
+        df, col("vid"), col("v"), threshold = 0.95, dim = 2))
+      val explicit = pairSet(DedupOps.embeddingNearDupPairs(
+        df, col("vid"), col("v"), threshold = 0.95, dim = 2,
+        signBits = autoSignBits(n)))
+      assert(auto == explicit, s"auto default diverged at n=$n")
+      assert(auto.nonEmpty) // 7919 mod 360 revisits angles → real pairs
+    }
+  }
+
   test("nearDedup with release=true matches default output and frees its caches") {
     // distinct fixture (salted ids) → distinct analyzed plans → no
     // CacheManager entry sharing with the other dedup tests

@@ -63,6 +63,46 @@ class LayoutTrainSpec extends AnyFunSuite {
       between)
   }
 
+  test("dupSpanProfile: longer gram floor + span-merge distance (the Lee et al. regime)") {
+    // Two docs share a 24-token boilerplate block, but doc 2 has a
+    // ONE-token edit in the middle (the paper's motivating case): the
+    // duplicated region splits into two ~11-token halves around the
+    // edit. Each token appears in both docs, so every l-gram that
+    // avoids the edit is corpus-duplicated.
+    val half1 = (1 to 11).map(i => s"b$i").mkString(" ")  // 11 tokens
+    val half2 = (12 to 23).map(i => s"b$i").mkString(" ") // 12 tokens
+    val docA = s"$half1 same $half2"                       // 24 tokens
+    val docB = s"$half1 EDIT $half2"                       // 24 tokens
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+
+    // l=8, mergeGap=0: two islands per doc (the edit breaks contiguity
+    // when the gram can't span it... with l=8, grams within each half)
+    val strict = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+      l = 8, minOccurrences = 2L, mergeGap = 0)
+      .orderBy("doc_id").collect()
+    assert(strict.length == 2)
+    assert(strict.forall(_.getLong(1) == 2L), // n_spans = 2: split at the edit
+      strict.mkString(","))
+
+    // mergeGap=4 absorbs the 2-token hole between the two covers:
+    // ONE maximal span per doc, covering the whole 24-token block
+    val merged = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+      l = 8, minOccurrences = 2L, mergeGap = 4)
+      .orderBy("doc_id").collect()
+    assert(merged.length == 2)
+    assert(merged.forall(_.getLong(1) == 1L), merged.mkString(","))
+    assert(merged.forall(_.getLong(2) == 24L)) // dup_tokens spans the block
+
+    // l=20 match floor: an 11/12-token repeat is BELOW the floor on the
+    // edited pair — only a doc pair sharing >= 20 verbatim tokens hits
+    assert(ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+      l = 20, minOccurrences = 2L).isEmpty)
+    val verbatim = Seq((1L, docA), (2L, docA + " tail1 tail2")).toDF("doc_id", "text")
+    val long = ExactSubstrOps.dupSpanProfile(verbatim, col("doc_id"), col("text"),
+      l = 20, minOccurrences = 2L).orderBy("doc_id").collect()
+    assert(long.length == 2 && long.forall(_.getLong(2) == 24L))
+  }
+
   test("dupSpanProfile is empty when nothing repeats") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine"),
