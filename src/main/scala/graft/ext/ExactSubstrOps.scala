@@ -98,21 +98,28 @@ object ExactSubstrOps {
                            l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
     val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
     val dupOcc = grams.join(dupKeys, Seq("gkey"), "left_semi")
+    // "a position survives iff SOME canonical occurrence covers it" is
+    // pure set algebra: strip = (positions covered by any duplicated
+    // gram) MINUS (positions covered by a canonical gram). Both sides
+    // island-merge their occurrence POSITIONS first and only then
+    // explode the merged spans, so each covered position is emitted
+    // ONCE — the previous form exploded every occurrence ×l and
+    // shuffled the whole (occurrence·l)-row frame through a
+    // per-position max, which spilled at the ×100 rehearsal (q145's
+    // 46-80 s + 7× run variance; this form re-measured 14 s stable).
     val canon = dupOcc.groupBy("gkey")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-      .select(col("gkey"), col("c.doc_id").as("cdoc"), col("c.pos").as("cpos"))
-    val occFlag = dupOcc.join(canon, "gkey")
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        (col("doc_id") === col("cdoc") && col("pos") === col("cpos"))
-          .cast("int").as("ic"))
-    val stripped = occFlag
+      .agg(min(struct(col("doc_id"), col("pos"), col("n_tokens"))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.n_tokens").as("n_tokens"),
+        col("c.pos").as("pos"))
+    val allPos = mergeIslands(
+        dupOcc.select("doc_id", "n_tokens", "pos"), l)
       .select(col("doc_id"), col("n_tokens"),
-        explode(sequence(col("pos"), col("pos") + lit(l - 1).cast(LongType)))
-          .as("p"), col("ic"))
-      .groupBy("doc_id", "n_tokens", "p")
-      .agg(max("ic").as("keep"))
-      .filter(col("keep") === 0)
-      .select(col("doc_id"), col("n_tokens"), col("p").as("pos"))
+        explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
+    val canonPos = mergeIslands(canon, l)
+      .select(col("doc_id"),
+        explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
+    val stripped = allPos.join(canonPos, Seq("doc_id", "pos"), "left_anti")
+      .select("doc_id", "n_tokens", "pos")
     rebuild(toks, stripped)
   }
 
