@@ -95,9 +95,17 @@ object ExactSubstrOps {
     * pairing. Output schema matches [[stripDupSpans]]; only documents
     * that actually lost tokens appear. */
   def stripDupSpansKeepOne(docs: DataFrame, id: Column, text: Column,
-                           l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
+                           l: Int = 8, minOccurrences: Long = 2L,
+                           release: Boolean = false): DataFrame = {
     val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
+    // Persist the DUPLICATED-POSITION-sized frame only (typically a
+    // small fraction of the corpus): canon and allPos both read it, so
+    // the corpus gram pass runs twice (dupKeys count + this join), not
+    // four times. The corpus-sized frames (grams, toks) deliberately
+    // stay UNPERSISTED — at 100 TB, re-streaming tokenize+hash from
+    // source is cheaper than spill-caching a corpus-sized frame.
     val dupOcc = grams.join(dupKeys, Seq("gkey"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "a position survives iff SOME canonical occurrence covers it" is
     // pure set algebra: strip = (positions covered by any duplicated
     // gram) MINUS (positions covered by a canonical gram). Both sides
@@ -120,7 +128,7 @@ object ExactSubstrOps {
         explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
     val stripped = allPos.join(canonPos, Seq("doc_id", "pos"), "left_anti")
       .select("doc_id", "n_tokens", "pos")
-    rebuild(toks, stripped)
+    graft.CachePolicy.finish(release, Seq(dupOcc))(rebuild(toks, stripped))
   }
 
   /** Rebuild cleaned text for the docs owning `stripped` positions. */
