@@ -1165,11 +1165,10 @@ private[graft] object QueriesDedup {
         // bands/shorter rows → more candidates, lower precision; this
         // is the measured curve a 100 TB dedup owner picks a banding
         // from (q158 calibrates the estimator, this calibrates the
-        // blocking). ONE signature pass is shared by all three configs
-        // (pinned); the shingle sets are the session-shared frame.
-        val docs = tp(s, dir, "documents")
-        val sigs = DedupOps.minhashSignatures(docs, col("doc_id"), col("text"),
-          shingleSize = 3, numHashes = 32).pin()
+        // blocking). The signature pass and the shingle sets are BOTH
+        // session-shared frames — all three band configs and the exact
+        // verify read one materialization apiece.
+        val sigs = minhashSigs(s, dir)
         val sd = shingleSets(s, dir)
         val perConfig = Seq(4, 8, 16).map { b =>
           DedupOps.candidatePairsFromSignatures(sigs, numHashes = 32, bands = b)
@@ -1325,9 +1324,7 @@ private[graft] object QueriesDedup {
         // signature pass (pinned, shared by band join and estimate),
         // candidates never all-pairs, exact verify only on candidates —
         // the q158 discipline with the sig frame joined back twice.
-        val docs = tp(s, dir, "documents")
-        val sigs = DedupOps.minhashSignatures(
-          docs, col("doc_id"), col("text"), 3, 32).pin()
+        val sigs = minhashSigs(s, dir)
         val sd = shingleSets(s, dir)
         DedupOps.candidatePairsFromSignatures(sigs)
           .select(col("id_a"), col("id_b"))

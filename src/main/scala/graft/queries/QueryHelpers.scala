@@ -887,12 +887,24 @@ private[graft] object QueryHelpers {
         array_distinct(TextOps.shingles(col("text"), 3)).as("sd"))
     }
 
+  /** `(doc_id, sig)` — the production 32-hash MinHash signature frame
+    * (3-token shingles, portable hash family). Shared by every banding
+    * consumer: [[minhashPairs]] derives the default 8-band candidates
+    * from it, and q176/q181 band it their own ways — the corpus
+    * signature pass (the family's dominant cost at scale) runs once. */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    sharedFrame("mhsigs", s, dir) {
+      DedupOps.minhashSignatures(tp(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleSize = 3, numHashes = 32)
+    }
+
   /** The production q35-path MinHash LSH candidate pairs
     * `(id_a, id_b, est_jaccard)` at the default (3-shingle, 32-hash,
-    * 8-band) parameters — candidate-sized, never all-pairs. */
+    * 8-band) parameters — candidate-sized, never all-pairs; the band
+    * join reads the shared [[minhashSigs]] frame. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     sharedFrame("mhpairs", s, dir) {
-      DedupOps.minhashCandidatePairs(
-        tp(s, dir, "documents"), col("doc_id"), col("text"))
+      DedupOps.candidatePairsFromSignatures(minhashSigs(s, dir),
+        numHashes = 32, bands = 8)
     }
 }
