@@ -1232,6 +1232,87 @@ private[graft] object QueriesDedup {
              |FROM cfg c LEFT JOIN res r USING (bands)
              |ORDER BY bands""".stripMargin)),
 
+    Q("q195_band_sensitivity_sampled",
+      (s, dir) => {
+        // The SCALE form of q176: the full-corpus S-curve diagnostic is
+        // quadratic BY CONSTRUCTION in its finest arm (2-row bands at
+        // ×1000 materialize the very candidate explosion the curve
+        // warns about — measured 27 min single-shot at 5M docs), so the
+        // production diagnostic runs on a DETERMINISTIC 25% sample
+        // (doc_id % 4 — SQL-expressible, so still exactly oracled).
+        // Banding statistics are pair-level, so precision transfers
+        // directly; candidate VOLUME scales ~(1/s)² and is reported
+        // extrapolated (est_full_candidates = 16×) next to the measured
+        // sample count. Both inputs are FILTERS of the session-shared
+        // signature/shingle frames — zero new corpus passes.
+        val keep = pmod(col("doc_id"), lit(4)) === 0
+        val sigs = minhashSigs(s, dir).filter(keep)
+        val sd = shingleSets(s, dir).filter(keep)
+        val perConfig = Seq(4, 8, 16).map { b =>
+          DedupOps.candidatePairsFromSignatures(sigs, numHashes = 32, bands = b)
+            .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+            .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+            .select((DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))
+              >= 0.5).cast(LongType).as("is_true"))
+            .agg(count(lit(1)).as("n_candidates"),
+              coalesce(sum("is_true"), lit(0L)).as("n_true"))
+            .select(lit(b.toLong).as("bands"), lit((32 / b).toLong).as("rows_per_band"),
+              col("n_candidates"), col("n_true"))
+        }
+        perConfig.reduce(_ unionByName _)
+          .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+            col("n_true"),
+            when(col("n_candidates") > 0,
+              expr("(10000 * n_true) div n_candidates")).otherwise(0L)
+              .as("precision_fp"),
+            (col("n_candidates") * 16L).as("est_full_candidates"))
+          .orderBy("bands")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             |  FROM documents WHERE doc_id % 4 = 0),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |sd AS (SELECT doc_id, list_distinct(sh) AS sd FROM s),
+             |hl AS (SELECT doc_id, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS (SELECT doc_id, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2)) AS v(bands, rpb)),
+             |bk AS (
+             |  SELECT c.bands, g.doc_id, g.sig, bb.band,
+             |    array_to_string(list_slice(g.sig, bb.band * c.rpb + 1, bb.band * c.rpb + c.rpb), ',') AS bucket
+             |  FROM sig g CROSS JOIN cfg c
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bb
+             |  WHERE bb.band < c.bands),
+             |p AS (
+             |  SELECT DISTINCT a.bands, a.doc_id AS id_a, b2.doc_id AS id_b
+             |  FROM bk a JOIN bk b2
+             |    ON a.bands = b2.bands AND a.band = b2.band
+             |    AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+             |j AS (
+             |  SELECT p.bands,
+             |    CASE WHEN (CASE WHEN (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) > 0
+             |      THEN CAST(len(list_intersect(sa.sd, sb.sd)) AS DOUBLE)
+             |        / (len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd)))
+             |      ELSE 0.0 END) >= 0.5 THEN 1 ELSE 0 END AS is_true
+             |  FROM p JOIN sd sa ON sa.doc_id = p.id_a JOIN sd sb ON sb.doc_id = p.id_b),
+             |res AS (
+             |  SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates,
+             |    CAST(sum(is_true) AS BIGINT) AS n_true
+             |  FROM j GROUP BY 1)
+             |SELECT CAST(c.bands AS BIGINT) AS bands,
+             |  CAST(c.rpb AS BIGINT) AS rows_per_band,
+             |  COALESCE(r.n_candidates, 0) AS n_candidates,
+             |  COALESCE(r.n_true, 0) AS n_true,
+             |  CASE WHEN COALESCE(r.n_candidates, 0) > 0
+             |    THEN CAST((10000 * r.n_true) // r.n_candidates AS BIGINT)
+             |    ELSE 0 END AS precision_fp,
+             |  CAST(COALESCE(r.n_candidates, 0) * 16 AS BIGINT) AS est_full_candidates
+             |FROM cfg c LEFT JOIN res r USING (bands)
+             |ORDER BY bands""".stripMargin)),
+
     Q("q177_dup_quality_interaction",
       (s, dir) => {
         // Do duplicated documents skew low-quality? Per source: mean
