@@ -36,6 +36,21 @@ import org.apache.spark.sql.types.LongType
   */
 object ExactSubstrOps {
 
+  /** Production default operating point — the LINEAR regime. The 8-gram
+    * setting is correct on short-document corpora but goes disk-bound at
+    * corpus scale: 8-grams are dense, so the duplicated-position frame
+    * approaches corpus-token size and its per-document window spills
+    * (measured ~19× time for 10× data at 5M docs). At the 20-token
+    * floor (Lee et al.'s 50-token regime scaled to this corpus's
+    * ~56-token median docs) only long verbatim passages count, the dup
+    * frame stays sparse, and the same pipeline measured linear
+    * (10.6× time for 10× data on the same 5M-doc corpus). mergeGap=4
+    * is the paper's near-adjacent range merge: a one-word edit inside a
+    * boilerplate block doesn't split the report. Callers profiling
+    * short-doc corpora pass l explicitly (the 8-gram oracles do). */
+  val DefaultL = 20
+  val DefaultMergeGap = 4
+
   /** Per-document duplicated-span profile. Output: one row per document
     * that contains at least one duplicated gram — (doc_id, n_spans,
     * dup_tokens, n_tokens, coverage_fp) where coverage_fp is
@@ -55,9 +70,42 @@ object ExactSubstrOps {
     *                       only overlapping/contiguous covers
     */
   def dupSpanProfile(docs: DataFrame, id: Column, text: Column,
-                     l: Int = 8, minOccurrences: Long = 2L,
-                     mergeGap: Int = 0): DataFrame =
-    spanFrames(docs, id, text, l, minOccurrences, mergeGap)._2
+                     l: Int = DefaultL, minOccurrences: Long = 2L,
+                     mergeGap: Int = DefaultMergeGap): DataFrame =
+    profileFromSpans(
+      mergedSpans(dupOccurrences(docs, id, text, l, minOccurrences),
+        l, mergeGap))
+
+  /** The duplicated-occurrence frame — (gkey, doc_id, n_tokens, pos),
+    * one row per occurrence of a corpus-duplicated l-gram. This is the
+    * family's shared intermediate: [[mergedSpans]]/[[profileFromSpans]]
+    * (profile), [[stripFromSpans]] (strip-everywhere) and
+    * [[keepOneFromFrames]] (keep-one) are all cheap derivations of it,
+    * so a session materializes it ONCE per corpus and every family
+    * query answers off the same build (the
+    * [[graft.ext.SimilarityOps.ivfFitCached]] amortized-index class —
+    * callers persist it; a production deployment stores it next to the
+    * corpus). Typically a small fraction of corpus-token size at the
+    * default gram floor. */
+  def dupOccurrences(docs: DataFrame, id: Column, text: Column,
+                     l: Int = DefaultL,
+                     minOccurrences: Long = 2L): DataFrame = {
+    val (_, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
+    grams.join(dupKeys, Seq("gkey"), "left_semi")
+      .select(col("gkey"), col("doc_id"), col("n_tokens"), col("pos"))
+  }
+
+  /** Maximal merged spans of a [[dupOccurrences]] frame — the
+    * gaps-and-islands pass, exposed so one persisted occurrence frame
+    * serves every span consumer. Output: (doc_id, n_tokens, span_id,
+    * sp_start, sp_end). */
+  def mergedSpans(dupOcc: DataFrame, l: Int, mergeGap: Int = 0): DataFrame =
+    mergeIslands(dupOcc.select("doc_id", "n_tokens", "pos"), l, mergeGap)
+
+  /** The [[dupSpanProfile]] rollup over a prebuilt [[mergedSpans]]
+    * frame: span-count-sized input, one grouped aggregation. */
+  def profileFromSpans(spans: DataFrame): DataFrame =
+    spans
       .groupBy("doc_id", "n_tokens")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("sp_end") - col("sp_start") + 1L).as("dup_tokens"))
@@ -77,11 +125,20 @@ object ExactSubstrOps {
     * (array_sort over the doc's own kept tokens) — document-sized
     * state, never corpus-sized. */
   def stripDupSpans(docs: DataFrame, id: Column, text: Column,
-                    l: Int = 8, minOccurrences: Long = 2L): DataFrame = {
-    val (toks, spans) = spanFrames(docs, id, text, l, minOccurrences)
+                    l: Int = DefaultL, minOccurrences: Long = 2L,
+                    mergeGap: Int = DefaultMergeGap): DataFrame =
+    stripFromSpans(docs, id, text,
+      mergedSpans(dupOccurrences(docs, id, text, l, minOccurrences),
+        l, mergeGap), l)
+
+  /** [[stripDupSpans]] over a prebuilt [[mergedSpans]] frame (the
+    * shared-build path): only the rebuild re-reads the corpus — one
+    * tokenize pass, no gram hashing, no gram-count shuffle. */
+  def stripFromSpans(docs: DataFrame, id: Column, text: Column,
+                     spans: DataFrame, l: Int): DataFrame = {
     val covered = spans.select(col("doc_id"), col("n_tokens"),
       explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
-    rebuild(toks, covered)
+    rebuild(tokenize(docs, id, text, l), covered)
   }
 
   /** Lee-faithful KEEP-ONE variant of [[stripDupSpans]]: each duplicated
@@ -95,40 +152,52 @@ object ExactSubstrOps {
     * pairing. Output schema matches [[stripDupSpans]]; only documents
     * that actually lost tokens appear. */
   def stripDupSpansKeepOne(docs: DataFrame, id: Column, text: Column,
-                           l: Int = 8, minOccurrences: Long = 2L,
+                           l: Int = DefaultL, minOccurrences: Long = 2L,
+                           mergeGap: Int = DefaultMergeGap,
                            release: Boolean = false): DataFrame = {
-    val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
     // Persist the DUPLICATED-POSITION-sized frame only (typically a
     // small fraction of the corpus): canon and allPos both read it, so
     // the corpus gram pass runs twice (dupKeys count + this join), not
     // four times. The corpus-sized frames (grams, toks) deliberately
     // stay UNPERSISTED — at 100 TB, re-streaming tokenize+hash from
     // source is cheaper than spill-caching a corpus-sized frame.
-    val dupOcc = grams.join(dupKeys, Seq("gkey"), "left_semi")
+    val dupOcc = dupOccurrences(docs, id, text, l, minOccurrences)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // "a position survives iff SOME canonical occurrence covers it" is
-    // pure set algebra: strip = (positions covered by any duplicated
-    // gram) MINUS (positions covered by a canonical gram). Both sides
-    // island-merge their occurrence POSITIONS first and only then
-    // explode the merged spans, so each covered position is emitted
-    // ONCE — the previous form exploded every occurrence ×l and
-    // shuffled the whole (occurrence·l)-row frame through a
-    // per-position max, which spilled at the ×100 rehearsal (q145's
-    // 46-80 s + 7× run variance; this form re-measured 14 s stable).
+    graft.CachePolicy.finish(release, Seq(dupOcc))(
+      keepOneFromFrames(docs, id, text, dupOcc,
+        mergedSpans(dupOcc, l, mergeGap), l, mergeGap))
+  }
+
+  /** The keep-one set algebra over prebuilt family frames — `dupOcc`
+    * is a (persisted) [[dupOccurrences]] frame and `allSpans` its
+    * [[mergedSpans]] at the same (l, mergeGap); a session that shares
+    * both (the q139/q143/q145 family) pays no gram pass here at all.
+    *
+    * "a position survives iff SOME canonical occurrence covers it" is
+    * pure set algebra: strip = (positions covered by any duplicated
+    * gram) MINUS (positions covered by a canonical gram). Both sides
+    * island-merge their occurrence POSITIONS first and only then
+    * explode the merged spans, so each covered position is emitted
+    * ONCE — the previous form exploded every occurrence ×l and
+    * shuffled the whole (occurrence·l)-row frame through a
+    * per-position max, which spilled at the ×100 rehearsal (q145's
+    * 46-80 s + 7× run variance; this form re-measured 14 s stable). */
+  def keepOneFromFrames(docs: DataFrame, id: Column, text: Column,
+                        dupOcc: DataFrame, allSpans: DataFrame,
+                        l: Int, mergeGap: Int = 0): DataFrame = {
     val canon = dupOcc.groupBy("gkey")
       .agg(min(struct(col("doc_id"), col("pos"), col("n_tokens"))).as("c"))
       .select(col("c.doc_id").as("doc_id"), col("c.n_tokens").as("n_tokens"),
         col("c.pos").as("pos"))
-    val allPos = mergeIslands(
-        dupOcc.select("doc_id", "n_tokens", "pos"), l)
+    val allPos = allSpans
       .select(col("doc_id"), col("n_tokens"),
         explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
-    val canonPos = mergeIslands(canon, l)
+    val canonPos = mergeIslands(canon, l, mergeGap)
       .select(col("doc_id"),
         explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
     val stripped = allPos.join(canonPos, Seq("doc_id", "pos"), "left_anti")
       .select("doc_id", "n_tokens", "pos")
-    graft.CachePolicy.finish(release, Seq(dupOcc))(rebuild(toks, stripped))
+    rebuild(tokenize(docs, id, text, l), stripped)
   }
 
   /** Rebuild cleaned text for the docs owning `stripped` positions. */
@@ -226,15 +295,21 @@ object ExactSubstrOps {
         (coalesce(col("hits"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** (doc_id, toks, n_tokens) for docs of at least `l` tokens. */
+  private def tokenize(docs: DataFrame, id: Column, text: Column,
+                       l: Int): DataFrame = {
+    require(l >= 2, s"gram length must be >= 2, got $l")
+    docs
+      .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .filter(col("n_tokens") >= l)
+  }
+
   /** Shared internals: (tokenized docs, gram frame, duplicated keys). */
   private def gramFrames(docs: DataFrame, id: Column, text: Column,
                          l: Int, minOccurrences: Long)
       : (DataFrame, DataFrame, DataFrame) = {
-    require(l >= 2, s"gram length must be >= 2, got $l")
-    val toks = docs
-      .select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast(LongType))
-      .filter(col("n_tokens") >= l)
+    val toks = tokenize(docs, id, text, l)
     val grams = gramExplode(toks, l, extra = Seq.empty)
     val dupKeys = grams.groupBy("gkey")
       .agg(count(lit(1)).as("cnt"))
@@ -261,16 +336,6 @@ object ExactSubstrOps {
           .as(Seq("pos", "gram")): _*)
       .select(keep :+ col("pos") :+
         PortableHash.long60(col("gram")).as("gkey"): _*)
-  }
-
-  /** Shared internals: (tokenized docs, merged maximal spans). */
-  private def spanFrames(docs: DataFrame, id: Column, text: Column,
-                         l: Int, minOccurrences: Long,
-                         mergeGap: Int = 0): (DataFrame, DataFrame) = {
-    val (toks, grams, dupKeys) = gramFrames(docs, id, text, l, minOccurrences)
-    val dupPos = grams.join(dupKeys, Seq("gkey"), "left_semi")
-      .select(col("doc_id"), col("n_tokens"), col("pos"))
-    (toks, mergeIslands(dupPos, l, mergeGap))
   }
 
   /** Gaps-and-islands: a gram at pos covers [pos, pos+l-1]; merge

@@ -666,9 +666,13 @@ private[graft] object QueriesDedup {
         // (q35) and the chunk grid (q137) both miss. Plan shape is in
         // ExactSubstrOps: one gram count shuffle (map-side combined), a
         // LEFT SEMI feedback join, per-document windows; never
-        // all-pairs. Top-50 most-covered documents.
-        ExactSubstrOps.dupSpanProfile(tp(s, dir, "documents"),
-            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+        // all-pairs. The oracle pins the 8-gram short-doc form; the
+        // production DEFAULT is the linear l=20+mergeGap operating
+        // point (ExactSubstrOps.DefaultL — q194). The gram build and
+        // the island merge are the session-shared family frames
+        // (QueryHelpers.exactSubstrSpans8): q139/q143/q145/q170 answer
+        // off one corpus pass. Top-50 most-covered documents.
+        ExactSubstrOps.profileFromSpans(exactSubstrSpans8(s, dir))
           .orderBy(col("coverage_fp").desc, col("doc_id"))
           .limit(50),
       Some(exactSubstrOracleSql(l = 8, mergeGap = 0, limit = 50))),
@@ -698,8 +702,10 @@ private[graft] object QueriesDedup {
         // ExactSubstrOps.stripDupSpans scaladoc) and return the 50 most-
         // reduced documents WITH the reconstructed text, so the oracle
         // proves the actual byte-level rewrite, not just the counts.
-        ExactSubstrOps.stripDupSpans(tp(s, dir, "documents"),
-            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+        // Reads the session-shared span frame — only the rebuild
+        // re-reads the corpus (one tokenize pass, no gram hashing).
+        ExactSubstrOps.stripFromSpans(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), exactSubstrSpans8(s, dir), l = 8)
           .orderBy(col("removed_tokens").desc, col("doc_id"))
           .limit(50),
       Some("""WITH d AS (
@@ -755,8 +761,13 @@ private[graft] object QueriesDedup {
         // is canonical — so the FIRST copy of every duplicated passage
         // survives verbatim (q143 strips all copies). Election is one
         // grouped min per gram key; no cross-doc pairing anywhere.
-        ExactSubstrOps.stripDupSpansKeepOne(tp(s, dir, "documents"),
-            col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+        // Both family frames arrive prebuilt (session-shared): the
+        // election groupBy reads the persisted occurrence frame, the
+        // all-dup cover reads the persisted span frame — keep-one is
+        // candidate-sized after the family's one corpus pass.
+        ExactSubstrOps.keepOneFromFrames(tp(s, dir, "documents"),
+            col("doc_id"), col("text"), exactSubstrDupOcc8(s, dir),
+            exactSubstrSpans8(s, dir), l = 8, mergeGap = 0)
           .orderBy(col("removed_tokens").desc, col("doc_id"))
           .limit(50),
       Some("""WITH d AS (

@@ -646,9 +646,11 @@ private[graft] object QueriesMixture {
         // candidate generator), and duplicated-SPAN token coverage
         // (q139's ExactSubstr profile) — the triage view that says
         // WHICH source pays for WHICH dedup pass before any is run at
-        // 100 TB. One corpus scan feeds all three derivations (pinned);
-        // class memberships come back as map-side-combined count joins;
-        // the span profile is the production ExactSubstrOps operator.
+        // 100 TB. One corpus scan feeds the digest/fingerprint
+        // derivations (pinned); class memberships come back as
+        // map-side-combined count joins; the span profile reads the
+        // session-shared ExactSubstr span frame (the q139 family build,
+        // QueryHelpers.exactSubstrSpans8 — paid once per session).
         // Every rate is an integer fixed-point division.
         val d = tp(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("text"),
@@ -662,7 +664,7 @@ private[graft] object QueriesMixture {
         val fpFlag = fp
           .join(fp.groupBy("fp").agg(count(lit(1)).as("fcopies")), "fp")
           .select(col("doc_id"), (col("fcopies") >= 2).cast(LongType).as("is_fpdup"))
-        val sp = ExactSubstrOps.dupSpanProfile(d, col("doc_id"), col("text"))
+        val sp = ExactSubstrOps.profileFromSpans(exactSubstrSpans8(s, dir))
           .select(col("doc_id"), col("dup_tokens"))
         d.select("doc_id", "source", "n_tokens")
           .join(exFlag, "doc_id").join(fpFlag, "doc_id")

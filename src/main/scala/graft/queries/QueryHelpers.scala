@@ -880,6 +880,31 @@ private[graft] object QueryHelpers {
        |  CAST((10000 * dup_tokens) // n_tokens AS BIGINT) AS coverage_fp
        |FROM outp ORDER BY coverage_fp DESC, doc_id LIMIT $limit""".stripMargin
 
+  /** `(gkey, doc_id, n_tokens, pos)` — the 8-gram ExactSubstr
+    * duplicated-occurrence frame over `documents` (one row per
+    * occurrence of a corpus-duplicated 8-gram). The ExactSubstr family
+    * analogue of [[minhashSigs]]: the gram pass + gram-count shuffle +
+    * semi-join feedback (the family's dominant cost — the ×1000
+    * rehearsal measured the 8-gram build disk-bound when every query
+    * re-derived it) runs ONCE per (session, dir); q139's profile,
+    * q143's strip and q145's keep-one election are all cheap
+    * derivations of this one persisted frame. */
+  def exactSubstrDupOcc8(s: SparkSession, dir: String): DataFrame =
+    sharedFrame("esdup8", s, dir) {
+      ExactSubstrOps.dupOccurrences(tp(s, dir, "documents"),
+        col("doc_id"), col("text"), l = 8, minOccurrences = 2L)
+    }
+
+  /** The island-merged maximal spans of [[exactSubstrDupOcc8]]
+    * (contiguous merge, the 8-gram oracles' pinned form) — span-count-
+    * sized; the per-document window over the duplicated positions (the
+    * ×1000 spill site) also runs once per session. */
+  def exactSubstrSpans8(s: SparkSession, dir: String): DataFrame =
+    sharedFrame("esspans8", s, dir) {
+      ExactSubstrOps.mergedSpans(exactSubstrDupOcc8(s, dir),
+        l = 8, mergeGap = 0)
+    }
+
   /** `(doc_id, sd)` — each document's DISTINCT 3-gram shingle set. */
   def shingleSets(s: SparkSession, dir: String): DataFrame =
     sharedFrame("sd3", s, dir) {

@@ -24,7 +24,8 @@ class LayoutTrainSpec extends AnyFunSuite {
       (1L, s"x $shared10 y z w q r s t"),
       (2L, s"$shared10 p q r s t u v w")
     ).toDF("doc_id", "text")
-    val out = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"))
+    val out = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+        l = 8, mergeGap = 0)
       .orderBy("doc_id").collect()
     assert(out.length == 2)
     // doc 1: span covers positions 1..10 (10 tokens); doc 2: 0..9
@@ -39,7 +40,8 @@ class LayoutTrainSpec extends AnyFunSuite {
     // both occurrences are duplicated grams (corpus count 2), two islands
     val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
     val docs = Seq((7L, s"$eight u1 u2 u3 u4 $eight")).toDF("doc_id", "text")
-    val out = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text")).collect()
+    val out = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+      l = 8, mergeGap = 0).collect()
     assert(out.length == 1)
     assert(out(0).getLong(1) == 2L)  // two spans
     assert(out(0).getLong(2) == 16L) // 8 + 8 duplicated tokens
@@ -53,7 +55,7 @@ class LayoutTrainSpec extends AnyFunSuite {
     val plan = ExactSubstrOps.dupSpanProfile(
         Seq((1L, s"x $shared10 y z"), (2L, s"$shared10 p q"))
           .toDF("doc_id", "text"),
-        col("doc_id"), col("text"))
+        col("doc_id"), col("text"), l = 8, mergeGap = 0)
       .queryExecution.executedPlan.toString
     val first = plan.indexOf("Window [")
     val second = plan.indexOf("Window [", first + 1)
@@ -108,7 +110,8 @@ class LayoutTrainSpec extends AnyFunSuite {
       (1L, "one two three four five six seven eight nine"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota")
     ).toDF("doc_id", "text")
-    assert(ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text")).isEmpty)
+    assert(ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+      l = 8, mergeGap = 0).isEmpty)
   }
 
   test("crossContamination flags only train spans that occur in the " +
@@ -138,7 +141,8 @@ class LayoutTrainSpec extends AnyFunSuite {
       (1L, s"x $shared10 y z w q r s t"),
       (2L, s"$shared10 p q r s t u v w")
     ).toDF("doc_id", "text")
-    val out = ExactSubstrOps.stripDupSpans(docs, col("doc_id"), col("text"))
+    val out = ExactSubstrOps.stripDupSpans(docs, col("doc_id"), col("text"),
+        l = 8, mergeGap = 0)
       .orderBy("doc_id").collect()
     assert(out.length == 2)
     assert(out(0).getString(4) == "x y z w q r s t")
@@ -149,7 +153,8 @@ class LayoutTrainSpec extends AnyFunSuite {
   test("stripDupSpans reports fully duplicated docs as kept 0, empty text") {
     val eight = "d1 d2 d3 d4 d5 d6 d7 d8"
     val docs = Seq((1L, eight), (2L, eight)).toDF("doc_id", "text")
-    val out = ExactSubstrOps.stripDupSpans(docs, col("doc_id"), col("text"))
+    val out = ExactSubstrOps.stripDupSpans(docs, col("doc_id"), col("text"),
+        l = 8, mergeGap = 0)
       .orderBy("doc_id").collect()
     assert(out.length == 2)
     assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 8L
@@ -161,7 +166,8 @@ class LayoutTrainSpec extends AnyFunSuite {
     // absent from the output — and empties doc 2
     val eight = "d1 d2 d3 d4 d5 d6 d7 d8"
     val pair = Seq((1L, eight), (2L, eight)).toDF("doc_id", "text")
-    val out = ExactSubstrOps.stripDupSpansKeepOne(pair, col("doc_id"), col("text"))
+    val out = ExactSubstrOps.stripDupSpansKeepOne(pair, col("doc_id"),
+        col("text"), l = 8, mergeGap = 0)
       .collect()
     assert(out.length == 1 && out(0).getLong(0) == 2L)
     assert(out(0).getLong(2) == 0L && out(0).getString(4) == "")
@@ -170,10 +176,79 @@ class LayoutTrainSpec extends AnyFunSuite {
       (1L, s"x $shared10 y z w q r s t"),
       (2L, s"$shared10 p q r s t u v w")
     ).toDF("doc_id", "text")
-    val out2 = ExactSubstrOps.stripDupSpansKeepOne(docs, col("doc_id"), col("text"))
+    val out2 = ExactSubstrOps.stripDupSpansKeepOne(docs, col("doc_id"),
+        col("text"), l = 8, mergeGap = 0)
       .collect()
     assert(out2.length == 1 && out2(0).getLong(0) == 2L)
     assert(out2(0).getString(4) == "p q r s t u v w")
+  }
+
+  test("ExactSubstr production defaults are the linear operating point (l=20, mergeGap=4)") {
+    // The default path must be the regime that stays linear at corpus
+    // scale (the ×1000 rehearsal measured 8-grams disk-bound at 19×/10×
+    // and l=20+mergeGap at 10.6×/10×): default-arg calls ≡ explicit
+    // (l=20, mergeGap=4) on a fixture where the settings disagree —
+    // a 24-token verbatim block (above the 20 floor, below 2×8-gram
+    // coverage differences) plus an edited copy whose halves fall
+    // BELOW the 20 floor but above the 8 floor.
+    assert(ExactSubstrOps.DefaultL == 20 && ExactSubstrOps.DefaultMergeGap == 4)
+    val block = (1 to 24).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block tail1 tail2"),
+      (2L, s"$block other1 other2"),
+      (3L, s"${(1 to 11).map(i => s"c$i").mkString(" ")} EDIT tailA tailB")
+    ).toDF("doc_id", "text")
+    val byDefault = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val explicit20 = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+        l = 20, minOccurrences = 2L, mergeGap = 4)
+      .orderBy("doc_id").collect()
+    assert(byDefault.toSeq == explicit20.toSeq)
+    // doc 3's 11-token prefix repeat is below the 20 floor: only the
+    // two verbatim block carriers appear
+    assert(byDefault.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(byDefault.forall(_.getLong(2) == 24L))
+    // the 8-gram setting (pinned by the q139 oracle) flags doc 3 too —
+    // the fixture really distinguishes the operating points
+    val fine = ExactSubstrOps.dupSpanProfile(docs, col("doc_id"), col("text"),
+      l = 8, mergeGap = 0).collect()
+    assert(fine.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("shared-frame ExactSubstr paths are identical to the standalone operators") {
+    // q139/q143/q145 answer off one session-shared dupOccurrences +
+    // mergedSpans build; the composition must be bit-identical to the
+    // self-contained operators at the same (l, mergeGap)
+    val docs = Seq(
+      (1L, s"x $shared10 y z w q r s t"),
+      (2L, s"$shared10 p q r s t u v w"),
+      (3L, "lone doc with no repeats at all here ok")
+    ).toDF("doc_id", "text")
+    val dupOcc = ExactSubstrOps.dupOccurrences(docs, col("doc_id"),
+      col("text"), l = 8, minOccurrences = 2L).persist()
+    val spans = ExactSubstrOps.mergedSpans(dupOcc, l = 8, mergeGap = 0)
+    try {
+      val prof = ExactSubstrOps.profileFromSpans(spans)
+        .orderBy("doc_id").collect().toSeq
+      val profStandalone = ExactSubstrOps.dupSpanProfile(docs,
+          col("doc_id"), col("text"), l = 8, mergeGap = 0)
+        .orderBy("doc_id").collect().toSeq
+      assert(prof == profStandalone)
+      val strip = ExactSubstrOps.stripFromSpans(docs, col("doc_id"),
+          col("text"), spans, l = 8)
+        .orderBy("doc_id").collect().toSeq
+      val stripStandalone = ExactSubstrOps.stripDupSpans(docs,
+          col("doc_id"), col("text"), l = 8, mergeGap = 0)
+        .orderBy("doc_id").collect().toSeq
+      assert(strip == stripStandalone)
+      val keepOne = ExactSubstrOps.keepOneFromFrames(docs, col("doc_id"),
+          col("text"), dupOcc, spans, l = 8, mergeGap = 0)
+        .orderBy("doc_id").collect().toSeq
+      val keepOneStandalone = ExactSubstrOps.stripDupSpansKeepOne(docs,
+          col("doc_id"), col("text"), l = 8, mergeGap = 0)
+        .orderBy("doc_id").collect().toSeq
+      assert(keepOne == keepOneStandalone)
+    } finally dupOcc.unpersist(false)
   }
 
   test("cdcChunks boundaries are content-defined: an early edit leaves later chunks intact") {
