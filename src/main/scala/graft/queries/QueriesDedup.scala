@@ -1178,26 +1178,15 @@ private[graft] object QueriesDedup {
         // from (q158 calibrates the estimator, this calibrates the
         // blocking). The signature pass and the shingle sets are BOTH
         // session-shared frames — all three band configs and the exact
-        // verify read one materialization apiece.
-        val sigs = minhashSigs(s, dir)
-        val sd = shingleSets(s, dir)
-        val perConfig = Seq(4, 8, 16).map { b =>
-          DedupOps.candidatePairsFromSignatures(sigs, numHashes = 32, bands = b)
-            .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
-            .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
-            .select((DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))
-              >= 0.5).cast(LongType).as("is_true"))
-            .agg(count(lit(1)).as("n_candidates"),
-              coalesce(sum("is_true"), lit(0L)).as("n_true"))
-            .select(lit(b.toLong).as("bands"), lit((32 / b).toLong).as("rows_per_band"),
-              col("n_candidates"), col("n_true"))
-        }
-        perConfig.reduce(_ unionByName _)
-          .select(col("bands"), col("rows_per_band"), col("n_candidates"),
-            col("n_true"),
-            when(col("n_candidates") > 0,
-              expr("(10000 * n_true) div n_candidates")).otherwise(0L)
-              .as("precision_fp"))
+        // verify read one materialization apiece. SIZE-GATED: above
+        // BandSensitivityFullFormMaxDocs the finest (2-row-band) arm
+        // is a deliberate candidate explosion — 27 min + an executor
+        // memory failure at 5M docs — so large corpora route through
+        // the q195 deterministic-sample plan; no registry entry can
+        // OOM a sweep. The oracle pins the full form (the gate corpus
+        // is far below the threshold).
+        bandSensitivityFrame(s, dir,
+            sample = documentCount(s, dir) > BandSensitivityFullFormMaxDocs)
           .orderBy("bands")
       },
       Some(s"""WITH t AS (
@@ -1245,38 +1234,21 @@ private[graft] object QueriesDedup {
 
     Q("q195_band_sensitivity_sampled",
       (s, dir) => {
-        // The SCALE form of q176: the full-corpus S-curve diagnostic is
-        // quadratic BY CONSTRUCTION in its finest arm (2-row bands at
-        // ×1000 materialize the very candidate explosion the curve
-        // warns about — measured 27 min single-shot at 5M docs), so the
-        // production diagnostic runs on a DETERMINISTIC 25% sample
-        // (doc_id % 4 — SQL-expressible, so still exactly oracled).
-        // Banding statistics are pair-level, so precision transfers
-        // directly; candidate VOLUME scales ~(1/s)² and is reported
-        // extrapolated (est_full_candidates = 16×) next to the measured
-        // sample count. Both inputs are FILTERS of the session-shared
-        // signature/shingle frames — zero new corpus passes.
-        val keep = pmod(col("doc_id"), lit(4)) === 0
-        val sigs = minhashSigs(s, dir).filter(keep)
-        val sd = shingleSets(s, dir).filter(keep)
-        val perConfig = Seq(4, 8, 16).map { b =>
-          DedupOps.candidatePairsFromSignatures(sigs, numHashes = 32, bands = b)
-            .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
-            .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
-            .select((DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))
-              >= 0.5).cast(LongType).as("is_true"))
-            .agg(count(lit(1)).as("n_candidates"),
-              coalesce(sum("is_true"), lit(0L)).as("n_true"))
-            .select(lit(b.toLong).as("bands"), lit((32 / b).toLong).as("rows_per_band"),
-              col("n_candidates"), col("n_true"))
-        }
-        perConfig.reduce(_ unionByName _)
-          .select(col("bands"), col("rows_per_band"), col("n_candidates"),
-            col("n_true"),
-            when(col("n_candidates") > 0,
-              expr("(10000 * n_true) div n_candidates")).otherwise(0L)
-              .as("precision_fp"),
-            (col("n_candidates") * 16L).as("est_full_candidates"))
+        // The ALWAYS-SAMPLED form of the S-curve diagnostic (q176's
+        // size gate routes large corpora to this same plan): the full
+        // form is quadratic BY CONSTRUCTION in its finest arm (2-row
+        // bands at ×1000 materialize the very candidate explosion the
+        // curve warns about — measured 27 min single-shot at 5M docs),
+        // so the production diagnostic runs on a DETERMINISTIC 25%
+        // sample (doc_id % 4 — SQL-expressible, so still exactly
+        // oracled). Banding statistics are pair-level, so precision
+        // transfers directly; candidate VOLUME scales ~(1/s)² and is
+        // reported extrapolated (est_full_candidates = 16×) next to
+        // the measured sample count. Both inputs are FILTERS of the
+        // session-shared signature/shingle frames — zero new corpus
+        // passes. Shared plan: QueryHelpers.bandSensitivityFrame.
+        bandSensitivityFrame(s, dir, sample = true)
+          .withColumn("est_full_candidates", col("n_candidates") * 16L)
           .orderBy("bands")
       },
       Some(s"""WITH t AS (

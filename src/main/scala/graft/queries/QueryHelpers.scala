@@ -880,6 +880,62 @@ private[graft] object QueryHelpers {
        |  CAST((10000 * dup_tokens) // n_tokens AS BIGINT) AS coverage_fp
        |FROM outp ORDER BY coverage_fp DESC, doc_id LIMIT $limit""".stripMargin
 
+  /** Corpus document count, one count job per (session, dir) — the
+    * size probe that routes diagnostics between their full-corpus and
+    * sampled plans. Parquet count is metadata-cheap; memoized so a
+    * sweep pays it once. */
+  private val docCounts =
+    scala.collection.concurrent.TrieMap[(Int, String), Long]()
+
+  def documentCount(s: SparkSession, dir: String): Long =
+    docCounts.getOrElseUpdate((System.identityHashCode(s), dir),
+      t(s, dir, "documents").count())
+
+  /** Above this corpus size the band-sensitivity diagnostic (q176)
+    * runs on the deterministic 25% sample instead of the full corpus:
+    * its finest arm (2-row bands) is quadratic BY CONSTRUCTION — it
+    * materializes the candidate explosion the S-curve exists to warn
+    * about — and at 5M docs it ran 27 minutes and failed a sweep with
+    * an executor memory condition. Banding statistics are pair-level,
+    * so precision transfers from the sample; candidate volume scales
+    * ~(1/s)². The ×100 rehearsal corpus (500k docs) stays on the full
+    * form; the ×1000 regime (5M) routes to the sample. */
+  val BandSensitivityFullFormMaxDocs = 1000000L
+
+  /** The three-way LSH S-curve frame shared by q176/q195: the SAME
+    * 32-hash signatures banded (4×8, 8×4, 16×2), each config scored by
+    * candidate volume and exact-Jaccard precision (verified on
+    * candidates only — never all-pairs). `sample` restricts both
+    * inputs to the deterministic 25% slice (doc_id % 4 — SQL-
+    * expressible, so the sampled form stays exactly oracled). Both
+    * inputs are FILTERS of the session-shared signature/shingle
+    * frames — zero new corpus passes. */
+  def bandSensitivityFrame(s: SparkSession, dir: String,
+                           sample: Boolean): DataFrame = {
+    val keep = pmod(col("doc_id"), lit(4)) === 0
+    val sigs = if (sample) minhashSigs(s, dir).filter(keep)
+               else minhashSigs(s, dir)
+    val sd = if (sample) shingleSets(s, dir).filter(keep)
+             else shingleSets(s, dir)
+    val perConfig = Seq(4, 8, 16).map { b =>
+      DedupOps.candidatePairsFromSignatures(sigs, numHashes = 32, bands = b)
+        .join(sd.select(col("doc_id").as("id_a"), col("sd").as("sd_a")), "id_a")
+        .join(sd.select(col("doc_id").as("id_b"), col("sd").as("sd_b")), "id_b")
+        .select((DedupOps.jaccardFromShingleSets(col("sd_a"), col("sd_b"))
+          >= 0.5).cast(LongType).as("is_true"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum("is_true"), lit(0L)).as("n_true"))
+        .select(lit(b.toLong).as("bands"), lit((32 / b).toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_true"))
+    }
+    perConfig.reduce(_ unionByName _)
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true"),
+        when(col("n_candidates") > 0,
+          expr("(10000 * n_true) div n_candidates")).otherwise(0L)
+          .as("precision_fp"))
+  }
+
   /** `(gkey, doc_id, n_tokens, pos)` — the 8-gram ExactSubstr
     * duplicated-occurrence frame over `documents` (one row per
     * occurrence of a corpus-duplicated 8-gram). The ExactSubstr family
