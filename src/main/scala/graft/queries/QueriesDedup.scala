@@ -869,13 +869,20 @@ private[graft] object QueriesDedup {
         // ratio (pairs pruned before the levenshtein verify) and pair
         // completeness (true matches surviving the blocking) — the two
         // standard record-linkage blocking metrics (Christen, TKDE'12).
-        // Ground truth is the NAIVE quadratic join over a deterministic
-        // 5% name sample — exactly how you'd calibrate blocking on
-        // 100 TB: brute-force a bounded sample, then trust the measured
-        // completeness for the full run (here it is provably 10000 —
-        // the gram-count bound is lossless — and the eval DEMONSTRATES
-        // it rather than assuming it). All counts are 1-row broadcast
-        // frames; only the sampled quadratic join is ever materialized.
+        // The CANDIDATE side runs the production blocking over the full
+        // 5% name slice. GROUND TRUTH is all-pairs BY CONSTRUCTION (it
+        // measures the candidate bound against exhaustive search), so
+        // it runs on a further deterministic 1/4 sub-sample of BOTH
+        // sides (portable md5 hash of the name — the declared constant
+        // that cuts the truth join 16× to O(sample²)), and
+        // completeness is scored on the blocking's hits restricted to
+        // the same sampled pairs — an exact ratio on the sample,
+        // unbiased for the full run. Exactly how you'd calibrate
+        // blocking on 100 TB: brute-force a bounded sample, then trust
+        // the measured completeness (here provably 10000 — the
+        // gram-count bound is lossless — and the eval DEMONSTRATES it).
+        // All counts are 1-row broadcast frames; only the sampled
+        // quadratic join is ever materialized.
         val names = t(s, dir, "part")
           .filter(col("p_partkey") % 20 === 0)
           .select(col("p_name")).distinct()
@@ -885,18 +892,22 @@ private[graft] object QueriesDedup {
             expr("substring(p_name, 3)")).as("s"))
         val cand = FuzzyJoinOps.candidatePairs(dirty, clean, maxDist = 2, q = 3)
           .pin()
-        val found = cand
-          .filter(levenshtein(col("l_s"), col("r_s")) <= 2)
-        val truth = dirty.select(col("s").as("ds"))
-          .crossJoin(clean.select(col("s").as("cs")))
+        val inSample = (c: Column) => PortableHash.long60(c) % 4 === 0
+        val foundS = cand
+          .filter(levenshtein(col("l_s"), col("r_s")) <= 2
+            && inSample(col("l_id")) && inSample(col("r_id")))
+        val truth = dirty.filter(inSample(col("id"))).select(col("s").as("ds"))
+          .crossJoin(clean.filter(inSample(col("id"))).select(col("s").as("cs")))
           .filter(levenshtein(col("ds"), col("cs")) <= 2)
         dirty.agg(count(lit(1)).as("n_left"))
           .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_right"))))
+          .crossJoin(broadcast(dirty.filter(inSample(col("id")))
+            .agg(count(lit(1)).as("n_truth_names"))))
           .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
           .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
-          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
-          .select(col("n_left"), col("n_right"), col("n_candidates"),
-            col("n_true"), col("n_found"),
+          .crossJoin(broadcast(foundS.agg(count(lit(1)).as("n_found"))))
+          .select(col("n_left"), col("n_right"), col("n_truth_names"),
+            col("n_candidates"), col("n_true"), col("n_found"),
             expr("(10000 * (n_left * n_right - n_candidates)) div (n_left * n_right)")
               .as("reduction_fp"),
             expr("(10000 * n_found) div n_true").as("completeness_fp"))
@@ -921,17 +932,25 @@ private[graft] object QueriesDedup {
              |  FROM sh JOIN lg0 ON lg0.id = sh.l_id JOIN rg0 ON rg0.id = sh.r_id
              |  WHERE abs(length(lg0.s) - length(rg0.s)) <= 2
              |    AND sh.shared >= greatest(len(lg0.g), len(rg0.g)) - 6),
-             |found AS (SELECT l_id FROM cand WHERE levenshtein(l_s, r_s) <= 2),
-             |troo AS (SELECT dt.id FROM dt CROSS JOIN cl
-             |  WHERE levenshtein(dt.s, cl.s) <= 2),
+             |smp AS (SELECT id, s FROM dt
+             |  WHERE ('0x' || substr(md5(id), 1, 15))::BIGINT % 4 = 0),
+             |smc AS (SELECT id, s FROM cl
+             |  WHERE ('0x' || substr(md5(id), 1, 15))::BIGINT % 4 = 0),
+             |found AS (SELECT l_id FROM cand WHERE levenshtein(l_s, r_s) <= 2
+             |  AND ('0x' || substr(md5(l_id), 1, 15))::BIGINT % 4 = 0
+             |  AND ('0x' || substr(md5(r_id), 1, 15))::BIGINT % 4 = 0),
+             |troo AS (SELECT smp.id FROM smp CROSS JOIN smc
+             |  WHERE levenshtein(smp.s, smc.s) <= 2),
              |st AS (
              |  SELECT (SELECT count(*) FROM dt) AS n_left,
              |    (SELECT count(*) FROM cl) AS n_right,
+             |    (SELECT count(*) FROM smp) AS n_truth_names,
              |    (SELECT count(*) FROM cand) AS n_candidates,
              |    (SELECT count(*) FROM troo) AS n_true,
              |    (SELECT count(*) FROM found) AS n_found)
              |SELECT CAST(n_left AS BIGINT) AS n_left,
              |  CAST(n_right AS BIGINT) AS n_right,
+             |  CAST(n_truth_names AS BIGINT) AS n_truth_names,
              |  CAST(n_candidates AS BIGINT) AS n_candidates,
              |  CAST(n_true AS BIGINT) AS n_true,
              |  CAST(n_found AS BIGINT) AS n_found,
