@@ -43,8 +43,14 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
                dampNum: Long = 85L, dampDen: Long = 100L,
                release: Boolean = false): DataFrame = {
+    // Persisted PRE-PARTITIONED on src: every round equi-joins the edge
+    // frame on src, and a cached InMemoryRelation exposes its child's
+    // HashPartitioning — so the per-round joins exchange only the
+    // node-sized rank frame, never the edge list. One edge shuffle at
+    // build time replaces `iters` of them.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -105,8 +111,12 @@ object GraphOps {
     * Returns (id, level). */
   def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int,
                 compactEvery: Int = 8, release: Boolean = false): DataFrame = {
+    // Pre-partitioned on src (the pageRank discipline): each round's
+    // frontier-expansion join exchanges only the frontier, not the
+    // edge list.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val caches = scala.collection.mutable.Buffer[DataFrame](e)
     val ckFrames = scala.collection.mutable.Buffer[DataFrame]()
@@ -192,8 +202,12 @@ object GraphOps {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // self-loops make the self-vote just another edge: one join per
-    // round instead of a union-merge of neighbor counts with own labels
+    // round instead of a union-merge of neighbor counts with own labels.
+    // Persisted PRE-PARTITIONED on src (the pageRank discipline): each
+    // round's label join then exchanges only the node-sized label
+    // frame — one edge shuffle at build time instead of `iters`.
     val es = e.union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("lbl", col("id"))
     for (_ <- 1 to iters) {

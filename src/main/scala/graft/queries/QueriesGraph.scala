@@ -170,7 +170,12 @@ private[graft] object QueriesGraph {
         // case on a path graph, which peels exactly 2 nodes/round).
         // Output is each core member with its IN-CORE degree, so the
         // oracle hash-gates the full peeled subgraph, not just a count.
-        GraphOps.kCore(purchaseGraph(s, dir), k = 8, rounds = 4)
+        // The peel itself is the session-memoized family artifact
+        // (QueryHelpers.kCore8 — iterative rounds checkpoint into
+        // fresh RDDs, so CacheManager plan-keying can't share repeat
+        // runs the way the other graph queries do; the shared-frame
+        // store can).
+        kCore8(s, dir)
           .orderBy("id")
       },
       Some(kcoreOracleSql(8, 4))),

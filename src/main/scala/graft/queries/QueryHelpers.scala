@@ -26,21 +26,44 @@ private[graft] object QueryHelpers {
     Tables.load(s, dir, name)
 
   /** Bipartite customer↔supplier purchase graph (shared by the graph
-    * analytics queries q89/q90): node ids disambiguated by parity
-    * (customer c → 2c, supplier p → 2p+1), both edge directions from one
-    * explode pass over the distinct pair set — same pattern as
-    * [[graft.ext.DedupOps.resolveClusters]]'s edge build. */
-  def purchaseGraph(s: SparkSession, dir: String): DataFrame = {
-    val cs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    cs.select(explode(array(
-        struct(col("c").as("src"), col("p").as("dst")),
-        struct(col("p").as("src"), col("c").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-  }
+    * analytics family q89/q90/q153/q189): node ids disambiguated by
+    * parity (customer c → 2c, supplier p → 2p+1), both edge directions
+    * from one explode pass over the distinct pair set — same pattern as
+    * [[graft.ext.DedupOps.resolveClusters]]'s edge build.
+    *
+    * SESSION-SHARED MATERIALIZATION (the [[minhashSigs]] pattern): the
+    * orders⋈lineitem distinct+explode build is the family's dominant
+    * cold cost (48M edges ≈ 50-70 s at the ×100 rehearsal) and is a
+    * pure function of the corpus, so one persisted copy per
+    * (session, dir) serves every graph query. GraphOps operators
+    * additionally CacheManager-share their casted working copies
+    * (plan-keyed), so the build was already paid once per FIRST
+    * family query — this makes the amortization explicit and
+    * independent of plan-equality accidents. */
+  def purchaseGraph(s: SparkSession, dir: String): DataFrame =
+    sharedFrame("pgraph", s, dir) {
+      val cs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      cs.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+
+  /** The 8-core of [[purchaseGraph]] at the q189 operating point —
+    * memoized per (session, dir) like every other corpus-derived
+    * artifact (IVF fit, MinHash signatures): k-core is iterative
+    * (its per-round frames are fresh localCheckpoint RDDs, so
+    * CacheManager plan-keying can never share repeat runs), and the
+    * peeled core is a stable engagement-tier artifact a dashboard
+    * queries many times per build. */
+  def kCore8(s: SparkSession, dir: String): DataFrame =
+    sharedFrame("kcore8r4", s, dir) {
+      GraphOps.kCore(purchaseGraph(s, dir), k = 8, rounds = 4)
+    }
 
   /** Oracle-side CTEs mirroring [[purchaseGraph]] (UNION ALL is exact:
     * the two directions are parity-disjoint). */

@@ -140,6 +140,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(added.size <= 1, s"leaked caches: ${added.size - 1}")
   }
 
+  test("graph family shared frames: purchaseGraph and kCore8 memoize per (session, dir)") {
+    val dir = SparkTestSession.sfDir
+    val g1 = QueryHelpers.purchaseGraph(spark, dir)
+    val g2 = QueryHelpers.purchaseGraph(spark, dir)
+    assert(g1 eq g2, "purchaseGraph must return the session-shared instance")
+    assert(g1.storageLevel.useMemory || g1.storageLevel.useDisk,
+      "shared graph frame must be persisted")
+    val k1 = QueryHelpers.kCore8(spark, dir)
+    val k2 = QueryHelpers.kCore8(spark, dir)
+    assert(k1 eq k2, "kCore8 must return the session-shared instance")
+    // shared form ≡ a standalone rebuild (bit-equality via except)
+    val standalone = GraphOps.kCore(
+      QueryHelpers.purchaseGraph(spark, dir), k = 8, rounds = 4)
+    assert(k1.count() == standalone.count())
+    assert(k1.except(standalone).isEmpty && standalone.except(k1).isEmpty)
+  }
+
   test("timeWeightedAvg: last observation carries no weight") {
     val ev = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L), (1L, 40L, 3L, 5L),
       (2L, 0L, 4L, 7L)) // single-event key → no output row
