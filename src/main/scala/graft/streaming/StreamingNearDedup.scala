@@ -226,17 +226,30 @@ object StreamingNearDedup {
     val survivors = readIndex(spark, indexStore) match {
       case None => newSigs
       case Some(stored) =>
-        def banded(df: DataFrame, suffix: String): DataFrame = df
-          .select(col("doc_id").as("id" + suffix), col("text").as("text" + suffix),
+        // candidate join keyed exactly like the batch band join, but in
+        // two stages so the probe stays NARROW: band keys alone
+        // (doc_id, band, bucket) flow through the (band, bucket) join —
+        // the index side's text column is never exploded bands× into
+        // the shuffle, and parquet column pruning keeps the index scan
+        // to (doc_id, sig) — then text is fetched for CANDIDATE pairs
+        // only (candidate-sized, broadcast under AQE) and verified with
+        // the same exact n-gram Jaccard as the batch path. A doc
+        // matching ANY emitted survivor is dropped, so no cross-batch
+        // resolution pass is needed (emitted survivors are mutually
+        // non-duplicate).
+        def bandKeys(df: DataFrame, idAs: String): DataFrame = df
+          .select(col("doc_id").as(idAs),
             explode(DedupOps.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bb"))
-          .select(col("id" + suffix), col("text" + suffix),
-            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        // candidate join keyed exactly like the batch band join; verify
-        // with the same exact n-gram Jaccard — a doc matching ANY
-        // emitted survivor is dropped, so no cross-batch resolution pass
-        // is needed (emitted survivors are mutually non-duplicate)
-        val dupIds = banded(newSigs, "_n")
-          .join(banded(stored, "_s"), Seq("band", "bucket"))
+          .select(col(idAs), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val candPairs = bandKeys(newSigs, "id_n")
+          .join(bandKeys(stored, "id_s"), Seq("band", "bucket"))
+          .select("id_n", "id_s")
+          .distinct()
+        val dupIds = candPairs
+          .join(newSigs.select(col("doc_id").as("id_n"), col("text").as("text_n")),
+            Seq("id_n"))
+          .join(stored.select(col("doc_id").as("id_s"), col("text").as("text_s")),
+            Seq("id_s"))
           .filter(DedupOps.ngramJaccard(col("text_n"), col("text_s"), shingleSize)
             >= jaccardThreshold)
           .select(col("id_n").as("doc_id"))
