@@ -24,6 +24,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Edge-count threshold above which [[bfsLevels]] pre-partitions its
+    * cached edge list on `src`. BFS is the one operator in this family
+    * whose per-round join partner (the frontier) is usually BROADCAST
+    * at small scale — a broadcast-hash join streams the edge side with
+    * no exchange at all, so pre-partitioning buys nothing and its build
+    * shuffle is pure cost (measured at sf0.1, 1.17M edges: 4.4 s
+    * partitioned vs 1.9 s not). Above this threshold frontiers stop
+    * being broadcast-sized, the join becomes a shuffle join, and the
+    * one build-time edge shuffle replaces `maxDepth` per-round edge
+    * exchanges — the regime [[BfsPlanSpec]] pins (zero edge-side
+    * exchanges in the expansion join). pageRank/labelPropagation keep
+    * the unconditional pre-partition: their join partner is the FULL
+    * node-sized rank/label frame every round, and the partitioned form
+    * measured faster even at sf0.1 (q89 0.24 → 0.15 s). */
+  val PrePartitionMinEdges: Long = 8L * 1000 * 1000
+
   /** PageRank with damping `dampNum/dampDen` for a fixed `iters` rounds
     * over a directed edge list (`src`, `dst` — Long node ids).
     *
@@ -90,34 +106,50 @@ object GraphOps {
     * labeled with its first-discovery (= minimum) level. Frontiers are
     * persisted because each is referenced twice (expansion + union).
     *
-    * Every `compactEvery` rounds, BOTH the visited set and the current
-    * frontier are checkpointed (localCheckpoint — on a cluster,
-    * reliable checkpoint), truncating their Catalyst plans to leaves.
-    * The truncation is load-bearing, not cosmetic: the frontier's
-    * anti-join child embeds the previous visited set, whose union-chain
-    * plan embeds the previous frontier — so the logical plan DOUBLES
-    * every round (trees, not DAGs; persist caches data, never plans).
-    * Unchecked, depth 20 is a million-node plan tree and analysis
-    * itself OOMs long before data size matters. Compaction resets that
-    * growth to one leaf each window, bounding the plan at 2^compactEvery
-    * copies of the (tiny) per-round subplan and the anti-join fan-in at
-    * `compactEvery` frames — the same lineage discipline as
-    * [[graft.ext.DedupOps.resolveClusters]]. Below `compactEvery`
-    * rounds (the common small-diameter case, e.g. q90's maxDepth 4)
-    * no checkpoint ever happens and the plan-keyed CacheManager reuse
-    * across repeated calls is exactly what it was.
+    * EVERY round's frontier is checkpointed (lazy localCheckpoint — on
+    * a cluster, reliable checkpoint), truncating its Catalyst plan to a
+    * leaf: the kCore discipline. The truncation is load-bearing, not
+    * cosmetic: the frontier's anti-join child embeds the visited set,
+    * whose union plan embeds every previous frontier — with plain
+    * persists the logical plan MULTIPLIES ~4× every round (trees, not
+    * DAGs; persist caches data, never plans). Round 9 ran q90's
+    * maxDepth-4 plan un-truncated under an 8-round compaction window
+    * and the round-4 plan was already 50k explain lines / 1857 cache
+    * scans — per-ACTION driver overhead (plan canonicalization for
+    * cache lookup, listener explain strings) made fully-warm counts
+    * cost seconds, and past depth ~10 analysis itself OOMs long before
+    * data size matters. With per-round truncation the visited set is a
+    * union of `depth` one-line leaves, so plans stay linear in depth
+    * and never need compacting. The trade: checkpoint leaves are fresh
+    * RDDs per call, so CacheManager plan-keyed reuse across repeated
+    * calls is gone — repeat-heavy callers memoize the RESULT instead
+    * ([[graft.QueryHelpers.bfs4]], the kCore8 precedent), which is both
+    * faster (one cached scan) and partitioning-independent.
     * Nodes beyond `maxDepth` are absent from the result.
     *
     * Returns (id, level). */
   def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int,
-                compactEvery: Int = 8, release: Boolean = false): DataFrame = {
-    // Pre-partitioned on src (the pageRank discipline): each round's
-    // frontier-expansion join exchanges only the frontier, not the
-    // edge list.
-    val e = edges.select(col("src").cast("long").as("src"),
+                release: Boolean = false,
+                prePartitionMinEdges: Long = PrePartitionMinEdges): DataFrame = {
+    // CONDITIONALLY pre-partitioned on src (see [[PrePartitionMinEdges]]):
+    // the count doubles as the cache materialization the first frontier
+    // join would otherwise pay, so the decision is exact and costs one
+    // cached-scan job. In the large regime the raw cache is released
+    // once the partitioned copy is materialized — at most one transient
+    // second copy, only ever at the scale where MEMORY_AND_DISK spills
+    // absorb it.
+    val cast = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eRaw = cast.persist(StorageLevel.MEMORY_AND_DISK)
+    val e =
+      if (eRaw.count() < prePartitionMinEdges) eRaw
+      else {
+        val ep = cast.repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ep.count()
+        eRaw.unpersist(blocking = false)
+        ep
+      }
     val caches = scala.collection.mutable.Buffer[DataFrame](e)
     val ckFrames = scala.collection.mutable.Buffer[DataFrame]()
     var levels = sources.select(col("id").cast("long").as("id"))
@@ -130,31 +162,17 @@ object GraphOps {
     var exhausted = false
     while (depth < maxDepth && !exhausted) {
       depth += 1
-      // rename the frontier key before joining: the frontier's lineage
-      // includes the edge frame itself (sources are derived from it),
-      // so an attribute-based condition would be an ambiguous self-join
-      val next = frontier.select(col("id").as("fid"))
-        .join(e, col("fid") === col("src"))
-        .select(col("dst").as("id"))
-        .distinct()
-        .join(levels, Seq("id"), "left_anti")
-        .withColumn("level", lit(depth.toLong))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      caches += next
-      // materializes the round's cache AND stops the loop once the
-      // frontier drains — on a small-diameter graph the remaining
-      // rounds would each still cost a join + anti-join over the full
-      // edge list for zero new nodes
+      // lazy checkpoint: the count below is the materializing action,
+      // so truncation adds no extra job. The count doubles as the
+      // drain probe — on a small-diameter graph the remaining rounds
+      // would each still cost a join + anti-join over the full edge
+      // list for zero new nodes.
+      val next = expandFrontier(frontier, e, levels, depth)
+        .localCheckpoint(eager = false)
+      ckFrames += next
       exhausted = next.count() == 0
       levels = levels.union(next)
-      if (depth % compactEvery == 0 && !exhausted) {
-        // lazy checkpoints: the next round's frontier count is the
-        // action that materializes both, so compaction adds no extra job
-        levels = levels.localCheckpoint(eager = false)
-        frontier = next.localCheckpoint(eager = false)
-        ckFrames += levels
-        ckFrames += frontier
-      } else frontier = next
+      frontier = next
     }
     // caches stay registered by default — see the note in pageRank.
     // On release, the checkpoint blocks (which CacheManager does not
@@ -170,6 +188,24 @@ object GraphOps {
       out
     }
   }
+
+  /** One BFS round: expand `frontier` over `e`, dedup, anti-join the
+    * visited set, label with `depth`. Extracted so [[BfsPlanSpec]] can
+    * pin the large-regime plan shape — when `e` is cached
+    * hash-partitioned on `src` and the frontier is not broadcastable,
+    * the expansion join must exchange ONLY the frontier side.
+    *
+    * The frontier key is renamed before joining: the frontier's lineage
+    * includes the edge frame itself (sources are derived from it), so
+    * an attribute-based condition would be an ambiguous self-join. */
+  private[graft] def expandFrontier(frontier: DataFrame, e: DataFrame,
+                                    levels: DataFrame, depth: Int): DataFrame =
+    frontier.select(col("id").as("fid"))
+      .join(e, col("fid") === col("src"))
+      .select(col("dst").as("id"))
+      .distinct()
+      .join(levels, Seq("id"), "left_anti")
+      .withColumn("level", lit(depth.toLong))
 
   /** Synchronous label propagation (Raghavan et al. 2007) with a
     * self-vote: every node starts labeled with its own id; each round,

@@ -65,6 +65,19 @@ private[graft] object QueryHelpers {
       GraphOps.kCore(purchaseGraph(s, dir), k = 8, rounds = 4)
     }
 
+  /** Depth-4 BFS labeling from the smallest node of [[purchaseGraph]]
+    * (the q90 operating point) — memoized per (session, dir) for the
+    * same reason as [[kCore8]]: bfsLevels truncates every round's
+    * frontier to a fresh checkpoint RDD (GraphOps round-10 plan-growth
+    * fix), so CacheManager plan-keying can never share repeat runs;
+    * the shared-frame store can, and the reachability labeling is a
+    * stable per-corpus artifact anyway. */
+  def bfs4(s: SparkSession, dir: String): DataFrame =
+    sharedFrame("bfs4", s, dir) {
+      val g = purchaseGraph(s, dir)
+      GraphOps.bfsLevels(g, g.agg(min(col("src")).as("id")), maxDepth = 4)
+    }
+
   /** Oracle-side CTEs mirroring [[purchaseGraph]] (UNION ALL is exact:
     * the two directions are parity-disjoint). */
   val purchaseGraphCtes: String =

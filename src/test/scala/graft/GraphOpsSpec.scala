@@ -44,22 +44,22 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 
   test("bfsLevels: deep chain stays correct and the Catalyst plan is " +
-    "bounded by the compaction window, not doubled per round") {
+    "linear in depth, not multiplied per round") {
     // 15-node path 0→1→…→14 explored to its full diameter. The
-    // frontier's anti-join embeds the visited set, which embeds the
-    // previous frontier — plans are trees, so without compaction the
-    // node count doubles per round (2^14 × per-round subplan ≈ 400k
-    // nodes here; at q90's graph sizes analysis OOMs before data does).
-    // Compaction at round 8 resets growth, so the final plan carries at
-    // most 2^(14-8) copies of the tiny per-round subplan.
+    // frontier's anti-join embeds the visited set, which embeds every
+    // previous frontier — plans are trees, so without the per-round
+    // checkpoint truncation the node count multiplies ~4× per round
+    // (round 9 measured q90's depth-4 plan at 50k explain lines; at
+    // depth 14 analysis OOMs before data does). With every frontier a
+    // checkpoint leaf, the visited set is a union of 15 one-node
+    // leaves: linear, a few hundred plan nodes.
     val chain = (0L until 14L).map(i => (i, i + 1)).toDF("src", "dst")
-    val levels = GraphOps.bfsLevels(chain, Seq(0L).toDF("id"),
-      maxDepth = 14, compactEvery = 8)
+    val levels = GraphOps.bfsLevels(chain, Seq(0L).toDF("id"), maxDepth = 14)
     val got = levels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 14L).map(i => i -> i).toMap)
     val planNodes = levels.queryExecution.analyzed.collect { case _ => 1 }.sum
-    assert(planNodes < 10000,
-      s"visited-set plan grew exponentially with depth: $planNodes nodes")
+    assert(planNodes < 1000,
+      s"visited-set plan grew superlinearly with depth: $planNodes nodes")
   }
 
   test("release=true frees every per-call cache; default keeps them registered") {
