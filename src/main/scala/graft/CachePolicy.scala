@@ -15,6 +15,19 @@ import org.apache.spark.sql.DataFrame
   * unpersists every intermediate cache the call created.
   */
 private[graft] object CachePolicy {
+
+  /** Stable unique id for a SparkSession, for keying per-session memo
+    * maps (shared frames, fit models, size probes). Weak-keyed: an old
+    * session's entry vanishes with it, and a fresh session can never
+    * inherit a stale key — unlike `System.identityHashCode`, whose
+    * values can collide after the old session is GC'd and would then
+    * serve a frame bound to a stopped SparkContext. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
+  def sessionId(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   def finish(release: Boolean, caches: Seq[DataFrame])(result: DataFrame): DataFrame =
     if (!release) result
     else {

@@ -57,8 +57,12 @@ object StreamRehearsal {
     // phantom (its seed-stream text is not the text that row emitted)
     def baseIdx(k: Column): Column = // integer div: Column./ is double
       floor(k / 8).cast("long") * 10 + pmod(k, lit(8L))
-    // within-batch dup: base is a unique doc of THIS batch (lower id →
-    // min-id keep retains the base, drops this row)
+    // within-batch dup: base is a unique doc of THIS batch. baseIdx can
+    // land above this row's index, in which case min-id keep retains the
+    // MUTATED variant and drops the base — either way exactly one of the
+    // pair survives, so the 0.8·D emit rate and the cross-batch probe
+    // still hold (a cross dup differs from the variant in only 2 of 40
+    // shingle grams, Jaccard ≈ 0.9 ≥ 0.8).
     val withinBase =
       lit(b * d) + baseIdx(pmod(xxhash64(id, lit("w")), lit(d * 8 / 10)))
     // cross-batch dup: base is a unique doc of an EARLIER batch

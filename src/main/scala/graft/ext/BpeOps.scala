@@ -66,14 +66,14 @@ object BpeOps {
     * tokenizer once and both artifacts derive from it. Session-scoped
     * so a cached frame never outlives the SparkSession persisting it. */
   private val induceCache =
-    scala.collection.concurrent.TrieMap[(Int, String, Int), (DataFrame, DataFrame)]()
+    scala.collection.concurrent.TrieMap[(String, String, Int), (DataFrame, DataFrame)]()
 
   private def induceCached(df: DataFrame, text: Column, rounds: Int,
                            cacheKey: Option[String]): (DataFrame, DataFrame) =
     cacheKey match {
       case None => induce(df, text, rounds)
       case Some(key) =>
-        val sessionId = System.identityHashCode(df.sparkSession)
+        val sessionId = graft.CachePolicy.sessionId(df.sparkSession)
         induceCache.getOrElseUpdate((sessionId, key, rounds),
           induce(df, text, rounds))
     }

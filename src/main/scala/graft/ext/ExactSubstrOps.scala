@@ -47,7 +47,14 @@ object ExactSubstrOps {
     * (10.6× time for 10× data on the same 5M-doc corpus). mergeGap=4
     * is the paper's near-adjacent range merge: a one-word edit inside a
     * boilerplate block doesn't split the report. Callers profiling
-    * short-doc corpora pass l explicitly (the 8-gram oracles do). */
+    * short-doc corpora pass l explicitly (the 8-gram oracles do).
+    *
+    * CHANGELOG: these defaults changed in round 9 from (l=8, mergeGap=0)
+    * — any default-arg caller of dupSpanProfile / stripDupSpans /
+    * stripDupSpansKeepOne changed output at that point. For keep-one the
+    * mergeGap also threads into the CANONICAL-side island merge (the
+    * elected copy keeps its gap-merged block whole; see the mergeGap>0
+    * keep-one spec in LayoutTrainSpec for the pinned semantics). */
   val DefaultL = 20
   val DefaultMergeGap = 4
 

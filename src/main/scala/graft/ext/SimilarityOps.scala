@@ -405,14 +405,14 @@ object SimilarityOps {
   /** Index cache: one fitted+persisted model per (session, caller key,
     * nlist, iters) — the index is built once and reused across query
     * batches, as a real deployment would persist it next to the corpus.
-    * Keyed on the session identity too, so a stale model never outlives
+    * Keyed on the session UUID too, so a stale model never outlives
     * the SparkSession that persisted it. */
   private val modelCache =
-    scala.collection.concurrent.TrieMap[(Int, String, Int, Int), IvfModel]()
+    scala.collection.concurrent.TrieMap[(String, String, Int, Int), IvfModel]()
 
   def ivfFitCached(cacheKey: String, corpus: DataFrame,
                    nlist: Int, iters: Int = 2): IvfModel = {
-    val sessionId = System.identityHashCode(corpus.sparkSession)
+    val sessionId = graft.CachePolicy.sessionId(corpus.sparkSession)
     modelCache.getOrElseUpdate((sessionId, cacheKey, nlist, iters), {
       val m = ivfFit(corpus, nlist, iters)
       IvfModel(m.centroids,

@@ -214,14 +214,26 @@ private[graft] object QueriesDedup {
         // threshold, a~c below it), so the DuckDB oracle needs a
         // RECURSIVE transitive closure — this is the query that proves
         // resolveClusters does real transitive merging, not GROUP BY.
+        // SIZE-GATED (round 10, the q176 precedent): above
+        // EmbClusterPinnedBitsMaxVecs the pinned signBits=6 arm is
+        // quadratic in bucket occupancy (1311 s at 2M vectors), so
+        // large corpora route through autoSignBits; the bits actually
+        // used are an output column, so gated results are
+        // distinguishable. The oracle pins the 6-bit form (the gate
+        // corpus is far below the threshold).
         val emb = tp(s, dir, "embeddings")
+        val bits =
+          if (tableCount(s, dir, "embeddings") > EmbClusterPinnedBitsMaxVecs)
+            SimilarityOps.autoSignBits(tableCount(s, dir, "embeddings"))
+          else 6
         val pairs = DedupOps.embeddingNearDupPairs(
             emb, col("vec_id"), col("embedding"),
-            threshold = 0.4, dim = embDim, signBits = 6)
+            threshold = 0.4, dim = embDim, signBits = bits)
           .select("id_a", "id_b")
         DedupOps.resolveClusters(pairs)
           .groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("csize"))
+          .withColumn("sign_bits", lit(bits.toLong))
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE b AS (
@@ -244,7 +256,8 @@ private[graft] object QueriesDedup {
              |lab AS (
              |  SELECT src AS id, least(src, min(dst)) AS label
              |  FROM reach GROUP BY src)
-             |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS csize
+             |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS csize,
+             |  CAST(6 AS BIGINT) AS sign_bits
              |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin)),
 
     // ── Training-pipeline staples: deterministic split + repetition ──,
@@ -910,7 +923,10 @@ private[graft] object QueriesDedup {
             col("n_candidates"), col("n_true"), col("n_found"),
             expr("(10000 * (n_left * n_right - n_candidates)) div (n_left * n_right)")
               .as("reduction_fp"),
-            expr("(10000 * n_found) div n_true").as("completeness_fp"))
+            // vacuously complete when the ¼ sample holds no true pair
+            // (tiny corpora) — an unguarded div would yield null there
+            when(col("n_true") > 0, expr("(10000 * n_found) div n_true"))
+              .otherwise(10000L).as("completeness_fp"))
       },
       Some("""WITH names AS (
              |  SELECT DISTINCT p_name FROM part WHERE p_partkey % 20 = 0),
@@ -956,7 +972,8 @@ private[graft] object QueriesDedup {
              |  CAST(n_found AS BIGINT) AS n_found,
              |  CAST((10000 * (n_left * n_right - n_candidates))
              |    // (n_left * n_right) AS BIGINT) AS reduction_fp,
-             |  CAST((10000 * n_found) // n_true AS BIGINT) AS completeness_fp
+             |  CAST(CASE WHEN n_true > 0 THEN (10000 * n_found) // n_true
+             |    ELSE 10000 END AS BIGINT) AS completeness_fp
              |FROM st""".stripMargin)),
 
     Q("q158_minhash_calibration",
@@ -1202,10 +1219,14 @@ private[graft] object QueriesDedup {
         // is a deliberate candidate explosion — 27 min + an executor
         // memory failure at 5M docs — so large corpora route through
         // the q195 deterministic-sample plan; no registry entry can
-        // OOM a sweep. The oracle pins the full form (the gate corpus
-        // is far below the threshold).
-        bandSensitivityFrame(s, dir,
-            sample = documentCount(s, dir) > BandSensitivityFullFormMaxDocs)
+        // OOM a sweep. The `sampled` output column says which route
+        // ran (on the sample, n_candidates is ~16× smaller — without
+        // the flag a consumer could not tell sampled counts from full
+        // ones). The oracle pins the full form (the gate corpus is far
+        // below the threshold).
+        val sampled = documentCount(s, dir) > BandSensitivityFullFormMaxDocs
+        bandSensitivityFrame(s, dir, sample = sampled)
+          .withColumn("sampled", lit(sampled))
           .orderBy("bands")
       },
       Some(s"""WITH t AS (
@@ -1247,7 +1268,8 @@ private[graft] object QueriesDedup {
              |  COALESCE(r.n_true, 0) AS n_true,
              |  CASE WHEN COALESCE(r.n_candidates, 0) > 0
              |    THEN CAST((10000 * r.n_true) // r.n_candidates AS BIGINT)
-             |    ELSE 0 END AS precision_fp
+             |    ELSE 0 END AS precision_fp,
+             |  false AS sampled
              |FROM cfg c LEFT JOIN res r USING (bands)
              |ORDER BY bands""".stripMargin)),
 

@@ -865,12 +865,15 @@ private[graft] object QueryHelpers {
     * a sweep's per-query drain() can't evict an index its later queries
     * share — the explicitly-amortized-index class, same as the IVF fit. */
   private val sharedFrames =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
+  // Keyed on CachePolicy.sessionId (weak-keyed UUID), not identityHashCode: identity hashes can
+  // collide after an old session is GC'd, which would serve a frame
+  // bound to a stopped SparkContext to a new session.
   private def sharedFrame(key: String, s: SparkSession, dir: String)
                          (build: => DataFrame): DataFrame =
     sharedFrames.getOrElseUpdate(
-      (System.identityHashCode(s), dir, key),
+      (graft.CachePolicy.sessionId(s), dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** ExactSubstr dupSpanProfile oracle, parameterized to mirror
@@ -916,16 +919,19 @@ private[graft] object QueryHelpers {
        |  CAST((10000 * dup_tokens) // n_tokens AS BIGINT) AS coverage_fp
        |FROM outp ORDER BY coverage_fp DESC, doc_id LIMIT $limit""".stripMargin
 
-  /** Corpus document count, one count job per (session, dir) — the
-    * size probe that routes diagnostics between their full-corpus and
-    * sampled plans. Parquet count is metadata-cheap; memoized so a
-    * sweep pays it once. */
-  private val docCounts =
-    scala.collection.concurrent.TrieMap[(Int, String), Long]()
+  /** Corpus table counts, one count job per (session, dir, table) —
+    * the size probes that route diagnostics between their full-corpus
+    * and sampled/auto-sized plans. Parquet count is metadata-cheap;
+    * memoized so a sweep pays it once. */
+  private val tableCounts =
+    scala.collection.concurrent.TrieMap[(String, String, String), Long]()
+
+  def tableCount(s: SparkSession, dir: String, table: String): Long =
+    tableCounts.getOrElseUpdate((graft.CachePolicy.sessionId(s), dir, table),
+      t(s, dir, table).count())
 
   def documentCount(s: SparkSession, dir: String): Long =
-    docCounts.getOrElseUpdate((System.identityHashCode(s), dir),
-      t(s, dir, "documents").count())
+    tableCount(s, dir, "documents")
 
   /** Above this corpus size the band-sensitivity diagnostic (q176)
     * runs on the deterministic 25% sample instead of the full corpus:
@@ -937,6 +943,20 @@ private[graft] object QueryHelpers {
     * ~(1/s)². The ×100 rehearsal corpus (500k docs) stays on the full
     * form; the ×1000 regime (5M) routes to the sample. */
   val BandSensitivityFullFormMaxDocs = 1000000L
+
+  /** Above this embedding-corpus size q47 stops pinning the
+    * hyperplane-LSH width at signBits = 6 (64 buckets — the
+    * oracle-expressible form) and routes through
+    * [[graft.ext.SimilarityOps.autoSignBits]] instead: with pinned
+    * width, bucket occupancy grows linearly with the corpus and the
+    * within-bucket pair join quadratically — the ×1000 rehearsal
+    * measured the pinned arm at 1311 s on 2M vectors vs 78 s for the
+    * occupancy-targeted sizing. 500k keeps the ×100 regime (200k vecs,
+    * 32 s) on the oracle-pinned form and gates the regime where the
+    * pinned arm goes superlinear. The q47 output carries the bits
+    * actually used (`sign_bits`), so gated results are distinguishable
+    * from pinned ones — the q195 est_full_candidates precedent. */
+  val EmbClusterPinnedBitsMaxVecs = 500000L
 
   /** The three-way LSH S-curve frame shared by q176/q195: the SAME
     * 32-hash signatures banded (4×8, 8×4, 16×2), each config scored by

@@ -183,6 +183,35 @@ class LayoutTrainSpec extends AnyFunSuite {
     assert(out2(0).getString(4) == "p q r s t u v w")
   }
 
+  test("stripDupSpansKeepOne at mergeGap>0: canonical block survives " +
+    "verbatim including its gap token; the near-copy loses its edit too") {
+    // Two docs sharing "a b c … d e f" around a one-token edit. At l=3
+    // the edit splits the duplicated grams into two islands separated
+    // by one clean token — within mergeGap=2, so BOTH the dup spans and
+    // the canonical spans gap-merge. Pinned semantics: the canonical
+    // doc's merged block survives whole (its gap token X is canonical
+    // by the same merge), while the non-canonical doc is stripped
+    // across the merged span INCLUDING its edit token Y — a one-token
+    // edit inside near-duplicated boilerplate leaves no debris.
+    val docs = Seq(
+      (1L, "a b c X d e f"),
+      (2L, "a b c Y d e f")
+    ).toDF("doc_id", "text")
+    val merged = ExactSubstrOps.stripDupSpansKeepOne(docs, col("doc_id"),
+        col("text"), l = 3, mergeGap = 2)
+      .collect()
+    assert(merged.length == 1 && merged(0).getLong(0) == 2L)
+    assert(merged(0).getLong(2) == 0L && merged(0).getLong(3) == 7L
+      && merged(0).getString(4) == "")
+    // contrast at mergeGap=0: islands stay separate, so doc 2's edit
+    // token is NOT covered and survives as debris
+    val unmerged = ExactSubstrOps.stripDupSpansKeepOne(docs, col("doc_id"),
+        col("text"), l = 3, mergeGap = 0)
+      .collect()
+    assert(unmerged.length == 1 && unmerged(0).getLong(0) == 2L)
+    assert(unmerged(0).getLong(2) == 1L && unmerged(0).getString(4) == "Y")
+  }
+
   test("ExactSubstr production defaults are the linear operating point (l=20, mergeGap=4)") {
     // The default path must be the regime that stays linear at corpus
     // scale (the ×1000 rehearsal measured 8-grams disk-bound at 19×/10×
