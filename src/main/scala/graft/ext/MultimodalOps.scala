@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partition sizing, batch iteration
   * shape — is real and tested. IMAGES decode (`javax.imageio`) AND
   * resize (`Graphics2D`, headless) for real via the JDK's pure-JVM
-  * PNG/JPEG/GIF/BMP codecs; AUDIO decodes for real for uncompressed
+  * PNG/JPEG/GIF/BMP/TIFF/WBMP codecs (compressed formats included —
+  * JPEG/TIFF round-trips are spec-pinned on this exact headless JDK,
+  * no native codec involved); AUDIO decodes for real for uncompressed
   * WAV/AIFF/AU via `javax.sound.sampled` (PCM needs no native codec).
   * Only compressed audio and VIDEO stay behind the deterministic
   * `decodeStub` fake — swap it for a JNI/ffmpeg or `mapInPandas`
