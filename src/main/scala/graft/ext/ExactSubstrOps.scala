@@ -127,10 +127,10 @@ object ExactSubstrOps {
     * that lost tokens —
     * (doc_id, n_tokens, kept_tokens, removed_tokens, cleaned_text).
     *
-    * Scale: the reconstruction is a per-document anti-join of positions
-    * against covered spans plus one per-document ordered fold
-    * (array_sort over the doc's own kept tokens) — document-sized
-    * state, never corpus-sized. */
+    * Scale: the reconstruction is span-native ([[rebuildFromSpans]]) —
+    * merged spans aggregate per document and the strip is an array
+    * filter inside the doc row, so nothing token-sized is ever
+    * shuffled; state is document-sized, never corpus-sized. */
   def stripDupSpans(docs: DataFrame, id: Column, text: Column,
                     l: Int = DefaultL, minOccurrences: Long = 2L,
                     mergeGap: Int = DefaultMergeGap): DataFrame =
@@ -142,11 +142,9 @@ object ExactSubstrOps {
     * shared-build path): only the rebuild re-reads the corpus — one
     * tokenize pass, no gram hashing, no gram-count shuffle. */
   def stripFromSpans(docs: DataFrame, id: Column, text: Column,
-                     spans: DataFrame, l: Int): DataFrame = {
-    val covered = spans.select(col("doc_id"), col("n_tokens"),
-      explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
-    rebuild(tokenize(docs, id, text, l), covered)
-  }
+                     spans: DataFrame, l: Int): DataFrame =
+    rebuildFromSpans(tokenize(docs, id, text, l),
+      spans, keepSpans = None)
 
   /** Lee-faithful KEEP-ONE variant of [[stripDupSpans]]: each duplicated
     * gram elects a CANONICAL occurrence — the corpus-wide minimum
@@ -181,14 +179,16 @@ object ExactSubstrOps {
     * both (the q139/q143/q145 family) pays no gram pass here at all.
     *
     * "a position survives iff SOME canonical occurrence covers it" is
-    * pure set algebra: strip = (positions covered by any duplicated
-    * gram) MINUS (positions covered by a canonical gram). Both sides
-    * island-merge their occurrence POSITIONS first and only then
-    * explode the merged spans, so each covered position is emitted
-    * ONCE — the previous form exploded every occurrence ×l and
-    * shuffled the whole (occurrence·l)-row frame through a
-    * per-position max, which spilled at the ×100 rehearsal (q145's
-    * 46-80 s + 7× run variance; this form re-measured 14 s stable). */
+    * pure span algebra: a position is stripped iff it lies in a
+    * duplicated span AND in no canonical span. Both sides stay
+    * INTERVALS end-to-end — the canonical occurrences island-merge
+    * once (gram-occurrence-sized window) and the per-position test
+    * happens inside [[rebuildFromSpans]]'s array filter, so no
+    * position-level frame is ever materialized or shuffled. (History:
+    * the round-8 form exploded every occurrence ×l through a
+    * per-position max and spilled; the round-9 form exploded merged
+    * spans back to positions and anti-joined — still token-sized
+    * shuffles at ScaleUp dup density.) */
   def keepOneFromFrames(docs: DataFrame, id: Column, text: Column,
                         dupOcc: DataFrame, allSpans: DataFrame,
                         l: Int, mergeGap: Int = 0): DataFrame = {
@@ -196,35 +196,56 @@ object ExactSubstrOps {
       .agg(min(struct(col("doc_id"), col("pos"), col("n_tokens"))).as("c"))
       .select(col("c.doc_id").as("doc_id"), col("c.n_tokens").as("n_tokens"),
         col("c.pos").as("pos"))
-    val allPos = allSpans
-      .select(col("doc_id"), col("n_tokens"),
-        explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
-    val canonPos = mergeIslands(canon, l, mergeGap)
-      .select(col("doc_id"),
-        explode(sequence(col("sp_start"), col("sp_end"))).as("pos"))
-    val stripped = allPos.join(canonPos, Seq("doc_id", "pos"), "left_anti")
-      .select("doc_id", "n_tokens", "pos")
-    rebuild(tokenize(docs, id, text, l), stripped)
+    rebuildFromSpans(tokenize(docs, id, text, l), allSpans,
+      keepSpans = Some(mergeIslands(canon, l, mergeGap)))
   }
 
-  /** Rebuild cleaned text for the docs owning `stripped` positions. */
-  private def rebuild(toks: DataFrame, stripped: DataFrame): DataFrame = {
-    val kept = toks
+  /** Span-native rebuild: documents stay token ARRAYS end-to-end. The
+    * strip (and optional keep) spans aggregate to one small array per
+    * affected document — merged islands, so a document's span count is
+    * bounded by its own length and in practice a handful — and join to
+    * the tokenized corpus on doc_id (document-count-sized rows, never
+    * token-count-sized). The per-token covered test is a codegen'd
+    * higher-order `filter`/`exists` over the doc's own arrays.
+    *
+    * This replaced the posexplode + anti-join + collect_list form,
+    * which shuffled TWO corpus-token-sized frames (every (doc_id, pos,
+    * tok) row out, every kept token back through a whole-doc
+    * collect_list): at ScaleUp ×1000 dup density (2M docs, covered
+    * positions ≈ corpus tokens) that spilled — q143 measured 444 s
+    * warm, 76× for 10× data. Here the only shuffles are span-count-
+    * sized aggregations and a doc-count-sized join.
+    *
+    * A token position is kept iff it is outside every `spans` interval
+    * OR inside some `keepSpans` interval ([[keepOneFromFrames]]'s
+    * canonical cover); output rows are the documents that actually
+    * lost tokens, matching the anti-join form exactly. */
+  private def rebuildFromSpans(toks: DataFrame, spans: DataFrame,
+                               keepSpans: Option[DataFrame]): DataFrame = {
+    val spanArrT = "array<struct<sp_start:bigint,sp_end:bigint>>"
+    def perDoc(sp: DataFrame, as: String) = sp.groupBy("doc_id")
+      .agg(collect_list(struct(col("sp_start"), col("sp_end"))).as(as))
+    val base = toks.join(perDoc(spans, "strip_sps"), Seq("doc_id"))
+    val joined = keepSpans match {
+      case Some(ks) => base.join(perDoc(ks, "keep_sps"), Seq("doc_id"), "left")
+        .withColumn("keep_sps",
+          coalesce(col("keep_sps"), array().cast(spanArrT)))
+      case None => base.withColumn("keep_sps", array().cast(spanArrT))
+    }
+    def covers(sps: Column, pos: Column) =
+      exists(sps, sp => pos >= sp.getField("sp_start") &&
+        pos <= sp.getField("sp_end"))
+    joined
+      .withColumn("kept", filter(col("toks"), (_, i) => {
+        val pos = i.cast(LongType)
+        !covers(col("strip_sps"), pos) || covers(col("keep_sps"), pos)
+      }))
       .select(col("doc_id"), col("n_tokens"),
-        posexplode(col("toks")).as(Seq("pos", "tok")))
-      .join(stripped.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id", "n_tokens")
-      .agg(count(lit(1)).as("kept_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("cleaned_text"))
-    stripped.select(col("doc_id"), col("n_tokens")).distinct()
-      .join(rebuilt, Seq("doc_id", "n_tokens"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+        size(col("kept")).cast(LongType).as("kept_tokens"),
+        (col("n_tokens") - size(col("kept")).cast(LongType))
           .as("removed_tokens"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        array_join(col("kept"), " ").as("cleaned_text"))
+      .filter(col("removed_tokens") > 0L)
   }
 
   /** Cross-corpus span contamination: positions of a NON-benchmark
