@@ -646,29 +646,34 @@ private[graft] object QueriesMixture {
         // candidate generator), and duplicated-SPAN token coverage
         // (q139's ExactSubstr profile) — the triage view that says
         // WHICH source pays for WHICH dedup pass before any is run at
-        // 100 TB. One corpus scan feeds the digest/fingerprint
-        // derivations (pinned); class memberships come back as
-        // map-side-combined count joins; the span profile reads the
-        // session-shared ExactSubstr span frame (the q139 family build,
+        // 100 TB. ALL per-doc derivations (token count, md5 digest,
+        // min-md5-5-gram fingerprint) happen in ONE corpus pass whose
+        // pinned result is NARROW — text is projected away, so the
+        // cache is hash-column-sized, the expensive fingerprint runs
+        // once per corpus (not once per consumer: the ×1000 Probe
+        // showed the old two-branch form scanning the 1.5 GB corpus
+        // four times and fingerprinting twice, 380 s/run), and class
+        // counts are map-side-combined groupBys joined back on the
+        // narrow frame. The span profile reads the session-shared
+        // ExactSubstr span frame (the q139 family build,
         // QueryHelpers.exactSubstrSpans8 — paid once per session).
         // Every rate is an integer fixed-point division.
         val d = tp(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("text"),
-            TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+            md5(col("text")).as("digest"),
+            TextOps.fingerprint(col("text"), 5).as("fp"))
           .pin()
-        val ex = d.select(col("doc_id"), md5(col("text")).as("digest"))
-        val exFlag = ex
-          .join(ex.groupBy("digest").agg(count(lit(1)).as("copies")), "digest")
-          .select(col("doc_id"), (col("copies") >= 2).cast(LongType).as("is_exact"))
-        val fp = d.select(col("doc_id"), TextOps.fingerprint(col("text"), 5).as("fp"))
-        val fpFlag = fp
-          .join(fp.groupBy("fp").agg(count(lit(1)).as("fcopies")), "fp")
-          .select(col("doc_id"), (col("fcopies") >= 2).cast(LongType).as("is_fpdup"))
+        val exCls = d.groupBy("digest").agg(count(lit(1)).as("copies"))
+        val fpCls = d.groupBy("fp").agg(count(lit(1)).as("fcopies"))
         val sp = ExactSubstrOps.profileFromSpans(exactSubstrSpans8(s, dir))
           .select(col("doc_id"), col("dup_tokens"))
-        d.select("doc_id", "source", "n_tokens")
-          .join(exFlag, "doc_id").join(fpFlag, "doc_id")
+        d.join(exCls, "digest").join(fpCls, "fp")
           .join(sp, Seq("doc_id"), "left")
+          .select(col("source"), col("n_tokens"),
+            (col("copies") >= 2).cast(LongType).as("is_exact"),
+            (col("fcopies") >= 2).cast(LongType).as("is_fpdup"),
+            col("dup_tokens"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
             sum("is_exact").as("exact_dup_docs"),
