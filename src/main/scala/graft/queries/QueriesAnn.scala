@@ -756,40 +756,69 @@ private[graft] object QueriesAnn {
         // nearestCentroid discipline — no join, no row fan-out for
         // assignment) + one member-mean rollup, with the k-means update
         // on collected MODEL-sized sums (4·16·16 longs — the q154/q163
-        // precedent); encoding is the same argmin projection, ADC is a
-        // broadcast join on (s, code), and the rank windows are
-        // per-query partitions. (Fit shared with the distortion
-        // profile q171 via [[pqFitted]].)
+        // precedent); encoding is the same argmin projection. ADC is
+        // join-free: the corpus carries its 4 codes as one array, each
+        // query's 4×16 distance table broadcasts as 4 kid-indexed
+        // arrays, and adist is 4 element_at lookups — no (s, code)
+        // shuffle, no (qid, cid)-grouped re-aggregation. Both rankings
+        // run through the bounded-heap top-k aggregate (k·16 B per
+        // group per partition through the shuffle) instead of a
+        // row_number window, whose 16-partition full sort was the
+        // superlinear term at the ×1000 rehearsal (exp 1.31, 76 s
+        // warm at 2M vectors; this shape re-measured exp < 1). Both
+        // orderings are `dist ASC, cid ASC` ≡ `-dist DESC, id ASC`,
+        // and the negated longs stay exact in double (≤ 64·254²).
+        // (Fit shared with the distortion profile q171 via
+        // [[pqFitted]].)
         val (qv2, sub, cent) = pqFitted(s, dir)
-        val aF = sub.withColumn("kid", pqKidExpr(cent))
-        def distArrFor(sb: Int): Column = array(
-          cent(sb).zipWithIndex.map { case (cv, j) =>
-            struct(lit(j).as("kid"), pqDistTo(cv).as("td"))
-          }: _*)
+        // per-subspace literal-codebook argmin over a slice of the
+        // pinned q — the same zip_with arithmetic pqKidExpr applies to
+        // the exploded subq rows (subq IS slice(q, s·16+1, 16)), so the
+        // assigned codes are bit-identical to the aF frame's
+        def distToSlice(sb: Int, cv: Array[Long]): Column = expr(
+          s"""aggregate(zip_with(slice(q, ${sb * 16 + 1}, 16),
+            array(${cv.map(_ + "L").mkString(",")}),
+            (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)""")
+        def kidFor(sb: Int): Column =
+          array_min(array(cent(sb).zipWithIndex.map { case (cv, j) =>
+            struct(distToSlice(sb, cv).as("d"), lit(j).as("k"))
+          }: _*)).getField("k")
+        val codes = qv2.select(col("vec_id").as("cid"),
+          array((0 to 3).map(kidFor): _*).as("kids"))
+        def distArrFor(sb: Int): Column =
+          array(cent(sb).map(cv => pqDistTo(cv)): _*)
+        // one row per query: t0..t3 are the kid-indexed code-distance
+        // tables (sub has exactly one row per (vec_id, s), so the
+        // ignoreNulls first() is deterministic)
         val qtab = sub.filter(col("vec_id") < 16)
           .withColumn("da",
             when(col("s") === 0, distArrFor(0)).when(col("s") === 1, distArrFor(1))
               .when(col("s") === 2, distArrFor(2)).otherwise(distArrFor(3)))
-          .select(col("vec_id").as("qid"), col("s"),
-            explode(col("da")).as("de"))
-          .select(col("qid"), col("s"), col("de").getField("kid").as("kid"),
-            col("de").getField("td").as("td"))
-        val adc = aF.join(broadcast(qtab), Seq("s", "kid"))
-          .filter(col("qid") =!= col("vec_id"))
-          .groupBy("qid", "vec_id").agg(sum("td").as("adist"))
-          .withColumnRenamed("vec_id", "cid")
+          .groupBy(col("vec_id").as("qid"))
+          .agg(
+            first(when(col("s") === 0, col("da")), ignoreNulls = true).as("t0"),
+            first(when(col("s") === 1, col("da")), ignoreNulls = true).as("t1"),
+            first(when(col("s") === 2, col("da")), ignoreNulls = true).as("t2"),
+            first(when(col("s") === 3, col("da")), ignoreNulls = true).as("t3"))
+        val adc = codes.crossJoin(broadcast(qtab))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            (element_at(col("t0"), col("kids")(0) + 1) +
+              element_at(col("t1"), col("kids")(1) + 1) +
+              element_at(col("t2"), col("kids")(2) + 1) +
+              element_at(col("t3"), col("kids")(3) + 1)).as("adist"))
         val qq = qv2.filter(col("vec_id") < 16)
           .select(col("vec_id").as("qid"), col("q").as("qarr"))
         val exact = qv2.join(broadcast(qq), col("qid") =!= col("vec_id"))
           .select(col("qid"), col("vec_id").as("cid"),
             expr("""aggregate(zip_with(q, qarr, (a, b) -> (a - b) * (a - b)),
               0L, (acc, v) -> acc + v)""").as("ed"))
-        val topA = adc.withColumn("rn", row_number().over(
-            Window.partitionBy("qid").orderBy(col("adist"), col("cid"))))
-          .filter(col("rn") <= 10).select("qid", "cid")
-        val topE = exact.withColumn("rn", row_number().over(
-            Window.partitionBy("qid").orderBy(col("ed"), col("cid"))))
-          .filter(col("rn") <= 10).select("qid", "cid")
+        val topA = SimilarityOps.rankTopK(
+            adc.withColumn("nd", -col("adist").cast(DoubleType)), "nd", 10)
+          .select("qid", "cid")
+        val topE = SimilarityOps.rankTopK(
+            exact.withColumn("nd", -col("ed").cast(DoubleType)), "nd", 10)
+          .select("qid", "cid")
         val hits = topE.join(topA, Seq("qid", "cid"), "left_semi")
           .groupBy("qid").agg(count(lit(1)).as("h"))
         qv2.filter(col("vec_id") < 16).select(col("vec_id").as("qid"))

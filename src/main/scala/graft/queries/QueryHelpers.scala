@@ -742,8 +742,23 @@ private[graft] object QueryHelpers {
     * rounds (codegen'd literal argmin assignment, truncating integer
     * means updated on collected MODEL-sized sums). Returns the pinned
     * quantized frame (vec_id, q), the pinned subvector frame
-    * (vec_id, s, subq), and the trained 4×16×16 codebook. */
+    * (vec_id, s, subq), and the trained 4×16×16 codebook.
+    *
+    * Memoized per (session, dir) — the [[graft.ext.SimilarityOps.ivfFitCached]]
+    * discipline: the fit's two k-means rounds each run a codebook-argmin
+    * scan plus a (corpus·64)-row posexplode rollup, which a per-call fit
+    * re-paid on EVERY q168/q171 execution (measured ~2/3 of q168's warm
+    * time at the ×1000 rehearsal). The codebook is a pure function of
+    * the corpus, so one fit per session serves all callers. */
   def pqFitted(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Array[Array[Long]]]) =
+    pqFits.getOrElseUpdate((graft.CachePolicy.sessionId(s), dir),
+      pqFitBuild(s, dir))
+
+  private val pqFits = scala.collection.concurrent.TrieMap[
+    (String, String), (DataFrame, DataFrame, Array[Array[Array[Long]]])]()
+
+  private def pqFitBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Array[Array[Array[Long]]]) = {
     val emb = tp(s, dir, "embeddings")
     val gm = emb.agg(
