@@ -577,56 +577,14 @@ private[graft] object QueriesText {
         // continuation-bigram/unigram) is a gram-type-sized rollup of
         // the train slice; scoring left-joins the held-out frame on
         // gram keys — the standard LM-scoring shuffle. At 100 TB the
-        // model itself is the big side; production variants add a
-        // min-count prune on `tri` (drop n_abc = 1) before the join —
-        // omitted here so the oracle equivalence stays exact.
-        val toks = TextOps.tokens(col("text"))
-        val db = tp(s, dir, "documents")
-          .filter(size(toks) >= 3)
-          .select(col("doc_id"),
-            explode(arrays_zip(
-              slice(toks, lit(1), size(toks) - 2),
-              slice(toks, lit(2), size(toks) - 2),
-              slice(toks, lit(3), size(toks) - 2))).as("p"))
-          .select(col("doc_id"),
-            col("p").getField("0").as("t1"),
-            col("p").getField("1").as("t2"),
-            col("p").getField("2").as("t3"))
-          .groupBy("doc_id", "t1", "t2", "t3").agg(count(lit(1)).as("k"))
-          .pin()
-        val tri = db.filter(col("doc_id") % 2 === 0)
-          .groupBy("t1", "t2", "t3").agg(sum("k").as("n_abc"))
-        val h2 = tri.groupBy("t1", "t2").agg(sum("n_abc").as("n_ab"))
-        val big = tri.groupBy("t2", "t3").agg(sum("n_abc").as("n_bc"))
-        val bh = big.groupBy("t2").agg(sum("n_bc").as("n_b"))
-        val uni = tri.groupBy("t3").agg(sum("n_abc").as("n_c"))
-        val tot = tri.agg(sum("n_abc").as("n_tot"))
-        val sc = db.filter(col("doc_id") % 2 === 1)
-          .join(tri, Seq("t1", "t2", "t3"), "left")
-          .join(h2, Seq("t1", "t2"), "left")
-          .join(big, Seq("t2", "t3"), "left")
-          .join(bh, Seq("t2"), "left")
-          .join(uni, Seq("t3"), "left")
-          .crossJoin(broadcast(tot))
-          .withColumn("s",
-            when(col("n_abc").isNotNull, expr("(1000000 * n_ab) div n_abc"))
-              .when(col("n_bc").isNotNull, expr("(5000000 * n_b) div (2 * n_bc)"))
-              .when(col("n_c").isNotNull, expr("(25000000 * n_tot) div (4 * n_c)"))
-              .otherwise(lit(1000000000000L)))
-        sc.groupBy("doc_id")
-          .agg(sum("k").as("n_trigrams"),
-            sum(when(col("n_abc").isNotNull, col("k")).otherwise(0L))
-              .as("n_tri_hit"),
-            sum(when(col("n_abc").isNull && col("n_bc").isNotNull, col("k"))
-              .otherwise(0L)).as("n_backoff_bi"),
-            sum(when(col("n_abc").isNull && col("n_bc").isNull &&
-              col("n_c").isNotNull, col("k")).otherwise(0L)).as("n_backoff_uni"),
-            sum(when(col("n_abc").isNull && col("n_bc").isNull &&
-              col("n_c").isNull, col("k")).otherwise(0L)).as("n_oov"),
-            sum(col("k") * col("s")).as("s_fp"))
-          .select(col("doc_id"), col("n_trigrams"), col("n_tri_hit"),
-            col("n_backoff_bi"), col("n_backoff_uni"), col("n_oov"),
-            expr("s_fp div n_trigrams").as("avg_surprisal_fp"))
+        // model itself is the big side, so above [[LmPruneMinDocs]]
+        // the model drops singleton trigrams before the joins —
+        // Brants et al.'s min-count prune, SIZE-GATED (the q47/q176
+        // precedent) with a `pruned` output flag; the oracle corpus
+        // stays far below the gate on the exact full form.
+        val pruned = documentCount(s, dir) > LmPruneMinDocs
+        trigramBackoffLm(tp(s, dir, "documents"), pruneSingletons = pruned)
+          .withColumn("pruned", lit(pruned))
           .orderBy(col("avg_surprisal_fp").desc, col("doc_id"))
           .limit(20)
       },
@@ -672,7 +630,8 @@ private[graft] object QueriesText {
              |  CAST(sum(CASE WHEN cls = 'bi' THEN k ELSE 0 END) AS BIGINT) AS n_backoff_bi,
              |  CAST(sum(CASE WHEN cls = 'uni' THEN k ELSE 0 END) AS BIGINT) AS n_backoff_uni,
              |  CAST(sum(CASE WHEN cls = 'oov' THEN k ELSE 0 END) AS BIGINT) AS n_oov,
-             |  CAST(sum(k * s) // sum(k) AS BIGINT) AS avg_surprisal_fp
+             |  CAST(sum(k * s) // sum(k) AS BIGINT) AS avg_surprisal_fp,
+             |  false AS pruned
              |FROM sc GROUP BY 1
              |ORDER BY avg_surprisal_fp DESC, doc_id LIMIT 20""".stripMargin)),
 

@@ -973,6 +973,87 @@ private[graft] object QueryHelpers {
     * from pinned ones — the q195 est_full_candidates precedent. */
   val EmbClusterPinnedBitsMaxVecs = 500000L
 
+  /** q150's model-prune gate: above this many documents the trigram
+    * LM drops singleton trigrams (n_abc = 1) from the model before
+    * scoring — Brants et al.'s min-count pruning, the standard lever
+    * that keeps the model side of the LM-scoring join broadcastable
+    * at web scale (on a ScaleUp corpus, where copies make most
+    * trigrams unique, singletons ARE the model: the ×1000 rehearsal's
+    * scoring chain shuffled a ~50M-type model five times). Like the
+    * q47/q176 gates, the output carries a `pruned` flag so gated
+    * results are distinguishable, and the oracle corpus (sf0.01,
+    * 2k docs) stays far below the gate on the exact full form. */
+  val LmPruneMinDocs = 1000000L
+
+  /** q150's trigram stupid-backoff LM (Brants et al., α = 2/5 exact):
+    * train on even doc_ids, score odd doc_ids, all surprisals integer
+    * reciprocals (see the q150 scaladoc for the per-class forms).
+    * Returns the per-document aggregate frame (doc_id, n_trigrams,
+    * n_tri_hit, n_backoff_bi, n_backoff_uni, n_oov, avg_surprisal_fp),
+    * unordered. `pruneSingletons` derives EVERY model table from the
+    * singleton-pruned trigram set — pruned trigrams score through
+    * backoff exactly as unseen ones do. */
+  def trigramBackoffLm(docs: DataFrame, pruneSingletons: Boolean): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val db = docs
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 2),
+          slice(toks, lit(2), size(toks) - 2),
+          slice(toks, lit(3), size(toks) - 2))).as("p"))
+      .select(col("doc_id"),
+        col("p").getField("0").as("t1"),
+        col("p").getField("1").as("t2"),
+        col("p").getField("2").as("t3"))
+      .groupBy("doc_id", "t1", "t2", "t3").agg(count(lit(1)).as("k"))
+      .pin()
+    // The model is PINNED (gram-TYPE-sized — every model table below
+    // re-aggregates it, which unpinned meant ~6 re-aggregations of the
+    // corpus-sized trigram frame per run), and the rollups a gram
+    // consumes only on ITS OWN hit branch (n_ab on tri-hit, n_b on
+    // bigram-hit) pre-join into that gram's model table — model-sized
+    // shuffles that cut the held-out frame's scoring joins from 5 to
+    // 3. Both rollups derive from the (possibly pruned) model, so a
+    // hit row always carries its head count: values are identical to
+    // the 5-join form.
+    val tri0 = db.filter(col("doc_id") % 2 === 0)
+      .groupBy("t1", "t2", "t3").agg(sum("k").as("n_abc"))
+    val tri = (if (pruneSingletons) tri0.filter(col("n_abc") >= 2L) else tri0)
+      .pin()
+    val h2 = tri.groupBy("t1", "t2").agg(sum("n_abc").as("n_ab"))
+    val triJ = tri.join(h2, Seq("t1", "t2"))
+    val big = tri.groupBy("t2", "t3").agg(sum("n_abc").as("n_bc"))
+    val bh = big.groupBy("t2").agg(sum("n_bc").as("n_b"))
+    val bigJ = big.join(bh, Seq("t2"))
+    val uni = tri.groupBy("t3").agg(sum("n_abc").as("n_c"))
+    val tot = tri.agg(sum("n_abc").as("n_tot"))
+    val sc = db.filter(col("doc_id") % 2 === 1)
+      .join(triJ, Seq("t1", "t2", "t3"), "left")
+      .join(bigJ, Seq("t2", "t3"), "left")
+      .join(uni, Seq("t3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("s",
+        when(col("n_abc").isNotNull, expr("(1000000 * n_ab) div n_abc"))
+          .when(col("n_bc").isNotNull, expr("(5000000 * n_b) div (2 * n_bc)"))
+          .when(col("n_c").isNotNull, expr("(25000000 * n_tot) div (4 * n_c)"))
+          .otherwise(lit(1000000000000L)))
+    sc.groupBy("doc_id")
+      .agg(sum("k").as("n_trigrams"),
+        sum(when(col("n_abc").isNotNull, col("k")).otherwise(0L))
+          .as("n_tri_hit"),
+        sum(when(col("n_abc").isNull && col("n_bc").isNotNull, col("k"))
+          .otherwise(0L)).as("n_backoff_bi"),
+        sum(when(col("n_abc").isNull && col("n_bc").isNull &&
+          col("n_c").isNotNull, col("k")).otherwise(0L)).as("n_backoff_uni"),
+        sum(when(col("n_abc").isNull && col("n_bc").isNull &&
+          col("n_c").isNull, col("k")).otherwise(0L)).as("n_oov"),
+        sum(col("k") * col("s")).as("s_fp"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_tri_hit"),
+        col("n_backoff_bi"), col("n_backoff_uni"), col("n_oov"),
+        expr("s_fp div n_trigrams").as("avg_surprisal_fp"))
+  }
+
   /** The three-way LSH S-curve frame shared by q176/q195: the SAME
     * 32-hash signatures banded (4×8, 8×4, 16×2), each config scored by
     * candidate volume and exact-Jaccard precision (verified on
