@@ -700,10 +700,10 @@ private[graft] object QueriesDedup {
         // merge into one reported span, so a one-word edit inside a
         // boilerplate block doesn't split the report. Same plan shape
         // as q139 — one gram-count shuffle, LEFT SEMI feedback,
-        // per-document windows.
-        ExactSubstrOps.dupSpanProfile(tp(s, dir, "documents"),
-            col("doc_id"), col("text"), l = 20, minOccurrences = 2L,
-            mergeGap = 4)
+        // per-document windows — and, like q139, the build is a
+        // session-shared frame (exactSubstrSpans20), so repeats answer
+        // span-count-sized.
+        ExactSubstrOps.profileFromSpans(exactSubstrSpans20(s, dir))
           .orderBy(col("coverage_fp").desc, col("doc_id"))
           .limit(50),
       Some(exactSubstrOracleSql(l = 20, mergeGap = 4, limit = 50))),

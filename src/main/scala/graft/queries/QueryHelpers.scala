@@ -1113,6 +1113,20 @@ private[graft] object QueryHelpers {
         l = 8, mergeGap = 0)
     }
 
+  /** The l=20 + mergeGap=4 family frame — the production DEFAULT
+    * ExactSubstr operating point ([[graft.ext.ExactSubstrOps.DefaultL]]).
+    * q194 previously re-derived the full longer-gram build on every
+    * run (the ×1000 rehearsal measured its warm time equal to its
+    * cold 151 s for exactly that reason); like the 8-gram frames, the
+    * gram build + island merge now run once per (session, dir). */
+  def exactSubstrSpans20(s: SparkSession, dir: String): DataFrame =
+    sharedFrame("esspans20", s, dir) {
+      ExactSubstrOps.mergedSpans(
+        ExactSubstrOps.dupOccurrences(tp(s, dir, "documents"),
+          col("doc_id"), col("text"), l = 20, minOccurrences = 2L),
+        l = 20, mergeGap = 4)
+    }
+
   /** `(doc_id, sd)` — each document's DISTINCT 3-gram shingle set. */
   def shingleSets(s: SparkSession, dir: String): DataFrame =
     sharedFrame("sd3", s, dir) {
