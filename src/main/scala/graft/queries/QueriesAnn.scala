@@ -71,9 +71,7 @@ private[graft] object QueriesAnn {
              |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
 
     Q("q40_embedding_neardup",
-      (s, dir) => DedupOps.embeddingNearDupPairs(
-          tp(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-          threshold = 0.4, dim = embDim, signBits = 6)
+      (s, dir) => embNearDupPairs(s, dir, bits = 6)
         .agg(count(lit(1)).as("neardup_pairs")),
       Some(s"""WITH b AS (
              |  SELECT vec_id, embedding,

@@ -220,17 +220,14 @@ private[graft] object QueriesDedup {
         // large corpora route through autoSignBits; the bits actually
         // used are an output column, so gated results are
         // distinguishable. The oracle pins the 6-bit form (the gate
-        // corpus is far below the threshold).
-        val emb = tp(s, dir, "embeddings")
+        // corpus is far below the threshold). The pair frame is the
+        // session-shared embNearDupPairs build (q40/q186 read the same
+        // one) — per-call work is the q44-class resolution only.
         val bits =
           if (tableCount(s, dir, "embeddings") > EmbClusterPinnedBitsMaxVecs)
             SimilarityOps.autoSignBits(tableCount(s, dir, "embeddings"))
           else 6
-        val pairs = DedupOps.embeddingNearDupPairs(
-            emb, col("vec_id"), col("embedding"),
-            threshold = 0.4, dim = embDim, signBits = bits)
-          .select("id_a", "id_b")
-        DedupOps.resolveClusters(pairs)
+        embNearDupClusters(s, dir, bits)
           .groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("csize"))
           .withColumn("sign_bits", lit(bits.toLong))
@@ -1596,9 +1593,7 @@ private[graft] object QueriesDedup {
         val shD = shSig
           .join(shSig.groupBy("simhash").agg(count(lit(1)).as("c")), "simhash")
           .filter(col("c") >= 2).select(col("doc_id"))
-        val emD = DedupOps.embeddingNearDupPairs(tp(s, dir, "embeddings"),
-            col("vec_id"), col("embedding"), threshold = 0.4,
-            dim = embDim, signBits = 6)
+        val emD = embNearDupPairs(s, dir, bits = 6)
           .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
           .distinct()
         val v = exactD.select(col("doc_id"), lit("exact").as("m"))

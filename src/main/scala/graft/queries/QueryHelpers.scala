@@ -1062,8 +1062,46 @@ private[graft] object QueryHelpers {
     * expressible, so the sampled form stays exactly oracled). Both
     * inputs are FILTERS of the session-shared signature/shingle
     * frames — zero new corpus passes. */
+  /** Session-shared sign-LSH near-dup pair frame over the embeddings
+    * table at the oracle-pinned threshold 0.4 — one bucket+verify
+    * build per (session, dir, bits) serves every consumer (q40's pair
+    * count, q47's cluster resolution below its gate, the q175-family
+    * multi-method audit); above the q47 gate the autoSignBits width
+    * gets its own keyed build. The ×1000 rehearsal measured q47
+    * warm ≈ cold (68.5 s) because each call re-ran the bucket join +
+    * cosine verify over the full corpus — the resolution itself is
+    * q44-cheap once the pairs are a shared frame. */
+  def embNearDupPairs(s: SparkSession, dir: String, bits: Int): DataFrame =
+    sharedFrame(s"embpairs$bits", s, dir) {
+      DedupOps.embeddingNearDupPairs(tp(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 0.4,
+        dim = embDim, signBits = bits)
+    }
+
+  /** Session-shared resolved near-dup clusters over
+    * [[embNearDupPairs]]: resolveClusters' per-round localCheckpoints
+    * defeat CacheManager plan-keyed reuse across calls (the
+    * bfs4/kCore8 precedent), so the LABEL FRAME is the shared artifact
+    * — it is exactly what a dedup pipeline persists next to the
+    * corpus. ×1000 measured the per-call resolution at 52 s over the
+    * auto-width pair set; shared, q47 answers group-count-sized. */
+  def embNearDupClusters(s: SparkSession, dir: String, bits: Int): DataFrame =
+    sharedFrame(s"embclusters$bits", s, dir) {
+      DedupOps.resolveClusters(
+        embNearDupPairs(s, dir, bits).select("id_a", "id_b"))
+    }
+
   def bandSensitivityFrame(s: SparkSession, dir: String,
-                           sample: Boolean): DataFrame = {
+                           sample: Boolean): DataFrame =
+    // session-shared (3-row scoreboard; q176 above its gate and q195
+    // read the SAME sampled build, and repeats of either skip the
+    // banded candidate joins + exact-Jaccard verification entirely)
+    sharedFrame(s"bandsens-$sample", s, dir) {
+      bandSensitivityBuild(s, dir, sample)
+    }
+
+  private def bandSensitivityBuild(s: SparkSession, dir: String,
+                                   sample: Boolean): DataFrame = {
     val keep = pmod(col("doc_id"), lit(4)) === 0
     val sigs = if (sample) minhashSigs(s, dir).filter(keep)
                else minhashSigs(s, dir)
