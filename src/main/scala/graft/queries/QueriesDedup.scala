@@ -35,8 +35,12 @@ private[graft] object QueriesDedup {
              |GROUP BY copies ORDER BY copies""".stripMargin)),
 
     Q("q35_minhash_neardup",
-      (s, dir) => DedupOps.minhashCandidatePairs(
-          tp(s, dir, "documents"), col("doc_id"), col("text"))
+      // the session-shared production banding frame (the same
+      // signatures/candidates every banding consumer reads — q35 was
+      // the one family query still re-deriving its own build per call:
+      // 45.6 s warm at the ×1000 rehearsal, candidate-count-sized off
+      // the shared frame)
+      (s, dir) => minhashPairs(s, dir)
         .filter(col("est_jaccard") >= 0.5)
         .agg(count(lit(1)).as("candidate_pairs")),
       // Fully oracled since the portable (md5-derived universal) hash
