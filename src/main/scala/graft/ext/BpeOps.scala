@@ -66,15 +66,14 @@ object BpeOps {
     * tokenizer once and both artifacts derive from it. Session-scoped
     * so a cached frame never outlives the SparkSession persisting it. */
   private val induceCache =
-    scala.collection.concurrent.TrieMap[(String, String, Int), (DataFrame, DataFrame)]()
+    new graft.SessionMemo[(String, Int), (DataFrame, DataFrame)]
 
   private def induceCached(df: DataFrame, text: Column, rounds: Int,
                            cacheKey: Option[String]): (DataFrame, DataFrame) =
     cacheKey match {
       case None => induce(df, text, rounds)
       case Some(key) =>
-        val sessionId = graft.CachePolicy.sessionId(df.sparkSession)
-        induceCache.getOrElseUpdate((sessionId, key, rounds),
+        induceCache.getOrBuild(df.sparkSession, (key, rounds))(
           induce(df, text, rounds))
     }
 

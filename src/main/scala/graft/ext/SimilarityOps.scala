@@ -406,19 +406,39 @@ object SimilarityOps {
     * nlist, iters) — the index is built once and reused across query
     * batches, as a real deployment would persist it next to the corpus.
     * Keyed on the session UUID too, so a stale model never outlives
-    * the SparkSession that persisted it. */
+    * the SparkSession that persisted it.
+    *
+    * With a [[graft.etl.FrameStore]] configured the fit is DURABLE:
+    * the centroid table (`(cid, pos, c)`, model-sized) and the
+    * assigned inverted file (corpus-sized) publish once per
+    * (cacheKey, nlist, iters), and a fresh session re-hydrates the
+    * model from parquet instead of re-running the k-means collects. */
   private val modelCache =
-    scala.collection.concurrent.TrieMap[(String, String, Int, Int), IvfModel]()
+    new graft.SessionMemo[(String, Int, Int), IvfModel]
 
   def ivfFitCached(cacheKey: String, corpus: DataFrame,
-                   nlist: Int, iters: Int = 2): IvfModel = {
-    val sessionId = graft.CachePolicy.sessionId(corpus.sparkSession)
-    modelCache.getOrElseUpdate((sessionId, cacheKey, nlist, iters), {
-      val m = ivfFit(corpus, nlist, iters)
-      IvfModel(m.centroids,
-        m.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
-  }
+                   nlist: Int, iters: Int = 2): IvfModel =
+    modelCache.getOrBuild(corpus.sparkSession, (cacheKey, nlist, iters)) {
+      val s = corpus.sparkSession
+      // the fit runs lazily at most once: the centroid publish forces
+      // it; the assigned frame then reuses the same model object
+      lazy val fitted = ivfFit(corpus, nlist, iters)
+      val centFrame = graft.etl.FrameStore.getOrBuild(
+          s, cacheKey, s"ivf-$nlist-$iters-centroids") {
+        import s.implicits._
+        fitted.centroids.zipWithIndex.flatMap { case (cv, cid) =>
+          cv.zipWithIndex.map { case (c, pos) => (cid, pos, c) }
+        }.toSeq.toDF("cid", "pos", "c")
+      }
+      val centroids = centFrame.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+      val assigned = graft.etl.FrameStore.getOrBuild(
+          s, cacheKey, s"ivf-$nlist-$iters-assigned")(fitted.assigned)
+      IvfModel(centroids,
+        assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** IVF top-k: each query probes its `nprobe` nearest centroids and
     * scores only the inverted lists behind them — the classic

@@ -129,6 +129,19 @@ object VecExpressions {
 
     override protected def withNewChildInternal(c: Expression): MatSignBucket =
       copy(child = c)
+
+    // value equality over the matrix (case-class equals would compare
+    // Java arrays by REFERENCE): two plans carrying equal planes are
+    // semantically equal — which is what canonicalization, CacheManager
+    // plan-keyed reuse, and the SQL-vs-DataFrame parity spec compare
+    override def equals(o: Any): Boolean = o match {
+      case m: MatSignBucket => m.child == child &&
+        java.util.Arrays.deepEquals(
+          m.planes.asInstanceOf[Array[AnyRef]], planes.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode(): Int = 31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
   }
 
   /** Argmax centroid id by dot similarity; ties take the LARGER id —
@@ -181,6 +194,17 @@ object VecExpressions {
 
     override protected def withNewChildInternal(c: Expression): NearestCentroid =
       copy(child = c)
+
+    // value equality over the centroid matrix — see MatSignBucket
+    override def equals(o: Any): Boolean = o match {
+      case m: NearestCentroid => m.child == child &&
+        java.util.Arrays.deepEquals(
+          m.centroids.asInstanceOf[Array[AnyRef]],
+          centroids.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode(): Int = 31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
   }
 
   /** max |v[i]| — the symmetric-quantization scale numerator. */

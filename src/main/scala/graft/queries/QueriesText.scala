@@ -583,7 +583,7 @@ private[graft] object QueriesText {
         // precedent) with a `pruned` output flag; the oracle corpus
         // stays far below the gate on the exact full form.
         val pruned = documentCount(s, dir) > LmPruneMinDocs
-        trigramBackoffLm(tp(s, dir, "documents"), pruneSingletons = pruned)
+        trigramBackoffLm(s, dir, pruneSingletons = pruned)
           .withColumn("pruned", lit(pruned))
           .orderBy(col("avg_surprisal_fp").desc, col("doc_id"))
           .limit(20)

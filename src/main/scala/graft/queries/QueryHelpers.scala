@@ -752,11 +752,10 @@ private[graft] object QueryHelpers {
     * the corpus, so one fit per session serves all callers. */
   def pqFitted(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Array[Array[Array[Long]]]) =
-    pqFits.getOrElseUpdate((graft.CachePolicy.sessionId(s), dir),
-      pqFitBuild(s, dir))
+    pqFits.getOrBuild(s, dir)(pqFitBuild(s, dir))
 
-  private val pqFits = scala.collection.concurrent.TrieMap[
-    (String, String), (DataFrame, DataFrame, Array[Array[Array[Long]]])]()
+  private val pqFits = new graft.SessionMemo[
+    String, (DataFrame, DataFrame, Array[Array[Array[Long]]])]
 
   private def pqFitBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Array[Array[Array[Long]]]) = {
@@ -764,43 +763,69 @@ private[graft] object QueryHelpers {
     val gm = emb.agg(
       (greatest(max(graft.functions.VecExpressions.vecAbsMax(
         col("embedding"))), lit(1e-30)) / 127.0).as("gsc"))
-    val qv = emb.crossJoin(broadcast(gm))
-      .select(col("vec_id"),
-        expr("""transform(embedding, x ->
-          CAST(greatest(-127.0D, least(127.0D,
-            floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
-      .pin()
+    // durable through FrameStore when configured (identity otherwise):
+    // the quantized corpus and trained codebook publish once per
+    // corpus, so a FRESH SESSION re-hydrates the fit from parquet
+    // instead of re-paying the quantization pass + 2 k-means rounds
+    val qv = graft.etl.FrameStore.getOrBuild(s, dir, "pq-qv") {
+      emb.crossJoin(broadcast(gm))
+        .select(col("vec_id"),
+          expr("""transform(embedding, x ->
+            CAST(greatest(-127.0D, least(127.0D,
+              floor(CAST(x AS DOUBLE) / gsc + 0.5D))) AS BIGINT))""").as("q"))
+    }
+      // bare persist, NOT .pin(): the fit is session-shared (the
+      // ivfFitCached/sharedFrame discipline), so a sweep's per-query
+      // drain() must never evict it — pinned qv/sub silently re-ran
+      // the quantization pipeline on every post-drain q168/q171 call
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sub = qv.select(col("vec_id"), explode(expr(
         """transform(sequence(0, 3), s ->
           named_struct('s', CAST(s AS INT), 'subq', slice(q, s * 16 + 1, 16)))"""))
         .as("t"))
       .select(col("vec_id"), col("t").getField("s").as("s"),
         col("t").getField("subq").as("subq"))
-      .pin()
-    val smp = qv
-      .orderBy(PortableHash.base(col("vec_id").cast("string")), col("vec_id"))
-      .limit(16).select("q").collect()
-      .map(_.getSeq[Long](0).toArray)
-    var cent: Array[Array[Array[Long]]] = Array.tabulate(4, 16) {
-      (sb, j) => Array.tabulate(16)(p => smp(j)(sb * 16 + p))
-    }
-    for (_ <- 1 to 2) {
-      val sums = sub.withColumn("kid", pqKidExpr(cent))
-        .select(col("s"), col("kid"),
-          posexplode(col("subq")).as(Seq("p0", "x")))
-        .groupBy("s", "kid", "p0")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-        .collect()
-      val upd = sums.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-        (r.getLong(3), r.getLong(4)))).toMap
-      cent = Array.tabulate(4, 16) { (sb, j) =>
-        Array.tabulate(16) { p =>
-          upd.get((sb, j, p)) match {
-            case Some((sx, n)) => sx / n
-            case None => cent(sb)(j)(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lazy val trained: Array[Array[Array[Long]]] = {
+      val smp = qv
+        .orderBy(PortableHash.base(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).select("q").collect()
+        .map(_.getSeq[Long](0).toArray)
+      var cent: Array[Array[Array[Long]]] = Array.tabulate(4, 16) {
+        (sb, j) => Array.tabulate(16)(p => smp(j)(sb * 16 + p))
+      }
+      for (_ <- 1 to 2) {
+        val sums = sub.withColumn("kid", pqKidExpr(cent))
+          .select(col("s"), col("kid"),
+            posexplode(col("subq")).as(Seq("p0", "x")))
+          .groupBy("s", "kid", "p0")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val upd = sums.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4)))).toMap
+        cent = Array.tabulate(4, 16) { (sb, j) =>
+          Array.tabulate(16) { p =>
+            upd.get((sb, j, p)) match {
+              case Some((sx, n)) => sx / n
+              case None => cent(sb)(j)(p)
+            }
           }
         }
       }
+      cent
+    }
+    val centFrame = graft.etl.FrameStore.getOrBuild(s, dir, "pq-cent") {
+      import s.implicits._
+      trained.zipWithIndex.flatMap { case (book, sb) =>
+        book.zipWithIndex.flatMap { case (cv, kid) =>
+          cv.zipWithIndex.map { case (c, pos) => (sb, kid, pos, c) }
+        }
+      }.toSeq.toDF("sb", "kid", "pos", "c")
+    }
+    val cent = {
+      val rows = centFrame.collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+      Array.tabulate(4, 16)((sb, j) => Array.tabulate(16)(p => rows((sb, j, p))))
     }
     (qv, sub, cent)
   }
@@ -879,17 +904,24 @@ private[graft] object QueryHelpers {
     * form). MEMORY_AND_DISK and NOT registered with [[QueryCaches]], so
     * a sweep's per-query drain() can't evict an index its later queries
     * share — the explicitly-amortized-index class, same as the IVF fit. */
-  private val sharedFrames =
-    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+  private val sharedFrames = new graft.SessionMemo[(String, String), DataFrame]
 
-  // Keyed on CachePolicy.sessionId (weak-keyed UUID), not identityHashCode: identity hashes can
-  // collide after an old session is GC'd, which would serve a frame
-  // bound to a stopped SparkContext to a new session.
+  // SessionMemo keys on CachePolicy.sessionId (weak-keyed UUID), not
+  // identityHashCode: identity hashes can collide after an old session
+  // is GC'd, which would serve a frame bound to a stopped SparkContext
+  // to a new session. When a durable frame store is configured
+  // (spark.graft.frameStore.path / SPARK_GRAFT_FRAME_STORE), the build
+  // routes through [[graft.etl.FrameStore]]: the first session PAYS the
+  // build and publishes it as parquet; every later session — including
+  // a fresh process — answers off the stored artifact, which is the
+  // 100 TB deployment shape (family indexes persisted next to the
+  // corpus, not rebuilt per session).
   private def sharedFrame(key: String, s: SparkSession, dir: String)
                          (build: => DataFrame): DataFrame =
-    sharedFrames.getOrElseUpdate(
-      (graft.CachePolicy.sessionId(s), dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sharedFrames.getOrBuild(s, (dir, key)) {
+      graft.etl.FrameStore.getOrBuild(s, dir, key)(build)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** ExactSubstr dupSpanProfile oracle, parameterized to mirror
     * [[graft.ext.ExactSubstrOps.dupSpanProfile]] at any (gram length,
@@ -938,12 +970,10 @@ private[graft] object QueryHelpers {
     * the size probes that route diagnostics between their full-corpus
     * and sampled/auto-sized plans. Parquet count is metadata-cheap;
     * memoized so a sweep pays it once. */
-  private val tableCounts =
-    scala.collection.concurrent.TrieMap[(String, String, String), Long]()
+  private val tableCounts = new graft.SessionMemo[(String, String), Long]
 
   def tableCount(s: SparkSession, dir: String, table: String): Long =
-    tableCounts.getOrElseUpdate((graft.CachePolicy.sessionId(s), dir, table),
-      t(s, dir, table).count())
+    tableCounts.getOrBuild(s, (dir, table))(t(s, dir, table).count())
 
   def documentCount(s: SparkSession, dir: String): Long =
     tableCount(s, dir, "documents")
@@ -993,9 +1023,26 @@ private[graft] object QueryHelpers {
     * unordered. `pruneSingletons` derives EVERY model table from the
     * singleton-pruned trigram set — pruned trigrams score through
     * backoff exactly as unseen ones do. */
-  def trigramBackoffLm(docs: DataFrame, pruneSingletons: Boolean): DataFrame = {
+  def trigramBackoffLm(s: SparkSession, dir: String,
+                       pruneSingletons: Boolean): DataFrame =
+    // The per-document trigram-count frame is the LM family's one
+    // corpus-sized build (tokenize + explode + count) and a pure
+    // function of the corpus — session-shared like minhashSigs, and
+    // DURABLE through FrameStore: every model table and the held-out
+    // scoring side are cheap derivations of this frame.
+    trigramBackoffLmFrom(
+      sharedFrame("lmtridb", s, dir)(docTrigramCounts(tp(s, dir, "documents"))),
+      pruneSingletons)
+
+  /** Fixture-frame form (LmPruneSpec): build the trigram counts
+    * inline, no session sharing. */
+  def trigramBackoffLm(docs: DataFrame, pruneSingletons: Boolean): DataFrame =
+    trigramBackoffLmFrom(docTrigramCounts(docs).pin(), pruneSingletons)
+
+  /** `(doc_id, t1, t2, t3, k)` — per-document trigram counts. */
+  private def docTrigramCounts(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val db = docs
+    docs
       .filter(size(toks) >= 3)
       .select(col("doc_id"),
         explode(arrays_zip(
@@ -1007,7 +1054,10 @@ private[graft] object QueryHelpers {
         col("p").getField("1").as("t2"),
         col("p").getField("2").as("t3"))
       .groupBy("doc_id", "t1", "t2", "t3").agg(count(lit(1)).as("k"))
-      .pin()
+  }
+
+  private def trigramBackoffLmFrom(db: DataFrame,
+                                   pruneSingletons: Boolean): DataFrame = {
     // The model is PINNED (gram-TYPE-sized — every model table below
     // re-aggregates it, which unpinned meant ~6 re-aggregations of the
     // corpus-sized trigram frame per run), and the rollups a gram
