@@ -212,7 +212,9 @@ object SimilarityOps {
     * Same output shape as `bruteForceTopK`. At cluster scale both sides
     * shuffle (or broadcast) on the bucket key, so the pair space shrinks
     * by ~2^bits per table for near-uniform data; extra tables buy recall
-    * at proportional candidate cost. */
+    * at proportional candidate cost. Don't guess `tables`: declare a
+    * recall target and let [[tuneLshTables]] pick it from the measured
+    * sampled curve. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               dim: Int, bits: Int = 8, tables: Int = 1): DataFrame =
     lshImpl(queries, corpus, k, dim, bits, tables,
@@ -442,7 +444,9 @@ object SimilarityOps {
 
   /** IVF top-k: each query probes its `nprobe` nearest centroids and
     * scores only the inverted lists behind them — the classic
-    * recall-for-throughput trade at 100 TB corpus scale.
+    * recall-for-throughput trade at 100 TB corpus scale. Don't guess
+    * `nprobe`: declare a recall target and let [[ivfTopKForRecall]] /
+    * [[tuneIvfNprobe]] pick it from the measured sampled curve.
     *
     * Plan shape: each broadcast query row carries its probe-id ARRAY
     * (top-nprobe centroids, a projection over the centroid literals),
@@ -556,5 +560,89 @@ object SimilarityOps {
       case None => ivfFit(corpus, nlist)
     }
     ivfQuantizedTopK(queries, model, k, nprobe)
+  }
+
+  // ── Recall-targeted auto-tuning ─────────────────────────────────────
+
+  /** Measured IVF operating scoreboard + config pick — the step that
+    * ACTS on the q193-style diagnostic curve instead of leaving the
+    * dial to the caller: recall@k of every candidate `nprobe` against
+    * the exact ground truth on `sampleQueries` (the standard sampled
+    * protocol — exact search on a handful of anchors is affordable at
+    * any corpus size), and `chosen = true` on the CHEAPEST config whose
+    * measured recall meets `targetRecallFp` (fixed-point, 10000 =
+    * 100 %) — falling back to the deepest candidate when none does
+    * (nprobe = nlist is exact up to assignment, so a reachable target
+    * always has a config). Columns: nprobe, hits, possible, recall_fp,
+    * probed_fp (expected corpus fraction scanned, fp), chosen.
+    *
+    * Cost shape: one brute-force pass over the sample anchors plus one
+    * probe join per candidate, all off the SAME cached fit — this is a
+    * calibration run a deployment pays once per (corpus, index),
+    * exactly like the fit itself. */
+  def tuneIvfNprobe(sampleQueries: DataFrame, corpus: DataFrame,
+                    model: IvfModel, k: Int, targetRecallFp: Long,
+                    candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val nlist = model.centroids.length.toLong
+    val exact = bruteForceTopK(sampleQueries, corpus, k).select("qid", "cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arms = candidates.map { np =>
+      exact.join(ivfTopK(sampleQueries, model, k, np).select("qid", "cid"),
+          Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+        .select(lit(np.toLong).as("nprobe"), col("hits"), col("possible"),
+          expr("(10000 * hits) div possible").as("recall_fp"),
+          lit(10000L * np / nlist).as("probed_fp"))
+    }.reduce(_ unionAll _)
+    val pick = arms.agg(
+      min(when(col("recall_fp") >= targetRecallFp, col("nprobe"))).as("picked"),
+      max(col("nprobe")).as("deepest"))
+    arms.crossJoin(broadcast(pick))
+      .withColumn("chosen",
+        col("nprobe") === coalesce(col("picked"), col("deepest")))
+      .drop("picked", "deepest")
+  }
+
+  /** Sign-LSH analogue of [[tuneIvfNprobe]] over the TABLE-count dial:
+    * recall@k per candidate table count (extra hyperplane families buy
+    * recall at proportional candidate cost), cheapest config meeting
+    * the target chosen. Columns: tables, hits, possible, recall_fp,
+    * chosen. */
+  def tuneLshTables(sampleQueries: DataFrame, corpus: DataFrame, k: Int,
+                    dim: Int, bits: Int, targetRecallFp: Long,
+                    candidates: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val exact = bruteForceTopK(sampleQueries, corpus, k).select("qid", "cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arms = candidates.map { t =>
+      exact.join(lshTopK(sampleQueries, corpus, k, dim, bits, tables = t)
+            .select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+        .select(lit(t.toLong).as("tables"), col("hits"), col("possible"),
+          expr("(10000 * hits) div possible").as("recall_fp"))
+    }.reduce(_ unionAll _)
+    val pick = arms.agg(
+      min(when(col("recall_fp") >= targetRecallFp, col("tables"))).as("picked"),
+      max(col("tables")).as("deepest"))
+    arms.crossJoin(broadcast(pick))
+      .withColumn("chosen",
+        col("tables") === coalesce(col("picked"), col("deepest")))
+      .drop("picked", "deepest")
+  }
+
+  /** [[ivfTopK]] at the `nprobe` [[tuneIvfNprobe]] picks for
+    * `targetRecallFp` on `sampleQueries` — the documented DEFAULT way
+    * to run IVF search when the caller declares a recall target rather
+    * than a probe depth. The scoreboard's chosen row is config-sized,
+    * so the driver-side read is index metadata, not data. */
+  def ivfTopKForRecall(queries: DataFrame, sampleQueries: DataFrame,
+                       corpus: DataFrame, model: IvfModel, k: Int,
+                       targetRecallFp: Long,
+                       candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val chosen = tuneIvfNprobe(sampleQueries, corpus, model, k,
+        targetRecallFp, candidates)
+      .filter(col("chosen")).select("nprobe").head().getLong(0).toInt
+    ivfTopK(queries, model, k, chosen)
   }
 }
