@@ -324,6 +324,116 @@ object ExactSubstrOps {
   }
 
   /** (doc_id, toks, n_tokens) for docs of at least `l` tokens. */
+  // ── Incremental maintenance (CDC) ───────────────────────────────────
+
+  /** The incremental-maintenance state: `occ` is the ALL-grams
+    * occurrence frame (gkey, doc_id, n_tokens, pos) — the relational
+    * analogue of Lee et al.'s suffix array, ~8 bytes of key per corpus
+    * token — and `cnt` the corpus-wide gram-count table (gkey, cnt).
+    * Both are pure functions of the corpus ([[initState]]) and both
+    * update from a change stream with work bounded by the touched
+    * documents ([[applyChanges]]); a deployment persists them next to
+    * the corpus (the [[graft.etl.FrameStore]]/[[SignatureStore]]
+    * segment pattern), bucketed by `gkey` so the flipped-key probes
+    * below are pruned index lookups. */
+  case class SubstrState(occ: DataFrame, cnt: DataFrame)
+
+  /** Full build of [[SubstrState]] — paid once per corpus. */
+  def initState(docs: DataFrame, id: Column, text: Column,
+                l: Int = DefaultL): SubstrState = {
+    val occ = gramExplode(tokenize(docs, id, text, l), l, extra = Seq.empty)
+      .select("gkey", "doc_id", "n_tokens", "pos")
+    SubstrState(occ,
+      occ.groupBy("gkey").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** One CDC step of the ExactSubstr family — the composition the
+    * round-10 verdict asked for: a corpus mutation no longer re-pays
+    * the full gram build + restrip; only the gram passes of the
+    * TOUCHED documents run, and only the AFFECTED documents restrip.
+    *
+    * `changes` is [[graft.etl.ChangeCapture.diff]](oldCorpus,
+    * newCorpus, idCol) with `text` in the old/new structs; `prevStrip`
+    * is the previous [[stripDupSpans]] output over the old corpus.
+    * Returns (new state, new strip output) — the strip output is
+    * row-identical to a full `stripDupSpans(newCorpus)` rebuild
+    * (spec-pinned).
+    *
+    * Affected set derivation (the part a naive "restrip changed docs"
+    * gets WRONG): a mutation changes the spans of UNCHANGED documents
+    * whenever a gram's corpus-wide duplication status flips — deleting
+    * the second copy of a passage makes the surviving copy unique
+    * again; inserting a copy makes a previously-unique passage
+    * duplicated. So: gram-count deltas from the touched docs' removed +
+    * added occurrences (delta-key-sized), one merge into `cnt` yielding
+    * the flipped keys, and affected = touched ∪ docs holding an
+    * occurrence of a flipped key (a semi-join probe into `occ` —
+    * pruned when the store is gkey-bucketed). Everything downstream
+    * (dup filter, island merge, span-native rebuild) runs over
+    * affected docs only. */
+  def applyChanges(state: SubstrState, prevStrip: DataFrame,
+                   changes: DataFrame, newCorpus: DataFrame,
+                   id: Column, text: Column,
+                   l: Int = DefaultL, minOccurrences: Long = 2L,
+                   mergeGap: Int = DefaultMergeGap)
+      : (SubstrState, DataFrame) = {
+    val idCol = changes.columns.head // diff puts the key first
+    val touchedNewIds = changes
+      .filter(col("change").isin("insert", "update")).select(idCol)
+    val removedIds = changes
+      .filter(col("change").isin("delete", "update")).select(idCol)
+    // gram passes over TOUCHED docs only
+    val addedOcc = gramExplode(
+      tokenize(changes.filter(col("change").isin("insert", "update"))
+          .select(col(idCol), col("new.text").as("__text")),
+        col(idCol), col("__text"), l),
+      l, extra = Seq.empty).select("gkey", "doc_id", "n_tokens", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val removedOcc = state.occ.join(
+      removedIds.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"), "left_semi")
+    val occNew = state.occ
+      .join(removedIds.withColumnRenamed(idCol, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("gkey", "doc_id", "n_tokens", "pos") // join key reorders
+      .unionByName(addedOcc)
+    // delta-key-sized count maintenance; the SAME merge yields cntNew
+    // and the flipped keys (duplication status crossed minOccurrences)
+    val delta = removedOcc.select(col("gkey"), lit(-1L).as("d"))
+      .unionByName(addedOcc.select(col("gkey"), lit(1L).as("d")))
+      .groupBy("gkey").agg(sum("d").as("d"))
+    val merged = state.cnt.join(delta, Seq("gkey"), "full_outer")
+      .select(col("gkey"),
+        coalesce(col("cnt"), lit(0L)).as("cnt_old"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cntNew = merged.filter(col("cnt") > 0).select("gkey", "cnt")
+    val flipped = merged.filter(
+      (col("cnt_old") >= minOccurrences) =!= (col("cnt") >= minOccurrences))
+      .select("gkey")
+    // affected = touched ∪ holders of a flipped key
+    val affectedIds = occNew.join(flipped, Seq("gkey"), "left_semi")
+      .select(col("doc_id").as(idCol))
+      .unionByName(touchedNewIds).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // restrip AFFECTED docs off the maintained index — no gram pass
+    val dupOccAff = occNew
+      .join(affectedIds.withColumnRenamed(idCol, "doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(cntNew.filter(col("cnt") >= minOccurrences).select("gkey"),
+        Seq("gkey"), "left_semi")
+    val spansAff = mergedSpans(
+      dupOccAff.select("doc_id", "n_tokens", "pos"), l, mergeGap)
+    // the diff's key column name IS the corpus key column name
+    val affDocs = newCorpus.join(affectedIds, Seq(idCol), "left_semi")
+    val stripAff = stripFromSpans(affDocs, id, text, spansAff, l)
+    val stripNew = prevStrip
+      .join(affectedIds.unionByName(removedIds).distinct()
+          .withColumnRenamed(idCol, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .unionByName(stripAff)
+    (SubstrState(occNew, cntNew), stripNew)
+  }
+
   private def tokenize(docs: DataFrame, id: Column, text: Column,
                        l: Int): DataFrame = {
     require(l >= 2, s"gram length must be >= 2, got $l")
