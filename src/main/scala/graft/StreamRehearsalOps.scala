@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{StreamingCardinality, StreamingContamination,
+  StreamingQuota}
+
+/** Sustained-rate rehearsal of the OTHER stateful streaming paths —
+  * the [[StreamRehearsal]] 20-batch flat-latency protocol
+  * (`STREAM_REHEARSAL.json` covers [[graft.streaming.StreamingNearDedup]]
+  * only) applied to each path with growth risk:
+  *
+  *  - **quota** ([[StreamingQuota]]): one long per group; 20 × 50k docs
+  *    over 200 groups — latency must stay flat as cumulative admitted
+  *    tokens grow, state rows pinned at the group count.
+  *  - **cardinality** ([[StreamingCardinality]]): one 2^b-byte HLL
+  *    register array per key; 20 × 50k items over 100 keys with
+  *    ever-new item values — the TRACKED distinct count grows every
+  *    batch, the state bytes and latency must not.
+  *  - **sessions** (session_window + watermark): event time advances
+  *    each batch, so closed sessions must LEAVE state — state rows are
+  *    bounded by open sessions (≤ keys × a small constant), not by
+  *    stream length.
+  *  - **contamination** ([[StreamingContamination]]): stateless by
+  *    design (static benchmark side); flat per-batch flag+append time
+  *    as the output directory grows is the measurable claim.
+  *
+  * Per path: per-batch wall seconds, the state-rows trajectory from
+  * StreamingQueryProgress (the bounded-state evidence), and
+  * flat_ratio = mean(last 5) / mean(batches 1–5) (batch 0 pays JIT).
+  *
+  * Usage: runMain graft.StreamRehearsalOps [nBatches] [rowsPerBatch]
+  * [outJson]. Prints ONE JSON line; writes it to outJson if given. */
+object StreamRehearsalOps {
+
+  private case class PathRun(times: Array[Double], stateRows: Array[Long],
+                             note: String)
+
+  private def flat(times: Array[Double]): (Double, Double, Double) = {
+    val head = times.slice(1, 6).sum / 5
+    val tail = times.takeRight(5).sum / 5
+    (head, tail, tail / head)
+  }
+
+  private def lastStateRows(q: StreamingQuery): Long =
+    Option(q.lastProgress).flatMap(p => p.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(0L)
+
+  private def runQuota(spark: SparkSession, n: Int, rows: Long): PathRun = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val groups = 200
+    val ms = MemoryStream[StreamingQuota.Doc]
+    val quotas = (0 until groups).map(g => s"g$g" -> 40000L).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("reh_quota").toString
+    val q = StreamingQuota.admit(ms.toDS(), quotas)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val times = Array.ofDim[Double](n)
+    val state = Array.ofDim[Long](n)
+    (0 until n).foreach { b =>
+      val docs = (0L until rows).map(i => StreamingQuota.Doc(
+        s"g${i % groups}", b * rows + i, 10L))
+      val t0 = System.nanoTime()
+      ms.addData(docs)
+      q.processAllAvailable()
+      times(b) = (System.nanoTime() - t0) / 1e9
+      state(b) = lastStateRows(q)
+      System.err.println(f"[quota] batch $b%02d ${times(b)}%.2fs state=${state(b)}")
+    }
+    q.stop()
+    PathRun(times, state, s"state rows must stay = $groups groups")
+  }
+
+  private def runCardinality(spark: SparkSession, n: Int, rows: Long): PathRun = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val keys = 100
+    val ms = MemoryStream[(String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("reh_card").toString
+    val q = StreamingCardinality.runningDistinct(
+        ms.toDF().toDF("k", "item"), "k", "item", b = 9)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val times = Array.ofDim[Double](n)
+    val state = Array.ofDim[Long](n)
+    (0 until n).foreach { b =>
+      // every batch contributes NEW distinct items per key: the tracked
+      // cardinality grows linearly while HLL state stays 2^9 B per key
+      val batch = (0L until rows).map(i =>
+        (s"k${i % keys}", s"item-$b-$i"))
+      val t0 = System.nanoTime()
+      ms.addData(batch)
+      q.processAllAvailable()
+      times(b) = (System.nanoTime() - t0) / 1e9
+      state(b) = lastStateRows(q)
+      System.err.println(f"[card] batch $b%02d ${times(b)}%.2fs state=${state(b)}")
+    }
+    q.stop()
+    PathRun(times, state, s"state rows must stay = $keys HLL registers")
+  }
+
+  private def runSessions(spark: SparkSession, n: Int, rows: Long): PathRun = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val users = 100
+    val ms = MemoryStream[(Long, String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("reh_sess").toString
+    val events = ms.toDF().toDF("sec", "user", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("user"), col("value"))
+    val q = graft.streaming.StreamingSessions.sessionSummaries(
+        events, "ts", "user", "value", gap = "2 minutes",
+        lateness = "1 minute")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val times = Array.ofDim[Double](n)
+    val state = Array.ofDim[Long](n)
+    (0 until n).foreach { b =>
+      // batch b owns minutes [10b, 10b+10): each user gets 2 sessions
+      // per batch; the advancing watermark closes them, so state holds
+      // only the open tail — NOT every session ever seen
+      val base = b.toLong * 600
+      val batch = (0L until rows).map { i =>
+        val u = i % users
+        val slot = i / users
+        (base + (slot % 2) * 300 + (slot / 2) % 100, s"u$u", 1L)
+      }
+      val t0 = System.nanoTime()
+      ms.addData(batch)
+      q.processAllAvailable()
+      times(b) = (System.nanoTime() - t0) / 1e9
+      state(b) = lastStateRows(q)
+      System.err.println(f"[sess] batch $b%02d ${times(b)}%.2fs state=${state(b)}")
+    }
+    q.stop()
+    PathRun(times, state, "state rows bounded by OPEN sessions (watermark closes the rest)")
+  }
+
+  private def runContamination(spark: SparkSession, n: Int, rows: Long): PathRun = {
+    // batch-driven like the near-dedup rehearsal: flagBatch is the
+    // exact function the foreachBatch sink runs
+    val bench = StreamRehearsal.makeBatch(spark, 0, 1000)
+    val benchKeys = graft.ext.ExactSubstrOps.benchGramKeys(
+        bench, col("doc_id"), col("text"), l = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    benchKeys.count()
+    val outDir = java.nio.file.Files.createTempDirectory("reh_cont").toString + "/out"
+    val times = Array.ofDim[Double](n)
+    val state = Array.ofDim[Long](n)
+    (0 until n).foreach { b =>
+      val batch = StreamRehearsal.makeBatch(spark, b + 1, rows).persist()
+      batch.count()
+      val t0 = System.nanoTime()
+      StreamingContamination.flagBatch(batch, benchKeys, l = 8)
+        .write.mode("append").parquet(outDir)
+      times(b) = (System.nanoTime() - t0) / 1e9
+      batch.unpersist()
+      state(b) = 0L // stateless by design — that IS the claim
+      System.err.println(f"[cont] batch $b%02d ${times(b)}%.2fs")
+    }
+    PathRun(times, state, "stateless: flat batch time as output dir grows")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(20)
+    val rows = args.lift(1).map(_.toLong).getOrElse(50000L)
+    val outJson = args.lift(2)
+    val cores = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // RocksDB state store — the production configuration this
+      // rehearsal certifies. The default HDFS-backed store loads state
+      // by replaying every delta file since the last snapshot, and its
+      // maintenance thread (60 s interval) never snapshots inside a
+      // short high-rate window — measured here as per-batch latency
+      // growing linearly with batch NUMBER (2.3 s → 7.5 s over 20
+      // batches on session_window) while state rows stayed flat at
+      // 100. RocksDB loads from its own compacted files: flat.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val runs = Seq(
+      "quota" -> runQuota(spark, n, rows),
+      "cardinality" -> runCardinality(spark, n, rows),
+      "sessions" -> runSessions(spark, n, rows),
+      "contamination" -> runContamination(spark, n, rows))
+
+    val paths = runs.map { case (name, r) =>
+      val (head, tail, ratio) = flat(r.times)
+      s""""$name":{"batch_sec":[${r.times.map(t => f"$t%.2f").mkString(",")}],""" +
+        s""""state_rows":[${r.stateRows.mkString(",")}],""" +
+        f""""head_mean_sec":$head%.2f,"tail_mean_sec":$tail%.2f,""" +
+        f""""flat_ratio":$ratio%.2f,""" +
+        s""""max_state_rows":${r.stateRows.max},"note":"${r.note}"}"""
+    }.mkString(",")
+    val json = s"""{"metric":"stream_backpressure_ops","batches":$n,""" +
+      s""""rows_per_batch":$rows,$paths}"""
+    println(json)
+    outJson.foreach(p => java.nio.file.Files.write(
+      java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
+    spark.stop()
+  }
+}
