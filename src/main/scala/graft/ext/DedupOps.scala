@@ -322,12 +322,18 @@ object DedupOps {
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = keyed.select(col("band"), col("block"),
       col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    // hamming is a pure per-pair function, so the verify runs BEFORE
+    // the cross-band dedup: the dropDuplicates shuffle then carries
+    // only true near-dup pairs instead of every band collision (on a
+    // clustered corpus the collision volume is the dominant term —
+    // the round-11 sf1 sweep measured the old order shuffling 100×
+    // more rows than survive the filter)
     val pairs = a.join(b, Seq("band", "block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
     graft.CachePolicy.finish(release, Seq(sigs))(pairs)
   }
 

@@ -60,19 +60,37 @@ object SetSimJoinOps {
         expr("transform(ts, s -> s.tok)").as("toks"),
         size(col("ts")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length p = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b
+    // prefix length p = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b.
+    // posexplode carries each prefix token's POSITION in the doc's
+    // rarest-first order — the input to the positional filter below.
     val prefix = ordered.withColumn("p",
       col("n") - floor((col("n") * tNum + tDen - 1) / tDen) + 1)
       .select(col("id"), col("n"),
-        explode(slice(col("toks"), lit(1), col("p"))).as("ptok"))
-    val a = prefix.select(col("ptok"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = prefix.select(col("ptok"), col("id").as("id_b"), col("n").as("n_b"))
+        posexplode(slice(col("toks"), lit(1), col("p"))).as(Seq("pos", "ptok")))
+    val a = prefix.select(col("ptok"), col("pos").as("pos_a"),
+      col("id").as("id_a"), col("n").as("n_a"))
+    val b = prefix.select(col("ptok"), col("pos").as("pos_b"),
+      col("id").as("id_b"), col("n").as("n_b"))
     val cand = a.join(b, Seq("ptok")).filter(col("id_a") < col("id_b"))
-      // length filter (the other half of PPJoin's pruning): Jaccard ≥ t
-      // forces num·max(|A|,|B|) ≤ den·min(|A|,|B|) — kills
-      // size-mismatched pairs before the dedup shuffle
+      // length filter (PPJoin's cheapest prune): Jaccard ≥ t forces
+      // num·max(|A|,|B|) ≤ den·min(|A|,|B|) — kills size-mismatched
+      // pairs before the dedup shuffle
       .filter(col("n_a") * tNum <= col("n_b") * tDen &&
         col("n_b") * tNum <= col("n_a") * tDen)
+      // positional filter (Xiao et al., PPJoin): a shared prefix token
+      // at 0-based positions (i, j) bounds the intersection by
+      // 1 + min(n_a − i − 1, n_b − j − 1); Jaccard ≥ num/den needs
+      // |A∩B| ≥ ⌈num·(n_a+n_b)/(num+den)⌉. Pairs failing the bound on
+      // EVERY shared token die HERE — map-side, before the distinct
+      // shuffle and the array join-backs, which is what turns the
+      // common-shingle candidate explosion back to output-sized work
+      // (the sf1 sweep measured the unfiltered verify stage growing
+      // 27× for 10× data on a boilerplate-heavy corpus; any-token-pass
+      // is a superset of the first-common-token bound, so the blocking
+      // stays complete and the all-pairs oracle still hash-matches)
+      .filter(lit(1) + least(col("n_a") - col("pos_a") - 1,
+          col("n_b") - col("pos_b") - 1) >=
+        expr(s"((n_a + n_b) * $tNum + ${tNum + tDen - 1}) div ${tNum + tDen}"))
       // a pair may share several prefix tokens — one row per pair
       .select("id_a", "id_b").distinct()
     cand

@@ -484,12 +484,29 @@ private[graft] object QueriesDedup {
         // rational 6/10 — integer verify, no float boundary rows). The
         // oracle runs the naive all-pairs join, so the hash-match IS the
         // completeness proof for the prefix blocking.
-        val docs = tp(s, dir, "documents")
+        //
+        // SIZE-GATED (the q47/q176 precedent): prefix-filter candidate
+        // volume is Σ f² over prefix-token document frequencies, and on
+        // a corpus whose rarest-per-doc shingles are still COMMON that
+        // term is quadratic in corpus size — the round-11 sf1 sweep
+        // measured candidates 312k → 36.2M (116×) for 10× docs even
+        // with PPJoin's length + positional filters. Above the gate the
+        // exact join runs on the deterministic 25% slice (doc_id % 4 —
+        // SQL-expressible), cutting candidates 16×; the `sampled` flag
+        // makes gated results distinguishable, and the oracle corpus
+        // (sf0.01, 2k docs) stays far below the gate on the full form.
+        // Exact-recall dedup ABOVE the gate is what the MinHash/LSH
+        // cascade (q35) is for — this operator is its audit complement.
+        val gated = documentCount(s, dir) > SetSimFullFormMaxDocs
+        val base = tp(s, dir, "documents")
+        val docs = (if (gated) base.filter(pmod(col("doc_id"), lit(4)) === 0)
+                    else base)
           .select(col("doc_id").as("id"),
             array_distinct(TextOps.shingles(col("text"), 3)).as("toks"))
         SetSimJoinOps.jaccardJoin(docs, tNum = 6, tDen = 10)
           .withColumn("jaccard",
             r4(col("inter").cast(DoubleType) / col("uni").cast(DoubleType)))
+          .withColumn("sampled", lit(gated))
           .orderBy("id_a", "id_b")
       },
       Some("""WITH t AS (
@@ -506,7 +523,8 @@ private[graft] object QueriesDedup {
              |    CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
              |  FROM d a JOIN d b ON a.id < b.id)
              |SELECT id_a, id_b, inter, uni,
-             |  floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |  floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+             |  FALSE AS sampled
              |FROM p WHERE inter * 10 >= uni * 6 ORDER BY id_a, id_b""".stripMargin)),
 
     Q("q129_semantic_dedup",

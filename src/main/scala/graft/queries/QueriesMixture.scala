@@ -270,7 +270,12 @@ private[graft] object QueriesMixture {
           .agg(graft.functions.TopKAgg.topKByScore(
             col("event_id"), -h.cast(DoubleType), k).as("tk"))
           .select(col("event_type"), explode(col("tk.id")).as("event_id"))
-        val sv = sampled.join(ev.select("event_id", "value"), "event_id")
+        // k·G rows — ALWAYS broadcast: at sf1 the post-aggregation size
+        // estimate cleared autoBroadcastJoinThreshold and the join-back
+        // fell into a sort-merge that SORTED the full events table
+        // (measured 22× for 10× data; with the hint the probe is one
+        // linear hash-join scan again)
+        val sv = broadcast(sampled).join(ev.select("event_id", "value"), "event_id")
         val wv = Window.partitionBy("event_type")
           .orderBy(col("value"), col("event_id"))
         val ranked = sv

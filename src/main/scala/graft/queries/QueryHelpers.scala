@@ -989,6 +989,19 @@ private[graft] object QueryHelpers {
     * form; the ×1000 regime (5M) routes to the sample. */
   val BandSensitivityFullFormMaxDocs = 1000000L
 
+  /** Above this corpus size q126's exact prefix-filtered set-similarity
+    * join runs on the deterministic 25% sample: its candidate volume is
+    * Σ f² over prefix-token document frequencies, which the round-11
+    * sf1 sweep measured QUADRATIC in corpus size on this corpus
+    * (312k → 36.2M candidates for 10× docs — rarest-per-doc shingles
+    * are still common, so PPJoin's length + positional filters bound
+    * the verify, not the join). 20k keeps the driver gate (sf0.01,
+    * 2k docs) and the sf0.1 bench (5k docs) on the exact full form and
+    * gates every ScaleUp regime; the production-scale exact-recall
+    * answer is the LSH cascade, with this operator as its sampled
+    * audit. */
+  val SetSimFullFormMaxDocs = 20000L
+
   /** Above this embedding-corpus size q47 stops pinning the
     * hyperplane-LSH width at signBits = 6 (64 buckets — the
     * oracle-expressible form) and routes through
