@@ -73,8 +73,17 @@ object BpeOps {
     cacheKey match {
       case None => induce(df, text, rounds)
       case Some(key) =>
-        induceCache.getOrBuild(df.sparkSession, (key, rounds))(
-          induce(df, text, rounds))
+        induceCache.getOrBuild(df.sparkSession, (key, rounds)) {
+          // durable through FrameStore when configured: the induction's
+          // merge-round corpus passes publish once per (key, rounds);
+          // a fresh session re-hydrates the tokenizer tables from
+          // parquet. The lazy holder runs induce at most once — only
+          // when at least one of the two frames is unpublished.
+          val s = df.sparkSession
+          lazy val built = induce(df, text, rounds)
+          (graft.etl.FrameStore.getOrBuild(s, key, s"bpe-$rounds-merges")(built._1),
+            graft.etl.FrameStore.getOrBuild(s, key, s"bpe-$rounds-vocab")(built._2))
+        }
     }
 
   private def induce(df: DataFrame, text: Column,

@@ -343,9 +343,14 @@ object ExactSubstrOps {
                 l: Int = DefaultL): SubstrState = {
     val occ = gramExplode(tokenize(docs, id, text, l), l, extra = Seq.empty)
       .select("gkey", "doc_id", "n_tokens", "pos")
-    SubstrState(occ,
-      occ.groupBy("gkey").agg(count(lit(1)).as("cnt")))
+    SubstrState(occ, countsFromOcc(occ))
   }
+
+  /** The gram-count table of an occurrence frame — the one derivation
+    * rule shared by [[initState]] and callers rebuilding `cnt` from a
+    * persisted/stored `occ` (so the two can never drift). */
+  def countsFromOcc(occ: DataFrame): DataFrame =
+    occ.groupBy("gkey").agg(count(lit(1)).as("cnt"))
 
   /** One CDC step of the ExactSubstr family — the composition the
     * round-10 verdict asked for: a corpus mutation no longer re-pays

@@ -1718,5 +1718,94 @@ private[graft] object QueriesDedup {
              |FROM grid g LEFT JOIN bth b
              |  ON b.method_a = g.method_a AND b.method_b = g.method_b
              |ORDER BY g.method_a, g.method_b""".stripMargin)),
+
+    Q("q197_incremental_strip",
+      (s, dir) => {
+        // CDC-incremental ExactSubstr, DRIVER-GATED end to end: mutate
+        // the corpus (delete every 50th doc, append 3 tokens to every
+        // 77th, insert an exact copy of every 97th under id+1e6 —
+        // exercising delete/update/insert AND both duplication-status
+        // flip directions: the inserted copies turn unique grams dup,
+        // the deletes turn dup grams unique), then answer the strip
+        // profile of the MUTATED corpus through
+        // ExactSubstrOps.applyChanges — gram passes over touched docs
+        // only, restrip over the affected set, starting from the
+        // session-shared (FrameStore-durable) 8-gram state index. The
+        // oracle re-derives the FULL strip on the mutated corpus from
+        // scratch, so the hash-match proves incremental ≡ rebuild in
+        // the driver gate, not just in a spec.
+        val old = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        val newC = old.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(77)) === 0,
+              concat(col("text"), lit(" zz zz zz"))).otherwise(col("text")))
+          .unionByName(old.filter(pmod(col("doc_id"), lit(97)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val changes = ChangeCapture.diff(old, newC, "doc_id")
+        val prevStrip = ExactSubstrOps.stripFromSpans(old,
+          col("doc_id"), col("text"), exactSubstrSpans8(s, dir), l = 8)
+        val (_, strip) = ExactSubstrOps.applyChanges(
+          exactSubstrState8(s, dir), prevStrip, changes, newC,
+          col("doc_id"), col("text"), l = 8, minOccurrences = 2L,
+          mergeGap = 0)
+        strip
+          .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+            col("removed_tokens"), col("cleaned_text"))
+          .orderBy(col("removed_tokens").desc, col("doc_id"))
+          .limit(50)
+      },
+      // q143's full strip chain over the mutated-corpus CTE — a
+      // from-scratch rebuild, deliberately NOT incremental
+      Some("""WITH oldd AS (SELECT doc_id, text FROM documents),
+             |newd AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 77 = 0
+             |    THEN text || ' zz zz zz' ELSE text END AS text
+             |  FROM oldd WHERE doc_id % 50 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM oldd WHERE doc_id % 97 = 0),
+             |d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM newd),
+             |nz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d
+             |  WHERE len(t) >= 8),
+             |gpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 8)) AS pos FROM nz),
+             |g AS (SELECT doc_id, n, pos,
+             |  substr(md5(array_to_string(t[pos + 1 : pos + 8], ' ')), 1, 15) AS gkey
+             |  FROM gpos),
+             |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+             |dp AS (SELECT doc_id, n, pos FROM g
+             |  WHERE gkey IN (SELECT gkey FROM dup)),
+             |m AS (SELECT doc_id, n, pos,
+             |  max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM dp),
+             |mk AS (SELECT doc_id, n, pos,
+             |  CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ns
+             |  FROM m),
+             |sp AS (SELECT doc_id, n, pos,
+             |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+             |  FROM mk),
+             |spans AS (SELECT doc_id, n, span_id, min(pos) AS st, max(pos) + 7 AS en
+             |  FROM sp GROUP BY 1, 2, 3),
+             |cov AS (SELECT doc_id, unnest(generate_series(CAST(st AS INT),
+             |    CAST(en AS INT))) AS pos FROM spans),
+             |allpos AS (SELECT doc_id, n, t,
+             |  unnest(generate_series(0, CAST(n AS INT) - 1)) AS pos FROM nz),
+             |tokpos AS (SELECT doc_id, n, pos, t[pos + 1] AS tok FROM allpos),
+             |kept AS (SELECT k.doc_id, k.n, k.pos, k.tok FROM tokpos k
+             |  ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos),
+             |reb AS (SELECT doc_id, n,
+             |    CAST(count(*) AS BIGINT) AS kept_tokens,
+             |    string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+             |  FROM kept GROUP BY doc_id, n),
+             |aff AS (SELECT DISTINCT doc_id, n FROM spans)
+             |SELECT aff.doc_id, aff.n AS n_tokens,
+             |  COALESCE(kept_tokens, 0) AS kept_tokens,
+             |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
+             |  COALESCE(cleaned_text, '') AS cleaned_text
+             |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
+             |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin)),
   )
 }

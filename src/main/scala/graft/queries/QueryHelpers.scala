@@ -1228,6 +1228,23 @@ private[graft] object QueryHelpers {
         l = 20, mergeGap = 4)
     }
 
+  /** The 8-gram incremental-maintenance state
+    * ([[graft.ext.ExactSubstrOps.SubstrState]]) over `documents` —
+    * ALL-grams occurrence frame + gram-count table, both session-shared
+    * (and FrameStore-durable) family artifacts: the CDC query q197
+    * starts every step from this persisted index, exactly as a
+    * deployment would. `cnt` derives from the shared `occ` through the
+    * one shared rule ([[graft.ext.ExactSubstrOps.countsFromOcc]]). */
+  def exactSubstrState8(s: SparkSession, dir: String)
+      : ExactSubstrOps.SubstrState = {
+    val occ = sharedFrame("esocc8", s, dir) {
+      ExactSubstrOps.initState(tp(s, dir, "documents"),
+        col("doc_id"), col("text"), l = 8).occ
+    }
+    ExactSubstrOps.SubstrState(occ,
+      sharedFrame("escnt8", s, dir)(ExactSubstrOps.countsFromOcc(occ)))
+  }
+
   /** `(doc_id, sd)` — each document's DISTINCT 3-gram shingle set. */
   def shingleSets(s: SparkSession, dir: String): DataFrame =
     sharedFrame("sd3", s, dir) {

@@ -128,6 +128,24 @@ class FrameStoreSpec extends AnyFunSuite {
     assert(qvB.queryExecution.sparkPlan.toString.contains(root))
   }
 
+  test("BPE induction re-hydrates a NEW session from the published tables") {
+    val root = Files.createTempDirectory("framestore").toString
+    val sA = storedSession(root)
+    val docs = Tables.load(sA, sfDir, "documents").limit(50)
+    val key = s"bpe-spec:$sfDir"
+    val mA = graft.ext.BpeOps.bpeMerges(docs, col("text"), rounds = 2,
+      cacheKey = Some(key)).collect().map(_.toString).sorted.toSeq
+    assert(FrameStore.publishedKeys(sA, key).toSet
+      == Set("bpe-2-merges", "bpe-2-vocab"))
+
+    val sB = storedSession(root)
+    val docsB = Tables.load(sB, sfDir, "documents").limit(50)
+    val mB = graft.ext.BpeOps.bpeMerges(docsB, col("text"), rounds = 2,
+      cacheKey = Some(key))
+    assert(mB.queryExecution.sparkPlan.toString.contains(root))
+    assert(mB.collect().map(_.toString).sorted.toSeq == mA)
+  }
+
   test("SessionMemo: concurrent first callers share one build") {
     val memo = new SessionMemo[String, java.lang.Long]
     val builds = new AtomicInteger(0)
