@@ -321,10 +321,21 @@ private[graft] object QueriesDedup {
              |       (SELECT count(DISTINCT fp) FROM f) AS n_final""".stripMargin)),
 
     Q("q50_simhash_neardup",
-      (s, dir) => DedupOps.simhashNearDupPairs(
-          tp(s, dir, "documents"), col("doc_id"), col("text"),
-          maxHamming = 3, bands = 4)
-        .agg(count(lit(1)).as("neardup_pairs")),
+      (s, dir) => {
+        // Constant-size audit sample above the gate (see q126): simhash
+        // band-bucket collisions grow quadratically on a clustered
+        // corpus; every m-th doc with m = ⌈n/50k⌉ pins the cost at any
+        // corpus size. sf1 (50k docs) stays on the exact full form;
+        // the oracle corpus (2k) is far below the gate.
+        val m = auditSampleMod(s, dir, SimHashAuditTargetDocs)
+        val base = tp(s, dir, "documents")
+        val docs = if (m > 1) base.filter(pmod(col("doc_id"), lit(m)) === 0)
+                   else base
+        DedupOps.simhashNearDupPairs(docs, col("doc_id"), col("text"),
+            maxHamming = 3, bands = 4)
+          .agg(count(lit(1)).as("neardup_pairs"))
+          .withColumn("sample_mod", lit(m))
+      },
       // The >> & mask band extraction is shift-semantics-proof: DuckDB's
       // arithmetic shift sign-extends where Spark's shiftrightunsigned
       // zero-fills, but the & 65535 mask keeps only bits both agree on.
@@ -343,7 +354,8 @@ private[graft] object QueriesDedup {
              |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              |         a.simhash AS sh_a, c.simhash AS sh_b
              |  FROM k a JOIN k c ON a.band = c.band AND a.block = c.block AND a.doc_id < c.doc_id)
-             |SELECT CAST(count(*) AS BIGINT) AS neardup_pairs FROM p
+             |SELECT CAST(count(*) AS BIGINT) AS neardup_pairs,
+             |  CAST(1 AS BIGINT) AS sample_mod FROM p
              |WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin)),
 
     Q("q53_decontamination",
@@ -485,28 +497,31 @@ private[graft] object QueriesDedup {
         // oracle runs the naive all-pairs join, so the hash-match IS the
         // completeness proof for the prefix blocking.
         //
-        // SIZE-GATED (the q47/q176 precedent): prefix-filter candidate
-        // volume is Σ f² over prefix-token document frequencies, and on
-        // a corpus whose rarest-per-doc shingles are still COMMON that
-        // term is quadratic in corpus size — the round-11 sf1 sweep
-        // measured candidates 312k → 36.2M (116×) for 10× docs even
-        // with PPJoin's length + positional filters. Above the gate the
-        // exact join runs on the deterministic 25% slice (doc_id % 4 —
-        // SQL-expressible), cutting candidates 16×; the `sampled` flag
-        // makes gated results distinguishable, and the oracle corpus
-        // (sf0.01, 2k docs) stays far below the gate on the full form.
-        // Exact-recall dedup ABOVE the gate is what the MinHash/LSH
-        // cascade (q35) is for — this operator is its audit complement.
-        val gated = documentCount(s, dir) > SetSimFullFormMaxDocs
+        // CONSTANT-SIZE AUDIT SAMPLE above the gate (the q47/q176
+        // size-gate precedent, generalized to carry the sampling
+        // rate): prefix-filter candidate volume is Σ f² over
+        // prefix-token document frequencies, and on a corpus whose
+        // rarest-per-doc shingles are still COMMON that term is
+        // quadratic in corpus size — the round-11 sf1 sweep measured
+        // candidates 312k → 36.2M (116×) for 10× docs even with
+        // PPJoin's length + positional filters, and a FRACTIONAL
+        // sample only delays the blow-up. Every m-th doc with
+        // m = ⌈n/20k⌉ pins the audit at ~20k docs at any corpus size;
+        // `sample_mod` (1 = exact full form) makes gated results
+        // distinguishable, and the oracle corpus (sf0.01, 2k docs)
+        // stays far below the gate on the full form. Exact-recall
+        // dedup ABOVE the gate is what the MinHash/LSH cascade (q35)
+        // is for — this operator is its fixed-size audit complement.
+        val m = auditSampleMod(s, dir, SetSimAuditTargetDocs)
         val base = tp(s, dir, "documents")
-        val docs = (if (gated) base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        val docs = (if (m > 1) base.filter(pmod(col("doc_id"), lit(m)) === 0)
                     else base)
           .select(col("doc_id").as("id"),
             array_distinct(TextOps.shingles(col("text"), 3)).as("toks"))
         SetSimJoinOps.jaccardJoin(docs, tNum = 6, tDen = 10)
           .withColumn("jaccard",
             r4(col("inter").cast(DoubleType) / col("uni").cast(DoubleType)))
-          .withColumn("sampled", lit(gated))
+          .withColumn("sample_mod", lit(m))
           .orderBy("id_a", "id_b")
       },
       Some("""WITH t AS (
@@ -524,7 +539,7 @@ private[graft] object QueriesDedup {
              |  FROM d a JOIN d b ON a.id < b.id)
              |SELECT id_a, id_b, inter, uni,
              |  floor(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS jaccard,
-             |  FALSE AS sampled
+             |  CAST(1 AS BIGINT) AS sample_mod
              |FROM p WHERE inter * 10 >= uni * 6 ORDER BY id_a, id_b""".stripMargin)),
 
     Q("q129_semantic_dedup",

@@ -990,17 +990,35 @@ private[graft] object QueryHelpers {
   val BandSensitivityFullFormMaxDocs = 1000000L
 
   /** Above this corpus size q126's exact prefix-filtered set-similarity
-    * join runs on the deterministic 25% sample: its candidate volume is
+    * join runs on a CONSTANT-SIZE deterministic sample (every m-th doc,
+    * m = ⌈n/target⌉, reported as `sample_mod`): its candidate volume is
     * Σ f² over prefix-token document frequencies, which the round-11
     * sf1 sweep measured QUADRATIC in corpus size on this corpus
     * (312k → 36.2M candidates for 10× docs — rarest-per-doc shingles
     * are still common, so PPJoin's length + positional filters bound
-    * the verify, not the join). 20k keeps the driver gate (sf0.01,
-    * 2k docs) and the sf0.1 bench (5k docs) on the exact full form and
-    * gates every ScaleUp regime; the production-scale exact-recall
-    * answer is the LSH cascade, with this operator as its sampled
-    * audit. */
-  val SetSimFullFormMaxDocs = 20000L
+    * the verify, not the join); a fractional sample (the first r11 cut)
+    * only delays the blow-up (20 s at ×100, minutes at ×1000), while
+    * the modulus cap pins the audit at ~target docs at ANY corpus
+    * size. 20k keeps the driver gate (sf0.01, 2k docs) and the sf0.1
+    * bench (5k docs) on the exact full form; the production-scale
+    * exact-recall answer is the LSH cascade, with this operator as its
+    * fixed-size audit. */
+  val SetSimAuditTargetDocs = 20000L
+
+  /** q50's capped-audit target — same rationale as
+    * [[SetSimAuditTargetDocs]]: simhash band-bucket collisions grow
+    * quadratically on a clustered corpus (22.9 s at ×100, minutes at
+    * ×1000 even with the hamming-first shuffle fix). 50k keeps sf1 on
+    * the exact full form. */
+  val SimHashAuditTargetDocs = 50000L
+
+  /** Every-m-th-doc modulus capping a corpus at ~`target` docs;
+    * 1 = full form. SQL-expressible per corpus (the builder bakes the
+    * literal m into plan AND output, so gated results are
+    * distinguishable — the q176 `sampled`-flag precedent, generalized
+    * to carry the sampling rate). */
+  def auditSampleMod(s: SparkSession, dir: String, target: Long): Long =
+    math.max(1L, (documentCount(s, dir) + target - 1) / target)
 
   /** Above this embedding-corpus size q47 stops pinning the
     * hyperplane-LSH width at signBits = 6 (64 buckets — the
