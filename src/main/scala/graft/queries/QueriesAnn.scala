@@ -1408,5 +1408,86 @@ private[graft] object QueriesAnn {
            |    THEN 1 ELSE 0 END AS BIGINT) AS chosen,
            |  CAST(7000 AS BIGINT) AS target_fp
            |FROM board CROSS JOIN pick ORDER BY nprobe""".stripMargin)),
+
+    Q("q198_lsh_autotune",
+      (s, dir) => {
+        // q196's recall-targeted selection applied to the OTHER index
+        // family's dial: sign-LSH table count. tuneLshTables measures
+        // recall@10 per candidate table count against the exact truth
+        // on the 16 sampled anchors (extra hyperplane families buy
+        // recall at proportional candidate cost) and flags the
+        // cheapest count meeting the declared 5% fixed-point target —
+        // the deepest candidate as fallback when none does (unlike
+        // IVF, LSH has no exact arm, so the fallback CAN miss the
+        // target; the emitted recall makes that visible, which is the
+        // point of a measured scoreboard).
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.tuneLshTables(queries, corpus, 10,
+            dim = embDim, bits = 6, targetRecallFp = 500L,
+            candidates = Seq(1, 2))
+          .select(col("tables"), col("hits"), col("possible"),
+            col("recall_fp"), col("chosen").cast(LongType).as("chosen"),
+            lit(500L).as("target_fp"))
+          .orderBy("tables")
+      },
+      // q144's 1-table and 2-table LSH arms + exact truth, reduced to
+      // the scoreboard with the cheapest-meeting-target selection
+      Some(s"""WITH lb AS (
+           |  SELECT vec_id, embedding,
+           |    ${Hyperplanes.bucketSql("embedding", embDim, 6, seed = 7)} AS bucket
+           |  FROM embeddings),
+           |lq AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM lb WHERE vec_id < 16),
+           |lsc AS (
+           |  SELECT lq.qid, c.vec_id AS cid,
+           |    list_cosine_similarity(CAST(lq.qvec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+           |  FROM lb c JOIN lq USING (bucket) WHERE c.vec_id <> lq.qid),
+           |lr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos_raw DESC, cid) AS rank FROM lsc),
+           |lk AS (SELECT qid, cid FROM lr WHERE rank <= 10),
+           |mb2 AS (
+           |  SELECT vec_id, embedding,
+           |    ${Hyperplanes.bucketSql("embedding", embDim, 6, seed = 8)} AS bucket
+           |  FROM embeddings),
+           |mq2 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM mb2 WHERE vec_id < 16),
+           |mc AS (
+           |  SELECT lq.qid, c.vec_id AS cid, lq.qvec, c.embedding AS cvec
+           |  FROM lb c JOIN lq USING (bucket) WHERE c.vec_id <> lq.qid
+           |  UNION
+           |  SELECT mq2.qid, c.vec_id AS cid, mq2.qvec, c.embedding AS cvec
+           |  FROM mb2 c JOIN mq2 USING (bucket) WHERE c.vec_id <> mq2.qid),
+           |mr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY
+           |    list_cosine_similarity(CAST(qvec AS DOUBLE[]), CAST(cvec AS DOUBLE[])) DESC, cid) AS rank
+           |  FROM mc),
+           |mk AS (SELECT qid, cid FROM mr WHERE rank <= 10),
+           |exs AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_raw
+           |  FROM embeddings c, embeddings q
+           |  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id),
+           |exr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos_raw DESC, cid) AS rank FROM exs),
+           |exk AS (SELECT qid, cid FROM exr WHERE rank <= 10),
+           |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exk),
+           |board AS (
+           |  SELECT tables, hits, possible,
+           |    CAST((10000 * hits) // possible AS BIGINT) AS recall_fp
+           |  FROM (
+           |    SELECT CAST(1 AS BIGINT) AS tables,
+           |      (SELECT CAST(count(*) AS BIGINT) FROM exk JOIN lk USING (qid, cid)) AS hits
+           |    UNION ALL
+           |    SELECT CAST(2 AS BIGINT),
+           |      (SELECT CAST(count(*) AS BIGINT) FROM exk JOIN mk USING (qid, cid))
+           |  ) CROSS JOIN poss),
+           |pick AS (
+           |  SELECT min(CASE WHEN recall_fp >= 500 THEN tables END) AS picked,
+           |    max(tables) AS deepest FROM board)
+           |SELECT tables, hits, possible, recall_fp,
+           |  CAST(CASE WHEN tables = COALESCE(picked, deepest)
+           |    THEN 1 ELSE 0 END AS BIGINT) AS chosen,
+           |  CAST(500 AS BIGINT) AS target_fp
+           |FROM board CROSS JOIN pick ORDER BY tables""".stripMargin)),
   )
 }
