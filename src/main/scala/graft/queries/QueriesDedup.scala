@@ -1749,7 +1749,13 @@ private[graft] object QueriesDedup {
         // oracle re-derives the FULL strip on the mutated corpus from
         // scratch, so the hash-match proves incremental ≡ rebuild in
         // the driver gate, not just in a spec.
-        val old = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        // capped-demo corpus above the gate (see SubstrCdcTargetDocs):
+        // the per-execution state rebuild is demo scaffolding, so the
+        // demo corpus is bounded like the q126/q50 audits
+        val m = auditSampleMod(s, dir, SubstrCdcTargetDocs)
+        val full = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+        val old = if (m > 1) full.filter(pmod(col("doc_id"), lit(m)) === 0)
+                  else full
         val newC = old.filter(pmod(col("doc_id"), lit(50)) =!= 0)
           .withColumn("text",
             when(pmod(col("doc_id"), lit(77)) === 0,
@@ -1757,15 +1763,24 @@ private[graft] object QueriesDedup {
           .unionByName(old.filter(pmod(col("doc_id"), lit(97)) === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         val changes = ChangeCapture.diff(old, newC, "doc_id")
-        val prevStrip = ExactSubstrOps.stripFromSpans(old,
+        // capped runs build their own state over the demo slice; the
+        // full form reads the session-shared (FrameStore-durable) index
+        val st = if (m > 1)
+          ExactSubstrOps.initState(old, col("doc_id"), col("text"), l = 8)
+        else exactSubstrState8(s, dir)
+        val prevStrip = if (m > 1)
+          ExactSubstrOps.stripDupSpans(old, col("doc_id"), col("text"),
+            l = 8, mergeGap = 0)
+        else ExactSubstrOps.stripFromSpans(full,
           col("doc_id"), col("text"), exactSubstrSpans8(s, dir), l = 8)
         val (_, strip) = ExactSubstrOps.applyChanges(
-          exactSubstrState8(s, dir), prevStrip, changes, newC,
+          st, prevStrip, changes, newC,
           col("doc_id"), col("text"), l = 8, minOccurrences = 2L,
           mergeGap = 0)
         strip
           .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
             col("removed_tokens"), col("cleaned_text"))
+          .withColumn("sample_mod", lit(m))
           .orderBy(col("removed_tokens").desc, col("doc_id"))
           .limit(50)
       },
@@ -1819,7 +1834,8 @@ private[graft] object QueriesDedup {
              |SELECT aff.doc_id, aff.n AS n_tokens,
              |  COALESCE(kept_tokens, 0) AS kept_tokens,
              |  CAST(aff.n - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
-             |  COALESCE(cleaned_text, '') AS cleaned_text
+             |  COALESCE(cleaned_text, '') AS cleaned_text,
+             |  CAST(1 AS BIGINT) AS sample_mod
              |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
              |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin)),
   )

@@ -1012,6 +1012,16 @@ private[graft] object QueryHelpers {
     * the exact full form. */
   val SimHashAuditTargetDocs = 50000L
 
+  /** q197's capped-demo target: the CDC registry query rebuilds the
+    * maintained gram index + the previous strip + one incremental step
+    * on EVERY execution (a deployment pays the index once and keeps
+    * it — the per-execution rebuild is demo scaffolding), and at ×1000
+    * the un-capped all-grams index (≈280M rows over 5M docs) exhausted
+    * the box's spill disk mid-sweep and poisoned the five queries
+    * behind it. 100k docs keeps sf1 (50k) on the full form and bounds
+    * the demo at any scale; `sample_mod` distinguishes capped runs. */
+  val SubstrCdcTargetDocs = 100000L
+
   /** Every-m-th-doc modulus capping a corpus at ~`target` docs;
     * 1 = full form. SQL-expressible per corpus (the builder bakes the
     * literal m into plan AND output, so gated results are
