@@ -40,10 +40,17 @@ private[graft] final class SessionMemo[K, V] {
   private val map = TrieMap[(String, K), Holder[V]]()
 
   /** The memoized value for (session, key), building (once, even under
-    * concurrent first callers) if absent. */
+    * concurrent first callers) if absent. A THROWING build removes its
+    * holder, so the next caller installs (and runs) its OWN thunk —
+    * retrying the first caller's captured closure would replay stale
+    * captures for memos keyed narrower than the closure (e.g. BpeOps
+    * keyed on (cacheKey, rounds) but capturing the caller's frame). */
   def getOrBuild(s: SparkSession, key: K)(build: => V): V = {
     val sid = SessionMemo.sessionHook(s)
-    map.getOrElseUpdate((sid, key), new Holder(() => build)).value
+    val k = (sid, key)
+    val holder = map.getOrElseUpdate(k, new Holder(() => build))
+    try holder.value
+    catch { case e: Throwable => map.remove(k, holder); throw e }
   }
 
   private[graft] def evictSession(sid: String): Unit =

@@ -1,9 +1,8 @@
 package graft.etl
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -25,17 +24,34 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * artifact with a plain scan (so pruning/projection work as for any
   * table).
   *
-  * Durability contract (SignatureStore's): a frame is built into a
-  * staged `._tmp` sibling and published with ONE atomic rename, so a
-  * crash at any point leaves either no artifact (next caller rebuilds)
-  * or a complete one — never a torn frame. A concurrent publisher race
-  * is benign: the loser's rename fails against the winner's complete
-  * directory and the loser reads the winner's copy. The written
-  * schema rides along (`_graft_schema.json`) so even a zero-row frame
-  * (a parquet dir with no part files) reads back with its exact
-  * column names and types; nullability widens to `true` on read —
-  * Spark treats every file source as nullable — which is the safe
-  * direction for all consumers.
+  * Addressing: the root is any Hadoop-FileSystem URI — a bare local
+  * path, `file://...`, `hdfs://...`, or an object store like
+  * `s3a://...` — resolved through the session's Hadoop configuration.
+  * That is the point of speaking the `org.apache.hadoop.fs` API
+  * instead of `java.nio.file`: a 100 TB corpus lives on HDFS/S3, and
+  * the durable frames must live next to it.
+  *
+  * Durability contract, rename-free (object stores have no atomic
+  * directory rename, so the commit point is a MARKER, not a move):
+  * each build attempt writes its parquet + schema JSON directly into a
+  * uniquely-named `data-<uuid>` directory under the frame dir — never
+  * touched by any other attempt — and then publishes with a single
+  * create-if-absent of the `_GRAFT_COMMIT` marker file naming that
+  * data directory. A crash at any point leaves either no marker (next
+  * caller rebuilds; the orphaned data dir is swept by the next
+  * successful publish or by [[invalidate]]) or a complete, immutable
+  * artifact. Concurrent publishers each stage into their OWN data dir;
+  * exactly one marker create wins, losers delete their orphan and read
+  * the winner's copy. The one non-atomic window — a crash between
+  * marker create and the ~20-byte content write — is self-healing: a
+  * marker that names no complete data dir is treated as unpublished
+  * and deleted before rebuild (no permanently wedged key).
+  *
+  * The written schema rides along (`_graft_schema.json`) so even a
+  * zero-row frame (a parquet dir with no part files) reads back with
+  * its exact column names and types; nullability widens to `true` on
+  * read — Spark treats every file source as nullable — which is the
+  * safe direction for all consumers.
   *
   * Keying: `<root>/<corpusSlug>-<md5(corpusDir)>/<key>` — the key
   * carries the family parameters (e.g. `embpairs6`, `esspans20`), the
@@ -51,6 +67,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object FrameStore {
 
+  private val CommitMarker = "_GRAFT_COMMIT"
+  private val SchemaFile = "_graft_schema.json"
+  private val DataPrefix = "data-"
+
   def configuredRoot(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.frameStore.path")
       .orElse(sys.env.get("SPARK_GRAFT_FRAME_STORE"))
@@ -62,28 +82,76 @@ object FrameStore {
       .map(b => f"$b%02x").mkString
 
   /** `<root>/<corpusSlug>-<md5(dir) take 12>` — one subtree per corpus. */
-  private[graft] def corpusDir(root: String, dir: String): Path = {
-    val slug = Option(Paths.get(dir).getFileName).map(_.toString)
-      .getOrElse("corpus").replaceAll("[^A-Za-z0-9._-]", "_")
-    Paths.get(root, s"$slug-${md5Hex(dir).take(12)}")
+  private[graft] def corpusDir(root: String, dir: String): HPath = {
+    val slug = dir.replaceAll("[/\\\\]+$", "").split("[/\\\\]").last match {
+      case "" => "corpus"
+      case s  => s.replaceAll("[^A-Za-z0-9._-]", "_")
+    }
+    new HPath(root, s"$slug-${md5Hex(dir).take(12)}")
   }
 
-  private def frameDir(root: String, dir: String, key: String): Path =
-    corpusDir(root, dir).resolve(key.replaceAll("[^A-Za-z0-9._-]", "_"))
+  private[graft] def frameDir(root: String, dir: String, key: String): HPath =
+    new HPath(corpusDir(root, dir), key.replaceAll("[^A-Za-z0-9._-]", "_"))
 
-  private def published(fd: Path): Boolean = Files.exists(fd.resolve("_SUCCESS"))
+  private def fileSystemFor(s: SparkSession, root: String): FileSystem =
+    new HPath(root).getFileSystem(s.sessionState.newHadoopConf())
 
-  private def rmTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  private def readSmallFile(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
-  private def readFrame(s: SparkSession, fd: Path): DataFrame = {
-    val schemaFile = fd.resolve("_graft_schema.json")
-    val schema = DataType.fromJson(new String(
-      Files.readAllBytes(schemaFile), StandardCharsets.UTF_8))
-      .asInstanceOf[StructType]
+  private def writeSmallFile(fs: FileSystem, p: HPath, content: String,
+                             overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** The data directory a VALID published marker names, or None when
+    * the key is unpublished — including the self-heal case of a torn
+    * marker (created but its content or data dir never landed). */
+  private def publishedDataDir(fs: FileSystem, fd: HPath): Option[HPath] = {
+    val marker = new HPath(fd, CommitMarker)
+    if (!fs.exists(marker)) None
+    else {
+      val name = readSmallFile(fs, marker).trim
+      if (!name.startsWith(DataPrefix)) None // torn marker: empty/garbage
+      else {
+        val dataDir = new HPath(fd, name)
+        if (fs.exists(new HPath(dataDir, SchemaFile))) Some(dataDir) else None
+      }
+    }
+  }
+
+  private[graft] def published(fs: FileSystem, fd: HPath): Boolean =
+    publishedDataDir(fs, fd).isDefined
+
+  /** Delete data dirs no marker names — pre-commit crash leftovers and
+    * losing concurrent attempts. Only called AFTER a marker exists, so
+    * an in-flight sibling attempt that is about to lose its marker race
+    * would be deleted anyway. */
+  private def sweepOrphans(fs: FileSystem, fd: HPath): Unit =
+    publishedDataDir(fs, fd).foreach { winner =>
+      fs.listStatus(fd).foreach { st: FileStatus =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith(DataPrefix) && nm != winner.getName)
+          fs.delete(st.getPath, true)
+      }
+    }
+
+  private def readFrame(s: SparkSession, fs: FileSystem, fd: HPath): DataFrame = {
+    val dataDir = publishedDataDir(fs, fd).getOrElse(
+      throw new IllegalStateException(s"frame at $fd is not published"))
+    val schema = DataType.fromJson(
+      readSmallFile(fs, new HPath(dataDir, SchemaFile))).asInstanceOf[StructType]
     // explicit schema: exact round-trip (nullability, zero-row frames)
-    s.read.schema(schema).parquet(fd.toString)
+    s.read.schema(schema).parquet(dataDir.toString)
   }
 
   /** The stored frame for (corpus dir, key), building and publishing it
@@ -93,40 +161,48 @@ object FrameStore {
     configuredRoot(s) match {
       case None => build
       case Some(root) =>
+        val fs = fileSystemFor(s, root)
         val fd = frameDir(root, dir, key)
-        if (!published(fd)) {
+        val marker = new HPath(fd, CommitMarker)
+        if (!published(fs, fd)) {
+          // torn marker (create landed, content/data never did): self-heal
+          if (fs.exists(marker)) fs.delete(marker, false)
           val df = build
-          val tmp = fd.getParent.resolve("._" + fd.getFileName + "_tmp")
-          Files.createDirectories(fd.getParent)
-          rmTree(tmp) // leftover from a pre-publish crash — contents stale
-          df.write.mode("overwrite").parquet(tmp.toString)
-          Files.write(tmp.resolve("_graft_schema.json"),
-            df.schema.json.getBytes(StandardCharsets.UTF_8))
-          try Files.move(tmp, fd, StandardCopyOption.ATOMIC_MOVE)
+          val dataName = DataPrefix +
+            java.util.UUID.randomUUID().toString.take(12)
+          val dataDir = new HPath(fd, dataName)
+          df.write.mode("overwrite").parquet(dataDir.toString)
+          writeSmallFile(fs, new HPath(dataDir, SchemaFile), df.schema.json,
+            overwrite = true)
+          // commit point: ONE create-if-absent of the marker
+          try writeSmallFile(fs, marker, dataName, overwrite = false)
           catch {
             // a concurrent publisher won; its artifact is complete
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.DirectoryNotEmptyException
-              if published(fd) => rmTree(tmp)
+            case _: java.io.IOException if published(fs, fd) =>
+              fs.delete(dataDir, true)
           }
+          sweepOrphans(fs, fd)
         }
-        readFrame(s, fd)
+        readFrame(s, fs, fd)
     }
 
   /** Drop one stored frame (or, with `key = None`, the corpus's whole
     * subtree) — the maintenance path for a corpus regenerated in place. */
   def invalidate(s: SparkSession, dir: String, key: Option[String] = None): Unit =
     configuredRoot(s).foreach { root =>
-      rmTree(key.map(k => frameDir(root, dir, k))
-        .getOrElse(corpusDir(root, dir)))
+      val fs = fileSystemFor(s, root)
+      fs.delete(key.map(k => frameDir(root, dir, k))
+        .getOrElse(corpusDir(root, dir)), true)
     }
 
   /** Keys currently published for the corpus — inspection/spec hook. */
   def publishedKeys(s: SparkSession, dir: String): Seq[String] =
     configuredRoot(s).toSeq.flatMap { root =>
+      val fs = fileSystemFor(s, root)
       val cd = corpusDir(root, dir)
-      if (!Files.isDirectory(cd)) Seq.empty
-      else Files.list(cd).iterator().asScala
-        .filter(p => published(p)).map(_.getFileName.toString).toSeq.sorted
+      if (!fs.exists(cd)) Seq.empty
+      else fs.listStatus(cd).toSeq
+        .filter(st => st.isDirectory && published(fs, st.getPath))
+        .map(_.getPath.getName).sorted
     }
 }

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.QueryCaches.Pinned
+
 /** Exact-substring duplication profiling — the ExactSubstr side of the
   * dedup family (Lee et al., "Deduplicating Training Data Makes Language
   * Models Better", arXiv:2107.06499): find every maximal token span of a
@@ -393,7 +395,7 @@ object ExactSubstrOps {
           .select(col(idCol), col("new.text").as("__text")),
         col(idCol), col("__text"), l),
       l, extra = Seq.empty).select("gkey", "doc_id", "n_tokens", "pos")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pin() // drain()-tracked: a sweep's q197 loop must not accumulate these
     val removedOcc = state.occ.join(
       removedIds.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"), "left_semi")
     val occNew = state.occ
@@ -410,7 +412,7 @@ object ExactSubstrOps {
       .select(col("gkey"),
         coalesce(col("cnt"), lit(0L)).as("cnt_old"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pin() // corpus-gram-type-sized — must be releasable by drain()
     val cntNew = merged.filter(col("cnt") > 0).select("gkey", "cnt")
     val flipped = merged.filter(
       (col("cnt_old") >= minOccurrences) =!= (col("cnt") >= minOccurrences))
@@ -419,7 +421,7 @@ object ExactSubstrOps {
     val affectedIds = occNew.join(flipped, Seq("gkey"), "left_semi")
       .select(col("doc_id").as(idCol))
       .unionByName(touchedNewIds).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pin()
     // restrip AFFECTED docs off the maintained index — no gram pass
     val dupOccAff = occNew
       .join(affectedIds.withColumnRenamed(idCol, "doc_id"),

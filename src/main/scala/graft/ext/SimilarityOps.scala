@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import graft.QueryCaches.Pinned
+
 /** Deterministic random-hyperplane family for sign-LSH.
   *
   * Components are seeded Gaussians ROUNDED TO 6 DECIMALS so the exact
@@ -585,7 +587,7 @@ object SimilarityOps {
                     candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
     val nlist = model.centroids.length.toLong
     val exact = bruteForceTopK(sampleQueries, corpus, k).select("qid", "cid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pin() // sample-sized, but repeated calibrations must be drain()-able
     val arms = candidates.map { np =>
       exact.join(ivfTopK(sampleQueries, model, k, np).select("qid", "cid"),
           Seq("qid", "cid"), "left_semi")
@@ -613,7 +615,7 @@ object SimilarityOps {
                     dim: Int, bits: Int, targetRecallFp: Long,
                     candidates: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     val exact = bruteForceTopK(sampleQueries, corpus, k).select("qid", "cid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .pin() // sample-sized, but repeated calibrations must be drain()-able
     val arms = candidates.map { t =>
       exact.join(lshTopK(sampleQueries, corpus, k, dim, bits, tables = t)
             .select("qid", "cid"), Seq("qid", "cid"), "left_semi")

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -71,21 +72,92 @@ class FrameStoreSpec extends AnyFunSuite {
     assert(back.count() == 0)
   }
 
-  test("a staged (pre-publish crash) directory is not a published frame and gets replaced") {
+  test("a staged (pre-commit crash) data dir is not a published frame and gets swept") {
     val root = Files.createTempDirectory("framestore").toString
     val s = storedSession(root)
-    // simulate a crash mid-write: staged dir exists, no published frame
-    val corpus = FrameStore.corpusDir(root, sfDir)
-    Files.createDirectories(corpus)
-    val tmp = corpus.resolve("._crashkey_tmp")
-    Files.createDirectories(tmp)
-    Files.write(tmp.resolve("part-stale.parquet"), Array[Byte](1, 2, 3))
+    // simulate a crash mid-write: data dir exists, no commit marker
+    val fd = Paths.get(FrameStore.frameDir(root, sfDir, "crashkey").toString)
+    val stale = fd.resolve("data-stalecrash")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-stale.parquet"), Array[Byte](1, 2, 3))
     assert(FrameStore.publishedKeys(s, sfDir).isEmpty)
     val out = FrameStore.getOrBuild(s, sfDir, "crashkey")(
       s.range(3).toDF("x"))
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
     assert(FrameStore.publishedKeys(s, sfDir) == Seq("crashkey"))
-    assert(!Files.exists(tmp), "stale staged dir must be cleaned up")
+    assert(!Files.exists(stale), "orphan pre-commit data dir must be swept")
+  }
+
+  test("a torn commit marker (created, content never landed) self-heals on rebuild") {
+    val root = Files.createTempDirectory("framestore").toString
+    val s = storedSession(root)
+    val fd = Paths.get(FrameStore.frameDir(root, sfDir, "tornkey").toString)
+    Files.createDirectories(fd)
+    Files.write(fd.resolve("_GRAFT_COMMIT"), Array.emptyByteArray)
+    assert(FrameStore.publishedKeys(s, sfDir).isEmpty,
+      "a marker naming no complete data dir is not a published frame")
+    val out = FrameStore.getOrBuild(s, sfDir, "tornkey")(s.range(2).toDF("x"))
+    assert(out.count() == 2)
+    assert(FrameStore.publishedKeys(s, sfDir) == Seq("tornkey"))
+  }
+
+  test("concurrent publishers of one key: both stage, one commit wins, one data dir survives") {
+    val root = Files.createTempDirectory("framestore").toString
+    val builds = new AtomicInteger(0)
+    val bothBuilding = new CountDownLatch(2)
+    val pool = Executors.newFixedThreadPool(2)
+    // two SESSIONS race the same key; the latch holds both inside build
+    // so neither can publish before the other has started staging
+    val futs = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        def call(): Seq[String] = {
+          val s = storedSession(root)
+          FrameStore.getOrBuild(s, sfDir, "racekey") {
+            builds.incrementAndGet()
+            bothBuilding.countDown()
+            assert(bothBuilding.await(30, TimeUnit.SECONDS))
+            s.range(4).toDF("x")
+          }.orderBy("x").collect().map(_.toString).toSeq
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val results = futs.map(_.get())
+    assert(builds.get() == 2, "latch must force a genuine publish race")
+    assert(results(0) == results(1))
+    // exactly one data dir + the marker remain — the loser swept its own
+    val fd = Paths.get(FrameStore.frameDir(root, sfDir, "racekey").toString)
+    val dataDirs = Files.list(fd).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("data-")).toSeq
+    assert(dataDirs.size == 1, s"expected one surviving data dir, got $dataDirs")
+    // and a later fresh session reads without rebuilding
+    val s3 = storedSession(root)
+    val back = FrameStore.getOrBuild(s3, sfDir, "racekey")(
+      fail("must not rebuild"): org.apache.spark.sql.DataFrame)
+    assert(back.orderBy("x").collect().map(_.toString).toSeq == results(0))
+  }
+
+  test("a file:// Hadoop-FS URI root behaves identically to a bare local path") {
+    val local = Files.createTempDirectory("framestore")
+    val root = "file://" + local.toString
+    val builds = new AtomicInteger(0)
+    val sA = storedSession(root)
+    val a = FrameStore.getOrBuild(sA, sfDir, "urikey") {
+      builds.incrementAndGet()
+      Tables.load(sA, sfDir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"))
+    }
+    val aRows = a.orderBy("doc_id").collect().map(_.toString)
+    assert(builds.get() == 1)
+    assert(FrameStore.publishedKeys(sA, sfDir) == Seq("urikey"))
+    val sB = storedSession(root)
+    val b = FrameStore.getOrBuild(sB, sfDir, "urikey")(
+      fail("must not rebuild"): org.apache.spark.sql.DataFrame)
+    assert(b.orderBy("doc_id").collect().map(_.toString).toSeq == aRows.toSeq)
+    // the artifact landed under the URI root on the local disk
+    assert(Files.exists(Paths.get(
+      FrameStore.frameDir(local.toString, sfDir, "urikey").toString)))
   }
 
   test("invalidate drops one key, then the whole corpus subtree") {
@@ -172,17 +244,13 @@ class FrameStoreSpec extends AnyFunSuite {
   test("SessionMemo: a throwing build is retried, then session eviction forgets entries") {
     val memo = new SessionMemo[String, String]
     var attempts = 0
-    // the holder retries the CAPTURED thunk (first caller's), so the
-    // transient-failure shape is a thunk that succeeds on retry
-    def build: String = {
-      attempts += 1
-      if (attempts == 1) throw new RuntimeException("boom")
-      "ok"
-    }
-    intercept[RuntimeException] { memo.getOrBuild(spark, "k")(build) }
-    val v = memo.getOrBuild(spark, "k")(build)
-    assert(v == "ok" && attempts == 2,
-      "a failed build must not be cached as a failure")
+    def failing: String = { attempts += 1; throw new RuntimeException("boom") }
+    intercept[RuntimeException] { memo.getOrBuild(spark, "k")(failing) }
+    // a failed build removes its holder: the NEXT caller's OWN thunk
+    // runs (the first caller's captured closure is not replayed)
+    val v = memo.getOrBuild(spark, "k")("ok")
+    assert(v == "ok" && attempts == 1,
+      "a failed build must not be cached, and must not pin the failed thunk")
     assert(memo.entryCount == 1)
     memo.evictSession(CachePolicy.sessionId(spark))
     assert(memo.entryCount == 0)
