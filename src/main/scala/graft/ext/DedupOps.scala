@@ -143,6 +143,77 @@ object DedupOps {
       .distinct()
   }
 
+  /** [[candidatePairsFromSignatures]] with a HOT-BUCKET GUARD — the
+    * 100×-robustness form for corpora where one bucket concentrates a
+    * huge member list (boilerplate-heavy corpora at chunk granularity:
+    * identical license headers, navigation chrome, templated pages).
+    * The plain band join pairs every bucket quadratically; one
+    * million-member bucket is 5·10¹¹ intermediate rows on a single
+    * shuffle key. Two bounded arms replace it above `maxBucketSize`:
+    *
+    *  - a bucket whose signatures are ALL identical is a pure duplicate
+    *    class — its members are pairwise est_jaccard 1.0 BY DEFINITION,
+    *    so pairing them is pure waste. It collapses to a star:
+    *    (min-id representative, member) edges, m−1 rows instead of
+    *    C(m,2), with the class fully recoverable by transitivity
+    *    (exactly what downstream union-find consumes).
+    *  - an oversized MIXED bucket emits all pairs of its
+    *    DETERMINISTIC first-`maxBucketSize` members by id, flagged
+    *    `capped = true` — the q126/q176 size-gate precedent: bounded
+    *    and labeled, never silently quadratic.
+    *
+    * Buckets at or below the cap pair exactly as the plain form, so
+    * with a cap no bucket exceeds the output is IDENTICAL to
+    * [[candidatePairsFromSignatures]] plus a constant-false `capped`
+    * column (spec-pinned). The occupancy/rank/purity annotations ride
+    * one window over the SAME (band, bucket) shuffle key the join
+    * needs — the guard costs a sort within each bucket, O(m log m)
+    * where the unguarded join pays O(m²). */
+  def cappedCandidatePairsFromSignatures(sigs: DataFrame, numHashes: Int = 32,
+                                         bands: Int = 8,
+                                         portable: Boolean = true,
+                                         maxBucketSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rowsPerBand = numHashes / bands
+    val keyed = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand, portable)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val w = Window.partitionBy("band", "bucket")
+    val sigStr = concat_ws(",", transform(col("sig"), _.cast("string")))
+    val ann = keyed
+      .withColumn("sigstr", sigStr)
+      .withColumn("occ", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+      .withColumn("rep", min("doc_id").over(w))
+      .withColumn("pure", min("sigstr").over(w) === max("sigstr").over(w))
+      .drop("sigstr")
+    val star = ann
+      .filter(col("occ") > maxBucketSize && col("pure") &&
+        col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"),
+        lit(1.0).as("est_jaccard"), lit(false).as("capped"))
+    val joinable = ann.filter(col("occ") <= maxBucketSize ||
+      (!col("pure") && col("rn") <= maxBucketSize))
+    val a = joinable.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      (col("occ") > maxBucketSize).as("capped"))
+    val b = joinable.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val joined = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"),
+        col("capped"))
+    // a pair reachable through ANY full-fidelity bucket is uncapped
+    joined.unionByName(star)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("est_jaccard")).as("est_jaccard"),
+        (min(col("capped").cast("int")) === 1).as("capped"))
+  }
+
   /** MinHash signatures with the document text carried through the
     * aggregate (`first(text)` partial-aggregates map-side, so the
     * shuffle carries one text per doc per map partition — the same bytes

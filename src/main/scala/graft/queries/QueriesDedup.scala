@@ -658,7 +658,24 @@ private[graft] object QueriesDedup {
               .as("cid"),
             array_join(slice(col("toks"), col("st") + 1, lit(winSize)), " ")
               .as("ctext"))
-        DedupOps.minhashCandidatePairs(chunks, col("cid"), col("ctext"))
+        // Hot-bucket guard, driver-gated (q126/q47 precedent): below
+        // the gate the plain band join is exact and the oracle pins it;
+        // above (the ×100 rehearsal regime and beyond, where a
+        // boilerplate-heavy corpus concentrates identical chunks into
+        // mega-buckets) the guarded join bounds every bucket at 256 —
+        // pure duplicate classes collapse to their representative star
+        // (lossless for this est>=0.5 connectivity rollup), mixed
+        // overflows take the deterministic first-256 slice.
+        val guarded = tp(s, dir, "documents").count() > 100000L
+        val pairs =
+          if (!guarded) DedupOps.minhashCandidatePairs(chunks, col("cid"), col("ctext"))
+          else {
+            val sigs = DedupOps.minhashSignatures(chunks, col("cid"),
+              col("ctext"), shingleSize = 3, numHashes = 32, portable = true).pin()
+            DedupOps.cappedCandidatePairsFromSignatures(sigs,
+              maxBucketSize = 256).drop("capped")
+          }
+        pairs
           .filter(col("est_jaccard") >= 0.5)
           .filter(expr("id_a div 1000000") =!= expr("id_b div 1000000"))
           .groupBy(expr("id_a div 1000000").as("doc_a"),
@@ -1838,5 +1855,103 @@ private[graft] object QueriesDedup {
              |  CAST(1 AS BIGINT) AS sample_mod
              |FROM aff LEFT JOIN reb ON aff.doc_id = reb.doc_id AND aff.n = reb.n
              |ORDER BY removed_tokens DESC, aff.doc_id LIMIT 50""".stripMargin)),
+
+    Q("q199_capped_passage_neardup",
+      (s, dir) => {
+        // q137's chunk-grid passage near-dup through the HOT-BUCKET-
+        // GUARDED band join (DedupOps.cappedCandidatePairsFromSignatures)
+        // at a deliberately tiny cap (2), so BOTH bounded arms — the
+        // pure-duplicate-class star collapse and the flagged
+        // deterministic slice of oversized mixed buckets — fire at gate
+        // scale and are pinned by the oracle, not only by the synthetic
+        // spec. The rollup carries n_capped, the count of chunk pairs
+        // that rest on sampled (non-exhaustive) buckets, so a consumer
+        // can see exactly which doc pairs are lower bounds.
+        val winSize = 64
+        val stride = 48
+        val chunks = tp(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+              .as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+              .as(Seq("chunk_id", "st")),
+            col("toks"))
+          .select(
+            graft.functions.PackedIds.packGridId(col("doc_id"), col("chunk_id"))
+              .as("cid"),
+            array_join(slice(col("toks"), col("st") + 1, lit(winSize)), " ")
+              .as("ctext"))
+        val sigs = DedupOps.minhashSignatures(chunks, col("cid"), col("ctext"),
+          shingleSize = 3, numHashes = 32, portable = true).pin()
+        DedupOps.cappedCandidatePairsFromSignatures(sigs, maxBucketSize = 2)
+          .filter(col("est_jaccard") >= 0.5)
+          .filter(expr("id_a div 1000000") =!= expr("id_b div 1000000"))
+          .groupBy(expr("id_a div 1000000").as("doc_a"),
+            expr("id_b div 1000000").as("doc_b"))
+          .agg(count(lit(1)).as("n_chunk_pairs"),
+            r4(max(col("est_jaccard"))).as("max_est"),
+            sum(col("capped").cast(LongType)).as("n_capped"))
+          .orderBy("doc_a", "doc_b")
+      },
+      // q137's oracle chain up to the banded keys, then the guard
+      // replayed relationally: windowed occupancy/rank/purity per
+      // (band, bucket), star arm for pure oversized buckets, sliced
+      // self-join for the rest, min-capped/max-est merge per pair
+      Some(s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> x <> '') AS toks
+             |  FROM documents),
+             |nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+             |ch AS (
+             |  SELECT doc_id * 1000000 + (start // 48) AS cid,
+             |    array_to_string(toks[start + 1 : start + 64], ' ') AS ctext
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(0, n - 1, 48)) AS start FROM nz)),
+             |t AS (SELECT cid, string_split_regex(trim(ctext), '\\s+') AS toks FROM ch),
+             |s AS (
+             |  SELECT cid, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |hl AS (SELECT cid, list_transform(sh, x -> ${PortableHash.baseSql("x")}) AS hl FROM s),
+             |sig AS MATERIALIZED (SELECT cid, ${PortableHash.sigArraySql("hl", 32)} AS sig FROM hl),
+             |bk AS (
+             |  SELECT cid, sig, band,
+             |    array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) AS bb),
+             |ann AS MATERIALIZED (
+             |  SELECT cid, sig, band, bucket,
+             |    count(*) OVER w AS occ,
+             |    row_number() OVER (PARTITION BY band, bucket ORDER BY cid) AS rn,
+             |    min(cid) OVER w AS rep,
+             |    min(array_to_string(sig, ',')) OVER w
+             |      = max(array_to_string(sig, ',')) OVER w AS pure
+             |  FROM bk WINDOW w AS (PARTITION BY band, bucket)),
+             |star AS (
+             |  SELECT rep AS id_a, cid AS id_b, 1.0 AS est, 0 AS capped
+             |  FROM ann WHERE occ > 2 AND pure AND cid <> rep),
+             |jn AS (
+             |  SELECT a.cid AS id_a, b.cid AS id_b,
+             |    len(list_filter(generate_series(1, 32), i -> a.sig[i] = b.sig[i])) / 32.0 AS est,
+             |    CASE WHEN a.occ > 2 THEN 1 ELSE 0 END AS capped
+             |  FROM ann a JOIN ann b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.cid < b.cid
+             |  WHERE (a.occ <= 2 OR (NOT a.pure AND a.rn <= 2))
+             |    AND (b.occ <= 2 OR (NOT b.pure AND b.rn <= 2))),
+             |pairs AS (
+             |  SELECT id_a, id_b, max(est) AS est, min(capped) AS capped
+             |  FROM (SELECT * FROM star UNION ALL SELECT * FROM jn)
+             |  GROUP BY 1, 2),
+             |f AS (
+             |  SELECT id_a // 1000000 AS doc_a, id_b // 1000000 AS doc_b, est, capped
+             |  FROM pairs
+             |  WHERE est >= 0.5 AND id_a // 1000000 <> id_b // 1000000)
+             |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_chunk_pairs,
+             |  floor(max(est) * 10000.0 + 0.5) / 10000.0 AS max_est,
+             |  CAST(sum(capped) AS BIGINT) AS n_capped
+             |FROM f GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }
