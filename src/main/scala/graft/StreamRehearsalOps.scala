@@ -174,16 +174,13 @@ object StreamRehearsalOps {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // RocksDB state store — the production configuration this
-      // rehearsal certifies. The default HDFS-backed store loads state
-      // by replaying every delta file since the last snapshot, and its
-      // maintenance thread (60 s interval) never snapshots inside a
-      // short high-rate window — measured here as per-batch latency
-      // growing linearly with batch NUMBER (2.3 s → 7.5 s over 20
-      // batches on session_window) while state rows stayed flat at
-      // 100. RocksDB loads from its own compacted files: flat.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // No explicit state-store config: the stateful operators install
+      // the certified RocksDB provider themselves (StreamConf, r12) —
+      // this rehearsal now certifies the DEFAULT path a user gets, not
+      // a harness-only configuration. History: the Spark built-in
+      // HDFS-backed store measured 2.3 s → 7.5 s per batch at FLAT
+      // state rows here (delta replay; the 60 s maintenance thread
+      // never fires inside a high-rate window).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -48,6 +48,7 @@ object StreamingAnomaly {
     * fixed-point factor. Append-mode output, one row per input event. */
   def rollingZScore(events: Dataset[Event], lookback: Int, minPrev: Int,
                     scale: Long): Dataset[Scored] = {
+    StreamConf.ensureStateStore(events.sparkSession)
     implicit val scoredEnc = Encoders.product[Scored]
     implicit val ringEnc = Encoders.product[Ring]
     def update(key: Long, it: Iterator[Event],

@@ -38,7 +38,7 @@ object StreamingCardinality {
     * Emits (key, est, present) after every batch that touches the key. */
   def runningDistinct(stream: DataFrame, keyCol: String, itemCol: String,
                       b: Int, salt: String = "hll"): Dataset[KeyEstimate] = {
-    val spark = stream.sparkSession
+    val spark = StreamConf.ensureStateStore(stream.sparkSession)
     import spark.implicits._
     val m = 1 << b
     val w = 60 - b

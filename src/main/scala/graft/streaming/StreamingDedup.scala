@@ -29,6 +29,7 @@ object StreamingDedup {
 
   /** Dedup a stream of documents by digest. Append-mode output. */
   def dedup(docs: Dataset[Doc]): Dataset[Doc] = {
+    StreamConf.ensureStateStore(docs.sparkSession)
     implicit val docEnc = Encoders.product[Doc]
     implicit val boolEnc = Encoders.scalaBoolean
     docs.groupByKey(_.digest)(Encoders.STRING)
@@ -48,6 +49,7 @@ object StreamingDedup {
     * so timeouts can fire — `Trigger.AvailableNow` never terminates
     * and `processAllAvailable` never settles against such a query. */
   def dedupWithTtl(docs: Dataset[Doc], ttlMs: Long): Dataset[Doc] = {
+    StreamConf.ensureStateStore(docs.sparkSession)
     implicit val docEnc = Encoders.product[Doc]
     implicit val boolEnc = Encoders.scalaBoolean
     def firstSeenTtl(key: String, it: Iterator[Doc],

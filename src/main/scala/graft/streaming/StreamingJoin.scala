@@ -29,6 +29,7 @@ object StreamingJoin {
                    leftTs: String, rightTs: String, windowSec: Long,
                    lateness: String = "1 hour",
                    leftOuter: Boolean = false): DataFrame = {
+    StreamConf.ensureStateStore(left.sparkSession)
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     val cond = col(key) === col(s"r_$key") &&

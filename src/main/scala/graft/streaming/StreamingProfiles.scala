@@ -21,7 +21,8 @@ object StreamingProfiles {
     * watermark delay bounding both state and allowed lateness. */
   def timeBucketProfile(events: DataFrame, tsCol: String, valueCol: String,
                         granularity: String = "1 hour",
-                        lateness: String = "2 hours"): DataFrame =
+                        lateness: String = "2 hours"): DataFrame = {
+    StreamConf.ensureStateStore(events.sparkSession)
     events
       .filter(col(valueCol).isNotNull)
       .withWatermark(tsCol, lateness)
@@ -34,4 +35,5 @@ object StreamingProfiles {
       .select(
         col("window.start").as("bucket_start"),
         col("avg_value"), col("min_value"), col("max_value"), col("cnt"))
+  }
 }

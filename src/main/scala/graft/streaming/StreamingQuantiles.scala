@@ -51,7 +51,7 @@ object StreamingQuantiles extends Serializable {
   def runningQuantiles(stream: DataFrame, keyCol: String, idCol: String,
                        valueCol: String, k: Int = 256,
                        salt: String = "kq"): Dataset[KeyQuantiles] = {
-    val spark = stream.sparkSession
+    val spark = StreamConf.ensureStateStore(stream.sparkSession)
     import spark.implicits._
     val rows = stream
       .select(col(keyCol).cast("string").as("k"),

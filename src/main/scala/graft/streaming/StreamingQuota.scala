@@ -36,6 +36,7 @@ object StreamingQuota {
     * filtering `admitted` get the curated stream; keeping both sides
     * makes the fill auditable downstream). */
   def admit(docs: Dataset[Doc], quotas: Map[String, Long]): Dataset[Verdict] = {
+    StreamConf.ensureStateStore(docs.sparkSession)
     implicit val vEnc = Encoders.product[Verdict]
     implicit val longEnc = Encoders.scalaLong
     def step(key: String, it: Iterator[Doc],

@@ -27,7 +27,8 @@ object StreamingSessions {
     * `lateness` bounds state and allowed out-of-orderness. */
   def sessionSummaries(events: DataFrame, tsCol: String, keyCol: String,
                        valueCol: String, gap: String,
-                       lateness: String = "1 hour"): DataFrame =
+                       lateness: String = "1 hour"): DataFrame = {
+    StreamConf.ensureStateStore(events.sparkSession)
     events
       .withWatermark(tsCol, lateness)
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
@@ -38,4 +39,5 @@ object StreamingSessions {
         sum(col(valueCol)).as("sum_value"))
       .select(col(keyCol), col("s_start"), col("s_end"),
         col("n_events"), col("sum_value"))
+  }
 }
