@@ -1,0 +1,126 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{DedupOps, ExactSubstrOps}
+
+/** Incremental maintenance of the durable [[FrameStore]] family frames
+  * from a corpus DELTA — the missing half of the durable-artifact
+  * story: [[FrameStore.invalidate]] drops a corpus subtree and the next
+  * session re-pays the FULL family build, but the expensive families
+  * already have true delta operators
+  * ([[graft.ext.ExactSubstrOps.applyChanges]], the
+  * [[graft.ext.SignatureStore]] anti-join update). This wires
+  * [[ChangeCapture.diff]] → delta operator → re-publish, so a corpus
+  * snapshot roll (daily dump N → N+1) updates the stored artifacts with
+  * work bounded by the touched documents instead of rebuilding them.
+  *
+  * Snapshot model: corpora are IMMUTABLE under their directory (the
+  * FrameStore contract), so maintenance is a ROLL-FORWARD between two
+  * snapshot identities — read the frames published for `oldDir`
+  * (building them there first if absent), apply the delta, publish the
+  * results under `newDir`. Both subtrees stay valid; dropping the old
+  * one after cutover is [[FrameStore.invalidate]].
+  *
+  * Cost shape at 100 TB: the COMPUTE is delta-bounded — the only
+  * tokenize/gram/signature passes run over touched documents; carried
+  * rows flow from the stored parquet scan straight back out. The
+  * PUBLISH writes each frame in full (corpus-linear IO, zero CPU
+  * re-derivation) — the same sequential-write cost any snapshot copy
+  * pays; a deployment that needs delta-bounded WRITES too uses the
+  * [[graft.ext.SignatureStore]] segment layout, which this maintenance
+  * deliberately mirrors at frame granularity.
+  *
+  * Idempotent: frames already published under `newDir` are left as-is
+  * (getOrBuild semantics) — re-running a crashed maintenance job
+  * completes the missing frames only.
+  */
+object FrameMaintenance {
+
+  /** Roll the ExactSubstr family (`esocc`/`escnt`/`esdup`/`esspans`)
+    * forward from (`oldDir`, `oldDocs`) to (`newDir`, `newDocs`).
+    * `(l, mergeGap)` selects the operating point — (8, 0) is the
+    * fine-grained oracle family, (20, 4) the production default.
+    * Returns the keys published under `newDir`. */
+  def rollForwardExactSubstr(s: SparkSession, oldDir: String, newDir: String,
+                             oldDocs: DataFrame, newDocs: DataFrame,
+                             l: Int = 8, mergeGap: Int = 0,
+                             minOccurrences: Long = 2L): Seq[String] = {
+    val changes = ChangeCapture.diff(
+        oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
+        "doc_id")
+      .filter(col("change") =!= "unchanged")
+    // old-snapshot frames: read from the store, paying the full build
+    // ONCE if this corpus was never published (first migration)
+    val occOld = FrameStore.getOrBuild(s, oldDir, s"esocc$l")(
+      ExactSubstrOps.initState(oldDocs, col("doc_id"), col("text"), l).occ)
+    val cntOld = FrameStore.getOrBuild(s, oldDir, s"escnt$l")(
+      ExactSubstrOps.countsFromOcc(occOld))
+    val spansOld = FrameStore.getOrBuild(s, oldDir, s"esspans$l")(
+      ExactSubstrOps.mergedSpans(dupOf(occOld, cntOld, minOccurrences),
+        l, mergeGap))
+    val (stateNew, spansNew) = ExactSubstrOps.applySpanDelta(
+      ExactSubstrOps.SubstrState(occOld, cntOld), spansOld, changes,
+      l, minOccurrences, mergeGap)
+    val occStored = FrameStore.getOrBuild(s, newDir, s"esocc$l")(stateNew.occ)
+    val cntStored = FrameStore.getOrBuild(s, newDir, s"escnt$l")(stateNew.cnt)
+    FrameStore.getOrBuild(s, newDir, s"esdup$l")(
+      dupOf(occStored, cntStored, minOccurrences))
+    FrameStore.getOrBuild(s, newDir, s"esspans$l")(spansNew)
+    Seq(s"esocc$l", s"escnt$l", s"esdup$l", s"esspans$l")
+  }
+
+  /** Roll the MinHash family (`mhsigs`/`mhpairs`) forward: removed and
+    * updated documents leave the signature frame by one anti-join (the
+    * SignatureStore update rule), touched documents re-sign, and the
+    * pair frame keeps every pair with both endpoints untouched while
+    * [[graft.ext.DedupOps.incrementalCandidatePairs]] re-bands ONLY the
+    * touched signatures against the rolled-forward index. Returns the
+    * keys published under `newDir`. */
+  def rollForwardMinhash(s: SparkSession, oldDir: String, newDir: String,
+                         oldDocs: DataFrame, newDocs: DataFrame,
+                         shingleSize: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8): Seq[String] = {
+    val changes = ChangeCapture.diff(
+        oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
+        "doc_id")
+      .filter(col("change") =!= "unchanged")
+    val sigsOld = FrameStore.getOrBuild(s, oldDir, "mhsigs")(
+      DedupOps.minhashSignatures(oldDocs, col("doc_id"), col("text"),
+        shingleSize, numHashes, portable = true))
+    val pairsOld = FrameStore.getOrBuild(s, oldDir, "mhpairs")(
+      DedupOps.candidatePairsFromSignatures(sigsOld, numHashes, bands))
+    val gone = changes.filter(col("change").isin("delete", "update"))
+      .select("doc_id")
+    val touchedSigs = DedupOps.minhashSignatures(
+      changes.filter(col("change").isin("insert", "update"))
+        .select(col("doc_id"), col("new.text").as("text")),
+      col("doc_id"), col("text"), shingleSize, numHashes, portable = true)
+    val sigsNew = sigsOld.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(touchedSigs)
+    val sigsStored = FrameStore.getOrBuild(s, newDir, "mhsigs")(sigsNew)
+    // pairs: keep both-endpoints-untouched rows; every pair with a
+    // touched endpoint re-derives from the delta band probe (disjoint
+    // sets — updated/deleted ids leave via `gone`, inserted ids were
+    // never present, so no dedup pass is needed)
+    val pairsKept = pairsOld
+      .join(gone.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+      .join(gone.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
+    val pairsDelta = DedupOps.incrementalCandidatePairs(
+      sigsStored.join(
+          changes.filter(col("change").isin("insert", "update")).select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+      sigsStored, numHashes, bands)
+    FrameStore.getOrBuild(s, newDir, "mhpairs")(
+      pairsKept.unionByName(pairsDelta)
+        .select("id_a", "id_b", "est_jaccard")) // anti-joins reorder
+    Seq("mhsigs", "mhpairs")
+  }
+
+  private def dupOf(occ: DataFrame, cnt: DataFrame,
+                    minOccurrences: Long): DataFrame =
+    occ.join(cnt.filter(col("cnt") >= minOccurrences).select("gkey"),
+        Seq("gkey"), "left_semi")
+      .select("gkey", "doc_id", "n_tokens", "pos")
+}

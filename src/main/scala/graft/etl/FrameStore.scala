@@ -171,17 +171,25 @@ object FrameStore {
           val dataName = DataPrefix +
             java.util.UUID.randomUUID().toString.take(12)
           val dataDir = new HPath(fd, dataName)
-          df.write.mode("overwrite").parquet(dataDir.toString)
-          writeSmallFile(fs, new HPath(dataDir, SchemaFile), df.schema.json,
-            overwrite = true)
-          // commit point: ONE create-if-absent of the marker
-          try writeSmallFile(fs, marker, dataName, overwrite = false)
-          catch {
-            // a concurrent publisher won; its artifact is complete
-            case _: java.io.IOException if published(fs, fd) =>
-              fs.delete(dataDir, true)
+          // Everything up to the marker create is PRE-COMMIT: if any of
+          // it fails while a concurrent publisher has committed, we are
+          // the benign loser — the winner's post-commit sweep may even
+          // have deleted our in-flight staging out from under the write
+          // job. Fall through to read the winner; rethrow real failures.
+          try {
+            df.write.mode("overwrite").parquet(dataDir.toString)
+            writeSmallFile(fs, new HPath(dataDir, SchemaFile), df.schema.json,
+              overwrite = true)
+            // commit point: ONE create-if-absent of the marker
+            writeSmallFile(fs, marker, dataName, overwrite = false)
+            // post-commit: reclaim pre-commit crash leftovers and
+            // losing attempts (their publishers recover right here)
+            sweepOrphans(fs, fd)
+          } catch {
+            case e: Throwable =>
+              if (published(fs, fd)) fs.delete(dataDir, true)
+              else throw e
           }
-          sweepOrphans(fs, fd)
         }
         readFrame(s, fs, fd)
     }

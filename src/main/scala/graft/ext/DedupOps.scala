@@ -143,6 +143,35 @@ object DedupOps {
       .distinct()
   }
 
+  /** Candidate pairs with AT LEAST ONE endpoint in `deltaSigs`, probed
+    * against the full `allSigs` index — the band join's incremental
+    * form for corpus-delta maintenance: a delta re-bands only the
+    * TOUCHED signatures and joins them against the maintained
+    * signature frame, so the work is (touched × bucket mates), never
+    * all × all. [[graft.etl.FrameMaintenance]] composes this with an
+    * anti-join carry of the previous pair frame to roll the durable
+    * `mhpairs` artifact forward. Output matches
+    * [[candidatePairsFromSignatures]] (id_a < id_b, est_jaccard). */
+  def incrementalCandidatePairs(deltaSigs: DataFrame, allSigs: DataFrame,
+                                numHashes: Int = 32, bands: Int = 8,
+                                portable: Boolean = true): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def keyed(df: DataFrame, suffix: String) = df
+      .select(col("doc_id").as("id" + suffix), col("sig").as("sig" + suffix),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand, portable)).as("bb"))
+      .select(col("id" + suffix), col("sig" + suffix),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    keyed(deltaSigs, "_d").join(keyed(allSigs, "_x"), Seq("band", "bucket"))
+      .filter(col("id_d") =!= col("id_x"))
+      .select(least(col("id_d"), col("id_x")).as("id_a"),
+        greatest(col("id_d"), col("id_x")).as("id_b"),
+        // est is symmetric, so endpoint order doesn't matter
+        (aggregate(zip_with(col("sig_d"), col("sig_x"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
   /** [[candidatePairsFromSignatures]] with a HOT-BUCKET GUARD — the
     * 100×-robustness form for corpora where one bucket concentrates a
     * huge member list (boilerplate-heavy corpora at chunk granularity:

@@ -384,6 +384,61 @@ object ExactSubstrOps {
                    l: Int = DefaultL, minOccurrences: Long = 2L,
                    mergeGap: Int = DefaultMergeGap)
       : (SubstrState, DataFrame) = {
+    val c = deltaCore(state, changes, l, minOccurrences)
+    val spansAff = mergedSpans(dupOccAffected(c, minOccurrences), l, mergeGap)
+    // the diff's key column name IS the corpus key column name
+    val affDocs = newCorpus.join(c.affectedIds, Seq(c.idCol), "left_semi")
+    val stripAff = stripFromSpans(affDocs, id, text, spansAff, l)
+    val stripNew = prevStrip
+      .join(c.affectedIds.unionByName(c.removedIds).distinct()
+          .withColumnRenamed(c.idCol, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .unionByName(stripAff)
+    (SubstrState(c.occNew, c.cntNew), stripNew)
+  }
+
+  /** Roll a [[mergedSpans]] family frame (and the state) forward by a
+    * change stream — the durable-artifact twin of [[applyChanges]]:
+    * same bounded delta core, but the maintained output is the spans
+    * FRAME (what [[graft.etl.FrameStore]] publishes for the
+    * esspans8/esspans20 families) rather than the strip rows. Spans of
+    * unaffected documents are carried by reference from `prevSpans`;
+    * only affected documents re-run the island merge. Returns
+    * (new state, new spans frame), both row-identical to a full
+    * rebuild over the new corpus (spec-pinned). */
+  def applySpanDelta(state: SubstrState, prevSpans: DataFrame,
+                     changes: DataFrame,
+                     l: Int = DefaultL, minOccurrences: Long = 2L,
+                     mergeGap: Int = DefaultMergeGap)
+      : (SubstrState, DataFrame) = {
+    val c = deltaCore(state, changes, l, minOccurrences)
+    val spansAff = mergedSpans(dupOccAffected(c, minOccurrences), l, mergeGap)
+    val spansNew = prevSpans
+      .join(c.affectedIds.unionByName(c.removedIds).distinct()
+          .withColumnRenamed(c.idCol, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .unionByName(spansAff)
+    (SubstrState(c.occNew, c.cntNew), spansNew)
+  }
+
+  /** The outputs every CDC consumer shares: maintained occurrence +
+    * count frames, the affected-document set, and the removed ids. */
+  private final case class DeltaCore(occNew: DataFrame, cntNew: DataFrame,
+                                     affectedIds: DataFrame,
+                                     removedIds: DataFrame, idCol: String)
+
+  /** The duplicated occurrences of the AFFECTED documents only — the
+    * input every affected-doc re-derivation (spans, strip) starts from. */
+  private def dupOccAffected(c: DeltaCore, minOccurrences: Long): DataFrame =
+    c.occNew
+      .join(c.affectedIds.withColumnRenamed(c.idCol, "doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(c.cntNew.filter(col("cnt") >= minOccurrences).select("gkey"),
+        Seq("gkey"), "left_semi")
+      .select("doc_id", "n_tokens", "pos")
+
+  private def deltaCore(state: SubstrState, changes: DataFrame,
+                        l: Int, minOccurrences: Long): DeltaCore = {
     val idCol = changes.columns.head // diff puts the key first
     val touchedNewIds = changes
       .filter(col("change").isin("insert", "update")).select(idCol)
@@ -422,23 +477,7 @@ object ExactSubstrOps {
       .select(col("doc_id").as(idCol))
       .unionByName(touchedNewIds).distinct()
       .pin()
-    // restrip AFFECTED docs off the maintained index — no gram pass
-    val dupOccAff = occNew
-      .join(affectedIds.withColumnRenamed(idCol, "doc_id"),
-        Seq("doc_id"), "left_semi")
-      .join(cntNew.filter(col("cnt") >= minOccurrences).select("gkey"),
-        Seq("gkey"), "left_semi")
-    val spansAff = mergedSpans(
-      dupOccAff.select("doc_id", "n_tokens", "pos"), l, mergeGap)
-    // the diff's key column name IS the corpus key column name
-    val affDocs = newCorpus.join(affectedIds, Seq(idCol), "left_semi")
-    val stripAff = stripFromSpans(affDocs, id, text, spansAff, l)
-    val stripNew = prevStrip
-      .join(affectedIds.unionByName(removedIds).distinct()
-          .withColumnRenamed(idCol, "doc_id"),
-        Seq("doc_id"), "left_anti")
-      .unionByName(stripAff)
-    (SubstrState(occNew, cntNew), stripNew)
+    DeltaCore(occNew, cntNew, affectedIds, removedIds, idCol)
   }
 
   private def tokenize(docs: DataFrame, id: Column, text: Column,

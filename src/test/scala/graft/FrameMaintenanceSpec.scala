@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{FrameMaintenance, FrameStore}
+import graft.ext.{DedupOps, ExactSubstrOps}
+
+/** Incremental FrameStore maintenance: a corpus-delta roll-forward
+  * publishes frames under the new snapshot that are ROW-IDENTICAL to a
+  * full rebuild, while untouched documents are carried by reference
+  * from the old stored artifacts (sentinel-pinned). */
+class FrameMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val L = 8
+
+  private def tok(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  // 0/1 share a passage; 4/5 share another; the delta deletes doc 1
+  // (flips doc 0's grams dup->unique), updates doc 4 (flips doc 5),
+  // and inserts doc 10 as a copy of doc 2 (flips doc 2 unique->dup)
+  private def oldDocs = Seq(
+    (0L, s"${tok(10, "p")} ${tok(4, "a")}"),
+    (1L, s"${tok(3, "b")} ${tok(10, "p")}"),
+    (2L, tok(14, "c")),
+    (3L, tok(12, "d")),
+    (4L, s"${tok(9, "q")} ${tok(5, "e")}"),
+    (5L, s"${tok(5, "f")} ${tok(9, "q")}"),
+    (6L, tok(12, "g")),
+    (7L, tok(12, "h")),
+    (8L, tok(12, "i")),
+    (9L, tok(12, "j"))
+  ).toDF("doc_id", "text")
+
+  private def newDocs = oldDocs
+    .filter(col("doc_id") =!= 1L)
+    .withColumn("text",
+      when(col("doc_id") === 4L, lit(tok(14, "z"))).otherwise(col("text")))
+    .unionByName(Seq((10L, s"${tok(14, "c")} tail1")).toDF("doc_id", "text"))
+
+  private def storedSession(root: String) = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.frameStore.path", root)
+    s
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("rolled-forward ExactSubstr frames equal a full rebuild at the new snapshot") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    val published = FrameMaintenance.rollForwardExactSubstr(
+      s, "fm-old", "fm-new", oldDocs, newDocs, l = L)
+    assert(published.toSet ==
+      Set(s"esocc$L", s"escnt$L", s"esdup$L", s"esspans$L"))
+    assert(FrameStore.publishedKeys(s, "fm-new").toSet == published.toSet)
+
+    val full = ExactSubstrOps.initState(newDocs, col("doc_id"), col("text"), L)
+    val read = (k: String) => FrameStore.getOrBuild(s, "fm-new", k)(
+      fail(s"$k must be published"): org.apache.spark.sql.DataFrame)
+    assert(rows(read(s"esocc$L")) == rows(full.occ))
+    assert(rows(read(s"escnt$L")) == rows(full.cnt))
+    assert(rows(read(s"esdup$L")) == rows(
+      ExactSubstrOps.dupOccurrences(newDocs, col("doc_id"), col("text"),
+        l = L, minOccurrences = 2L)))
+    assert(rows(read(s"esspans$L")) == rows(
+      ExactSubstrOps.mergedSpans(
+        ExactSubstrOps.dupOccurrences(newDocs, col("doc_id"), col("text"),
+          l = L, minOccurrences = 2L), l = L, mergeGap = 0)))
+  }
+
+  test("rolled-forward MinHash frames equal a full rebuild at the new snapshot") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    val published = FrameMaintenance.rollForwardMinhash(
+      s, "fm-old", "fm-new", oldDocs, newDocs)
+    assert(published == Seq("mhsigs", "mhpairs"))
+
+    val read = (k: String) => FrameStore.getOrBuild(s, "fm-new", k)(
+      fail(s"$k must be published"): org.apache.spark.sql.DataFrame)
+    val fullSigs = DedupOps.minhashSignatures(newDocs, col("doc_id"),
+      col("text"), shingleSize = 3, numHashes = 32, portable = true)
+    assert(rows(read("mhsigs")) == rows(fullSigs))
+    assert(rows(read("mhpairs")) == rows(
+      DedupOps.candidatePairsFromSignatures(fullSigs)))
+  }
+
+  test("untouched documents are carried by reference from the old stored frames") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    // publish DOCTORED old frames first: a sentinel occurrence row for
+    // untouched doc 7 and a sentinel signature row for a phantom doc.
+    // No tokenizer produces them — they can only survive the roll if
+    // untouched rows are carried, not rebuilt.
+    val sentinelGkey = 424242424242L
+    val occOld = ExactSubstrOps.initState(oldDocs, col("doc_id"),
+        col("text"), L).occ
+      .unionByName(Seq((sentinelGkey, 7L, 12L, 0))
+        .toDF("gkey", "doc_id", "n_tokens", "pos"))
+    FrameStore.getOrBuild(s, "fmsent-old", s"esocc$L")(occOld)
+    val sigsOld = DedupOps.minhashSignatures(oldDocs, col("doc_id"),
+        col("text"), shingleSize = 3, numHashes = 32, portable = true)
+      .unionByName(Seq((-999L, Seq.fill(32)(-1L))).toDF("doc_id", "sig"))
+    FrameStore.getOrBuild(s, "fmsent-old", "mhsigs")(sigsOld)
+
+    FrameMaintenance.rollForwardExactSubstr(
+      s, "fmsent-old", "fmsent-new", oldDocs, newDocs, l = L)
+    FrameMaintenance.rollForwardMinhash(
+      s, "fmsent-old", "fmsent-new", oldDocs, newDocs)
+
+    val read = (k: String) => FrameStore.getOrBuild(s, "fmsent-new", k)(
+      fail(s"$k must be published"): org.apache.spark.sql.DataFrame)
+    assert(read(s"esocc$L").filter(col("gkey") === sentinelGkey).count() == 1,
+      "untouched doc 7's doctored occurrence must be carried, not rebuilt")
+    assert(read("mhsigs").filter(col("doc_id") === -999L).count() == 1,
+      "the phantom signature must be carried, not rebuilt")
+  }
+
+  test("maintenance is idempotent: a re-run leaves published frames untouched") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    FrameMaintenance.rollForwardExactSubstr(
+      s, "fm-old", "fm-new", oldDocs, newDocs, l = L)
+    val before = rows(FrameStore.getOrBuild(s, "fm-new", s"esspans$L")(
+      fail("published"): org.apache.spark.sql.DataFrame))
+    // second run: getOrBuild semantics — nothing rebuilds or changes
+    FrameMaintenance.rollForwardExactSubstr(
+      s, "fm-old", "fm-new", oldDocs, newDocs, l = L)
+    val after = rows(FrameStore.getOrBuild(s, "fm-new", s"esspans$L")(
+      fail("published"): org.apache.spark.sql.DataFrame))
+    assert(after == before)
+  }
+}
