@@ -25,7 +25,7 @@ class SignatureStoreSpec extends AnyFunSuite {
     val direct = DedupOps.minhashSignatures(
       c, col("doc_id"), col("text"), 3, 32)
     assert(sigMap(stored) == sigMap(direct))
-    assert(SignatureStore.listSegments(store).size == 1)
+    assert(SignatureStore.listSegments(spark, store).size == 1)
   }
 
   test("incremental update computes ONLY the missing docs; idempotent re-run appends nothing") {
@@ -34,8 +34,8 @@ class SignatureStoreSpec extends AnyFunSuite {
     val all = SignatureStore.update(spark, store, docs(60))
     // the new segment holds exactly the 40..59 ids — the proof that the
     // first 40 were not recomputed
-    val newest = SignatureStore.listSegments(store).last
-    val newIds = spark.read.parquet(newest.toString)
+    val newest = SignatureStore.listSegments(spark, store).last
+    val newIds = spark.read.parquet(newest._2.toString)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(newIds == docs(60).filter(col("doc_id") >= 40)
       .select("doc_id").collect().map(_.getLong(0)).toSet)
@@ -43,9 +43,9 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(sigMap(all) == sigMap(DedupOps.minhashSignatures(
       docs(60), col("doc_id"), col("text"), 3, 32)))
     // steady state: same corpus again → no new segment
-    val nSegs = SignatureStore.listSegments(store).size
+    val nSegs = SignatureStore.listSegments(spark, store).size
     SignatureStore.update(spark, store, docs(60))
-    assert(SignatureStore.listSegments(store).size == nSegs)
+    assert(SignatureStore.listSegments(spark, store).size == nSegs)
   }
 
   test("band join over the store equals minhashCandidatePairs over the corpus") {
@@ -74,20 +74,42 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(fromStore.nonEmpty) // fixture actually exercises the path
   }
 
-  test("stale staging dir from a crashed update is ignored; compact folds and deletes") {
+  test("orphan data dir and torn marker from a crashed update are ignored; compact folds and sweeps") {
     val store = Files.createTempDirectory("sigstore").toString + "/s"
     SignatureStore.update(spark, store, docs(30))
-    // simulate a crash between staging and publish
-    val tmp = Paths.get(store + "._seg_tmp")
-    Files.createDirectories(tmp)
-    Files.writeString(tmp.resolve("garbage"), "not parquet")
+    // crash between data write and marker create: unreferenced data dir
+    val orphan = Paths.get(store, "segdata-stalecrash")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("garbage"), "not parquet")
+    // crash between marker create and content write: torn (empty) marker
+    Files.writeString(Paths.get(store, "seg-000000000099"), "")
+    assert(SignatureStore.read(spark, store).get.count() == docs(30).count(),
+      "torn marker and orphan must not surface as segments")
     val all = SignatureStore.update(spark, store, docs(50))
     assert(all.count() == docs(50).count())
-    // compact with a delete predicate: drop ids >= 40, one segment left
+    // the burned number 99 pushes the new marker past it
+    assert(SignatureStore.listSegments(spark, store).last._1 > "seg-000000000099")
+    // compact with a delete predicate: drop ids >= 40, one segment left,
+    // orphan swept
     SignatureStore.compact(spark, store, Some(col("doc_id") < 40))
-    assert(SignatureStore.listSegments(store).size == 1)
+    assert(SignatureStore.listSegments(spark, store).size == 1)
+    assert(!Files.exists(orphan), "compact must sweep pre-commit orphans")
     val ids = SignatureStore.read(spark, store).get
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == docs(40).select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("a file:// Hadoop-FS URI store behaves identically to a bare local path") {
+    val local = Files.createTempDirectory("sigstore")
+    val store = "file://" + local.toString + "/s"
+    val c = docs(40)
+    val stored = SignatureStore.update(spark, store, c)
+    assert(sigMap(stored) == sigMap(DedupOps.minhashSignatures(
+      c, col("doc_id"), col("text"), 3, 32)))
+    // steady state through the URI: no second segment
+    SignatureStore.update(spark, store, c)
+    assert(SignatureStore.listSegments(spark, store).size == 1)
+    // the artifact landed under the URI root on the local disk
+    assert(Files.isDirectory(Paths.get(local.toString, "s")))
   }
 }
