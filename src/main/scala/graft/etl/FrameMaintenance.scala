@@ -118,6 +118,71 @@ object FrameMaintenance {
     Seq("mhsigs", "mhpairs")
   }
 
+  /** Roll ANY per-document pure-derivation frame forward — the general
+    * form behind the lmtridb (per-doc trigram counts), sd3 (shingle
+    * sets), and quality-score families: each output row is a function
+    * of its OWN document only, so maintenance is one anti-join carry
+    * of untouched rows plus `derive` over the touched documents.
+    * `derive` must key its output on `doc_id` and take a
+    * (doc_id, text) frame; it runs over the FULL old corpus only if
+    * the old frame was never published. */
+  def rollForwardPerDoc(s: SparkSession, oldDir: String, newDir: String,
+                        key: String, oldDocs: DataFrame, newDocs: DataFrame)
+                       (derive: DataFrame => DataFrame): DataFrame = {
+    val changes = ChangeCapture.diff(
+        oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
+        "doc_id")
+      .filter(col("change") =!= "unchanged")
+    val oldFrame = FrameStore.getOrBuild(s, oldDir, key)(
+      derive(oldDocs.select("doc_id", "text")))
+    val gone = changes.filter(col("change").isin("delete", "update"))
+      .select("doc_id")
+    val touched = changes.filter(col("change").isin("insert", "update"))
+      .select(col("doc_id"), col("new.text").as("text"))
+    val rolled = oldFrame.join(gone, Seq("doc_id"), "left_anti")
+      .select(oldFrame.columns.map(col): _*) // the anti-join reorders
+      .unionByName(derive(touched))
+    FrameStore.getOrBuild(s, newDir, key)(rolled)
+  }
+
+  /** Roll the sign-LSH embedding near-dup pair family (`embpairs<bits>`)
+    * forward: pairs with both endpoints untouched carry by anti-join;
+    * every pair with a touched endpoint re-derives from
+    * [[graft.ext.DedupOps.incrementalEmbeddingPairs]] (touched ×
+    * bucket-mates). `bits`/`seed` must match the stored family — the
+    * key carries the bits, so a caller that resizes the bucket width
+    * (autoSignBits at a grown corpus count) is publishing a DIFFERENT
+    * family, not rolling this one. */
+  def rollForwardEmbeddingPairs(s: SparkSession, oldDir: String,
+                                newDir: String, oldVecs: DataFrame,
+                                newVecs: DataFrame, bits: Int,
+                                threshold: Double = 0.4, dim: Int = 64,
+                                seed: Long = 7L): Seq[String] = {
+    val key = s"embpairs$bits"
+    val changes = ChangeCapture.diff(
+        oldVecs.select("vec_id", "embedding"),
+        newVecs.select("vec_id", "embedding"), "vec_id")
+      .filter(col("change") =!= "unchanged")
+    val pairsOld = FrameStore.getOrBuild(s, oldDir, key)(
+      DedupOps.embeddingNearDupPairs(oldVecs, col("vec_id"),
+        col("embedding"), threshold, dim, bits, seed))
+    val gone = changes.filter(col("change").isin("delete", "update"))
+      .select("vec_id")
+    val touched = changes.filter(col("change").isin("insert", "update"))
+      .select(col("vec_id"), col("new.embedding").as("embedding"))
+    val vecsNew = newVecs.select("vec_id", "embedding")
+    val pairsKept = pairsOld
+      .join(gone.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left_anti")
+      .join(gone.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_anti")
+    val pairsDelta = DedupOps.incrementalEmbeddingPairs(
+      touched, vecsNew, col("vec_id"), col("embedding"),
+      threshold, dim, bits, seed)
+    FrameStore.getOrBuild(s, newDir, key)(
+      pairsKept.unionByName(pairsDelta)
+        .select("id_a", "id_b", "cosine")) // anti-joins reorder
+    Seq(key)
+  }
+
   private def dupOf(occ: DataFrame, cnt: DataFrame,
                     minOccurrences: Long): DataFrame =
     occ.join(cnt.filter(col("cnt") >= minOccurrences).select("gkey"),

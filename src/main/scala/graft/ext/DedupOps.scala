@@ -480,6 +480,33 @@ object DedupOps {
     graft.CachePolicy.finish(release, Seq(bucketed))(pairs)
   }
 
+  /** Embedding near-dup pairs with AT LEAST ONE endpoint in
+    * `deltaVecs`, probed against the full `allVecs` set — the sign-LSH
+    * analogue of [[incrementalCandidatePairs]] for corpus-delta
+    * maintenance of the `embpairs` family frame. `signBits`/`seed`
+    * MUST match the stored family's (they define the bucket geometry;
+    * the family key carries the bits for exactly this reason — an
+    * auto-sized width re-derived at the NEW corpus count could differ
+    * and silently mix semantics). Output matches
+    * [[embeddingNearDupPairs]]: (id_a < id_b, cosine ≥ threshold). */
+  def incrementalEmbeddingPairs(deltaVecs: DataFrame, allVecs: DataFrame,
+                                id: Column, vec: Column, threshold: Double,
+                                dim: Int, signBits: Int,
+                                seed: Long = 7L): DataFrame = {
+    def bucketed(df: DataFrame, suffix: String) = df.select(
+      id.as("id" + suffix), vec.as("v" + suffix),
+      SimilarityOps.signBucket(vec, dim, signBits, seed).as("bucket"),
+      SimilarityOps.l2Norm(vec).as("n" + suffix))
+    bucketed(deltaVecs, "_d").join(bucketed(allVecs, "_x"), Seq("bucket"))
+      .filter(col("id_d") =!= col("id_x"))
+      .withColumn("cosine", SimilarityOps.cosineWithNorms(
+        col("v_d"), col("v_x"), col("n_d"), col("n_x")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id_d"), col("id_x")).as("id_a"),
+        greatest(col("id_d"), col("id_x")).as("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // ── Cluster resolution: pairs → connected components → keep-one ────
 
   /** Connected components over a candidate-pair edge list: returns

@@ -122,6 +122,46 @@ class FrameMaintenanceSpec extends AnyFunSuite {
       "the phantom signature must be carried, not rebuilt")
   }
 
+  test("generic per-document roll-forward equals a full re-derivation") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    val derive = (d: org.apache.spark.sql.DataFrame) => d.select(
+      col("doc_id"),
+      array_distinct(graft.ext.TextOps.shingles(col("text"), 3)).as("sd"))
+    val rolled = FrameMaintenance.rollForwardPerDoc(
+      s, "fm-old", "fm-new", "sd3", oldDocs, newDocs)(derive)
+    assert(rows(rolled) == rows(derive(newDocs)))
+    assert(FrameStore.publishedKeys(s, "fm-new") == Seq("sd3"))
+  }
+
+  test("rolled-forward embedding pair frame equals a full rebuild at the new snapshot") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    val base = Tables.load(s, SparkTestSession.sfDir, "embeddings")
+      .filter(col("vec_id") < 80).select("vec_id", "embedding")
+    // delete 1, re-embed 2 (negate: flips every cosine it takes part
+    // in), insert 100000 as an exact copy of 5 (guaranteed cosine-1
+    // delta pair in 5's bucket)
+    val copyOf5 = base.filter(col("vec_id") === 5L)
+      .select(lit(100000L).as("vec_id"), col("embedding"))
+    val newVecs = base.filter(col("vec_id") =!= 1L)
+      .withColumn("embedding",
+        when(col("vec_id") === 2L,
+          expr("transform(embedding, x -> -x)")).otherwise(col("embedding")))
+      .unionByName(copyOf5)
+    val bits = 4
+    FrameMaintenance.rollForwardEmbeddingPairs(
+      s, "fm-old", "fm-new", base, newVecs, bits = bits)
+    val read = FrameStore.getOrBuild(s, "fm-new", s"embpairs$bits")(
+      fail("must be published"): org.apache.spark.sql.DataFrame)
+    val full = graft.ext.DedupOps.embeddingNearDupPairs(newVecs,
+      col("vec_id"), col("embedding"), threshold = 0.4, dim = 64,
+      signBits = bits)
+    assert(rows(read) == rows(full))
+    assert(read.filter(col("id_a") === 5L && col("id_b") === 100000L)
+      .count() == 1, "the inserted copy's pair must be found by the delta probe")
+  }
+
   test("maintenance is idempotent: a re-run leaves published frames untouched") {
     val root = Files.createTempDirectory("framemaint").toString
     val s = storedSession(root)
