@@ -42,11 +42,13 @@ object FrameMaintenance {
     * forward from (`oldDir`, `oldDocs`) to (`newDir`, `newDocs`).
     * `(l, mergeGap)` selects the operating point — (8, 0) is the
     * fine-grained oracle family, (20, 4) the production default.
-    * Returns the keys published under `newDir`. */
+    * Returns (key, stored frame) for everything published under
+    * `newDir`. */
   def rollForwardExactSubstr(s: SparkSession, oldDir: String, newDir: String,
                              oldDocs: DataFrame, newDocs: DataFrame,
                              l: Int = 8, mergeGap: Int = 0,
-                             minOccurrences: Long = 2L): Seq[String] = {
+                             minOccurrences: Long = 2L)
+      : Seq[(String, DataFrame)] = {
     val changes = ChangeCapture.diff(
         oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
         "doc_id")
@@ -65,10 +67,11 @@ object FrameMaintenance {
       l, minOccurrences, mergeGap)
     val occStored = FrameStore.getOrBuild(s, newDir, s"esocc$l")(stateNew.occ)
     val cntStored = FrameStore.getOrBuild(s, newDir, s"escnt$l")(stateNew.cnt)
-    FrameStore.getOrBuild(s, newDir, s"esdup$l")(
+    val dupStored = FrameStore.getOrBuild(s, newDir, s"esdup$l")(
       dupOf(occStored, cntStored, minOccurrences))
-    FrameStore.getOrBuild(s, newDir, s"esspans$l")(spansNew)
-    Seq(s"esocc$l", s"escnt$l", s"esdup$l", s"esspans$l")
+    val spansStored = FrameStore.getOrBuild(s, newDir, s"esspans$l")(spansNew)
+    Seq(s"esocc$l" -> occStored, s"escnt$l" -> cntStored,
+      s"esdup$l" -> dupStored, s"esspans$l" -> spansStored)
   }
 
   /** Roll the MinHash family (`mhsigs`/`mhpairs`) forward: removed and
@@ -76,12 +79,12 @@ object FrameMaintenance {
     * SignatureStore update rule), touched documents re-sign, and the
     * pair frame keeps every pair with both endpoints untouched while
     * [[graft.ext.DedupOps.incrementalCandidatePairs]] re-bands ONLY the
-    * touched signatures against the rolled-forward index. Returns the
-    * keys published under `newDir`. */
+    * touched signatures against the rolled-forward index. Returns
+    * (key, stored frame) for everything published under `newDir`. */
   def rollForwardMinhash(s: SparkSession, oldDir: String, newDir: String,
                          oldDocs: DataFrame, newDocs: DataFrame,
                          shingleSize: Int = 3, numHashes: Int = 32,
-                         bands: Int = 8): Seq[String] = {
+                         bands: Int = 8): Seq[(String, DataFrame)] = {
     val changes = ChangeCapture.diff(
         oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
         "doc_id")
@@ -112,10 +115,10 @@ object FrameMaintenance {
           changes.filter(col("change").isin("insert", "update")).select("doc_id"),
           Seq("doc_id"), "left_semi"),
       sigsStored, numHashes, bands)
-    FrameStore.getOrBuild(s, newDir, "mhpairs")(
+    val pairsStored = FrameStore.getOrBuild(s, newDir, "mhpairs")(
       pairsKept.unionByName(pairsDelta)
         .select("id_a", "id_b", "est_jaccard")) // anti-joins reorder
-    Seq("mhsigs", "mhpairs")
+    Seq("mhsigs" -> sigsStored, "mhpairs" -> pairsStored)
   }
 
   /** Roll ANY per-document pure-derivation frame forward — the general

@@ -666,7 +666,7 @@ private[graft] object QueriesDedup {
         // pure duplicate classes collapse to their representative star
         // (lossless for this est>=0.5 connectivity rollup), mixed
         // overflows take the deterministic first-256 slice.
-        val guarded = tp(s, dir, "documents").count() > 100000L
+        val guarded = tableCount(s, dir, "documents") > 100000L
         val pairs =
           if (!guarded) DedupOps.minhashCandidatePairs(chunks, col("cid"), col("ctext"))
           else {
@@ -1953,5 +1953,47 @@ private[graft] object QueriesDedup {
              |  floor(max(est) * 10000.0 + 0.5) / 10000.0 AS max_est,
              |  CAST(sum(capped) AS BIGINT) AS n_capped
              |FROM f GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("q200_rolled_span_profile",
+      (s, dir) => {
+        // The FrameMaintenance roll-forward, driver-oracle-gated: the
+        // corpus mutates (20% deleted, every 7th doc edited, every
+        // 11th-mod-3 doc duplicated under a shifted id — both
+        // duplication-status flip directions fire), the ExactSubstr
+        // family rolls forward through the bounded delta core
+        // (ChangeCapture.diff → applySpanDelta; gram passes over
+        // touched docs only), and the output is the span-coverage
+        // profile off the ROLLED spans frame. The oracle computes the
+        // profile from a FULL REBUILD over the mutated corpus — the
+        // hash match IS the rolled ≡ rebuilt contract at gate scale
+        // (FrameMaintenanceSpec pins it per-frame on fixtures). No
+        // store is configured in the gate, so getOrBuild is the
+        // identity and the roll is pure dataflow.
+        val docs = tp(s, dir, "documents").select("doc_id", "text")
+        val mutated = docs
+          .filter(pmod(col("doc_id"), lit(5)) =!= 2)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" v2 v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val rolled = graft.etl.FrameMaintenance.rollForwardExactSubstr(
+          s, s"q200old:$dir", s"q200new:$dir", docs, mutated,
+          l = 8, mergeGap = 0).toMap
+        ExactSubstrOps.profileFromSpans(rolled("esspans8"))
+          .orderBy(col("coverage_fp").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(exactSubstrOracleSql(l = 8, mergeGap = 0, limit = 50,
+        src = "mut",
+        prelude = """mut AS (
+                    |  SELECT doc_id,
+                    |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2 v2'
+                    |         ELSE text END AS text
+                    |  FROM documents WHERE doc_id % 5 <> 2
+                    |  UNION ALL
+                    |  SELECT doc_id + 1000000, text FROM documents
+                    |  WHERE doc_id % 11 = 3),
+                    |""".stripMargin))),
   )
 }

@@ -930,10 +930,12 @@ private[graft] object QueryHelpers {
     * coverage per doc. q139 pins the 8-token fine setting; q194 the
     * longer-gram + merge-distance setting (Lee et al.'s 50-token
     * threshold regime scaled to this corpus's ~56-token median docs). */
-  def exactSubstrOracleSql(l: Int, mergeGap: Int, limit: Int): String =
-    s"""WITH d AS (
+  def exactSubstrOracleSql(l: Int, mergeGap: Int, limit: Int,
+                           src: String = "documents",
+                           prelude: String = ""): String =
+    s"""WITH $prelude d AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-       |  FROM documents),
+       |  FROM $src),
        |nz AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM d
        |  WHERE len(t) >= $l),
        |gpos AS (SELECT doc_id, n, t,

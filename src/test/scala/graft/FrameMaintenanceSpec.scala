@@ -57,9 +57,10 @@ class FrameMaintenanceSpec extends AnyFunSuite {
     val s = storedSession(root)
     val published = FrameMaintenance.rollForwardExactSubstr(
       s, "fm-old", "fm-new", oldDocs, newDocs, l = L)
-    assert(published.toSet ==
+    assert(published.map(_._1).toSet ==
       Set(s"esocc$L", s"escnt$L", s"esdup$L", s"esspans$L"))
-    assert(FrameStore.publishedKeys(s, "fm-new").toSet == published.toSet)
+    assert(FrameStore.publishedKeys(s, "fm-new").toSet
+      == published.map(_._1).toSet)
 
     val full = ExactSubstrOps.initState(newDocs, col("doc_id"), col("text"), L)
     val read = (k: String) => FrameStore.getOrBuild(s, "fm-new", k)(
@@ -80,7 +81,7 @@ class FrameMaintenanceSpec extends AnyFunSuite {
     val s = storedSession(root)
     val published = FrameMaintenance.rollForwardMinhash(
       s, "fm-old", "fm-new", oldDocs, newDocs)
-    assert(published == Seq("mhsigs", "mhpairs"))
+    assert(published.map(_._1) == Seq("mhsigs", "mhpairs"))
 
     val read = (k: String) => FrameStore.getOrBuild(s, "fm-new", k)(
       fail(s"$k must be published"): org.apache.spark.sql.DataFrame)
