@@ -186,6 +186,49 @@ object FrameMaintenance {
     Seq(key)
   }
 
+  /** Roll the IVF inverted file (`ivf-<nlist>-<iters>-assigned`)
+    * forward under FROZEN centroids: assignment is a pure per-row
+    * function of (vector, centroid literals), so removed/updated rows
+    * leave by one anti-join and only touched vectors re-run the
+    * argmax. The centroid table re-publishes unchanged under the new
+    * snapshot (it IS the frozen fit). This is the production ANN
+    * maintenance shape — a daily corpus delta never re-pays the
+    * k-means collects; centroid DRIFT is observable instead:
+    * [[graft.ext.SimilarityOps.tuneIvfNprobe]] on the rolled file
+    * measures the recall the frozen fit still buys, and a missed
+    * target triggers a re-fit under a NEW family key.
+    * `oldVecs`/`newVecs` expose `(cid, cvec)`. Returns (key, stored
+    * frame) for everything published under `newDir`. */
+  def rollForwardIvfAssigned(s: SparkSession, oldDir: String, newDir: String,
+                             oldVecs: DataFrame, newVecs: DataFrame,
+                             nlist: Int, iters: Int = 2)
+      : Seq[(String, DataFrame)] = {
+    val model = graft.ext.SimilarityOps.ivfFitCached(oldDir, oldVecs,
+      nlist, iters)
+    val changes = ChangeCapture.diff(
+        oldVecs.select("cid", "cvec"), newVecs.select("cid", "cvec"), "cid")
+      .filter(col("change") =!= "unchanged")
+    val gone = changes.filter(col("change").isin("delete", "update"))
+      .select("cid")
+    val touched = changes.filter(col("change").isin("insert", "update"))
+      .select(col("cid"), col("new.cvec").as("cvec"))
+    val assignedNew = model.assigned.join(gone, Seq("cid"), "left_anti")
+      .select(model.assigned.columns.map(col): _*) // the anti-join reorders
+      .unionByName(graft.ext.SimilarityOps.ivfAssign(touched, model.centroids))
+    val centKey = s"ivf-$nlist-$iters-centroids"
+    val centFrame = {
+      import s.implicits._
+      model.centroids.zipWithIndex.flatMap { case (cv, cid) =>
+        cv.zipWithIndex.map { case (c, pos) => (cid, pos, c) }
+      }.toSeq.toDF("cid", "pos", "c")
+    }
+    val centStored = FrameStore.getOrBuild(s, newDir, centKey)(centFrame)
+    val assignedStored = FrameStore.getOrBuild(
+      s, newDir, s"ivf-$nlist-$iters-assigned")(assignedNew)
+    Seq(centKey -> centStored,
+      s"ivf-$nlist-$iters-assigned" -> assignedStored)
+  }
+
   private def dupOf(occ: DataFrame, cnt: DataFrame,
                     minOccurrences: Long): DataFrame =
     occ.join(cnt.filter(col("cnt") >= minOccurrences).select("gkey"),

@@ -400,11 +400,22 @@ object SimilarityOps {
         }
       }.toArray
     }
-    val assigned = corpus
-      .withColumn("centroid_id", nearestCentroid(col("cvec"), centroids))
-      .withColumn("cnorm", l2Norm(col("cvec"))) // norm lives in the index
-    IvfModel(centroids, assigned)
+    IvfModel(centroids, ivfAssign(corpus, centroids))
   }
+
+  /** The inverted-file derivation alone: assign each corpus row to its
+    * nearest FROZEN centroid and stamp the norm. A pure per-row
+    * function of (vector, centroid literals) — which is why the
+    * inverted file rolls forward under corpus deltas without a re-fit
+    * ([[graft.etl.FrameMaintenance.rollForwardIvfAssigned]]): only
+    * touched vectors re-assign. Centroid drift under sustained churn
+    * is OBSERVABLE, not guessed — [[tuneIvfNprobe]] on the rolled file
+    * measures the recall the frozen fit still buys, and a miss of the
+    * target is the re-fit trigger (a NEW family key). */
+  def ivfAssign(corpus: DataFrame,
+                centroids: Array[Array[Double]]): DataFrame = corpus
+    .withColumn("centroid_id", nearestCentroid(col("cvec"), centroids))
+    .withColumn("cnorm", l2Norm(col("cvec"))) // norm lives in the index
 
   /** Index cache: one fitted+persisted model per (session, caller key,
     * nlist, iters) — the index is built once and reused across query

@@ -163,6 +163,34 @@ class FrameMaintenanceSpec extends AnyFunSuite {
       .count() == 1, "the inserted copy's pair must be found by the delta probe")
   }
 
+  test("IVF inverted file rolls forward under frozen centroids, only touched vectors re-assign") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    val base = Tables.load(s, SparkTestSession.sfDir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val newVecs = base.filter(col("cid") =!= 3L)
+      .withColumn("cvec",
+        when(col("cid") === 4L,
+          expr("transform(cvec, x -> -x)")).otherwise(col("cvec")))
+      .unionByName(base.filter(col("cid") === 7L)
+        .select(lit(100000L).as("cid"), col("cvec")))
+    val published = FrameMaintenance.rollForwardIvfAssigned(
+      s, "fm-old", "fm-new", base, newVecs, nlist = 4)
+    val rolled = published.toMap.apply("ivf-4-2-assigned")
+    // frozen centroids from the OLD fit; rolled file ≡ re-assigning the
+    // whole new corpus against them (the contract is maintenance, not
+    // re-fit — drift is measured by the tuner, not silently absorbed)
+    val model = graft.ext.SimilarityOps.ivfFitCached("fm-old", base, nlist = 4)
+    assert(rows(rolled) == rows(
+      graft.ext.SimilarityOps.ivfAssign(newVecs, model.centroids)))
+    // the centroid table re-published unchanged under the new snapshot
+    val centNew = published.toMap.apply("ivf-4-2-centroids")
+    val centOld = graft.etl.FrameStore.getOrBuild(s, "fm-old", "ivf-4-2-centroids")(
+      fail("old fit must be published"): org.apache.spark.sql.DataFrame)
+    assert(rows(centNew) == rows(centOld))
+  }
+
   test("maintenance is idempotent: a re-run leaves published frames untouched") {
     val root = Files.createTempDirectory("framemaint").toString
     val s = storedSession(root)
