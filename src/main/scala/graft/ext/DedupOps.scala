@@ -437,6 +437,64 @@ object DedupOps {
     graft.CachePolicy.finish(release, Seq(sigs))(pairs)
   }
 
+  /** [[simhashNearDupPairs]] with the HOT-BUCKET GUARD — the SimHash
+    * block join has exactly the mega-bucket exposure the MinHash band
+    * join has ([[cappedCandidatePairsFromSignatures]]): a
+    * boilerplate-heavy corpus concentrates IDENTICAL simhashes into
+    * one (band, block) bucket and the within-bucket pairing goes
+    * quadratic. Same two bounded arms over an ALREADY-COMPUTED
+    * `(doc_id, simhash)` frame: an all-identical bucket is a hamming-0
+    * clique and collapses to the min-id representative star (m−1 rows,
+    * the class recoverable by transitivity); an oversized mixed bucket
+    * emits the deterministic first-cap slice flagged `capped = true`.
+    * At-or-below-cap buckets pair exactly as the plain form, so with a
+    * never-exceeded cap the output is [[simhashNearDupPairs]] plus a
+    * constant-false `capped` column (spec-pinned). */
+  def cappedSimhashPairsFromSignatures(sigs: DataFrame, maxHamming: Int = 3,
+                                       bands: Int = 4,
+                                       maxBucketSize: Int = 64): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming ($maxHamming) < bands ($bands)")
+    import org.apache.spark.sql.expressions.Window
+    val bits = 64 / bands
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("block"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.block"))
+    val w = Window.partitionBy("band", "block")
+    val ann = keyed
+      .withColumn("occ", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+      .withColumn("rep", min("doc_id").over(w))
+      .withColumn("pure", min("simhash").over(w) === max("simhash").over(w))
+    val star = ann
+      .filter(col("occ") > maxBucketSize && col("pure") &&
+        col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"),
+        lit(0).as("hamming"), lit(false).as("capped")) // bit_count is int
+    val joinable = ann.filter(col("occ") <= maxBucketSize ||
+      (!col("pure") && col("rn") <= maxBucketSize))
+    val a = joinable.select(col("band"), col("block"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+      (col("occ") > maxBucketSize).as("capped"))
+    val b = joinable.select(col("band"), col("block"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val joined = a.join(b, Seq("band", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sh_a"), col("sh_b")).as("hamming"), col("capped"))
+      .filter(col("hamming") <= maxHamming)
+    // hamming is the same for a pair wherever it is found; a pair
+    // reachable through ANY full-fidelity bucket is uncapped
+    joined.unionByName(star)
+      .groupBy("id_a", "id_b")
+      .agg(min(col("hamming")).as("hamming"),
+        (min(col("capped").cast("int")) === 1).as("capped"))
+  }
+
   /** Sentinel for `signBits`: size the bucket width from the corpus
     * count via [[SimilarityOps.autoSignBits]] (occupancy-targeted —
     * ~1000 vectors/bucket). This is the production default: a pinned

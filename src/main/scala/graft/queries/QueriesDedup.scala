@@ -331,8 +331,20 @@ private[graft] object QueriesDedup {
         val base = tp(s, dir, "documents")
         val docs = if (m > 1) base.filter(pmod(col("doc_id"), lit(m)) === 0)
                    else base
-        DedupOps.simhashNearDupPairs(docs, col("doc_id"), col("text"),
+        // above the gate the sampled arm ALSO runs the hot-bucket
+        // guard (q137's cap precedent): even a 50k-doc audit sample
+        // of a boilerplate corpus can concentrate identical simhashes
+        // into one quadratic (band, block). Below the gate the exact
+        // oracle-pinned form is untouched.
+        val pairs =
+          if (m > 1)
+            DedupOps.cappedSimhashPairsFromSignatures(
+              DedupOps.simhashSignatures(docs, col("doc_id"), col("text"),
+                portable = true).pin(),
+              maxHamming = 3, bands = 4, maxBucketSize = 256)
+          else DedupOps.simhashNearDupPairs(docs, col("doc_id"), col("text"),
             maxHamming = 3, bands = 4)
+        pairs
           .agg(count(lit(1)).as("neardup_pairs"))
           .withColumn("sample_mod", lit(m))
       },

@@ -64,6 +64,49 @@ class HotBucketSpec extends AnyFunSuite {
       "all pairs among the first-cap members by id, every one flagged")
   }
 
+  test("simhash: below the cap the guarded block join is the plain join plus a constant-false flag") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val sigs = DedupOps.simhashSignatures(docs, col("doc_id"), col("text"),
+      portable = true).persist()
+    try {
+      val exact = DedupOps.simhashNearDupPairs(docs, col("doc_id"), col("text"))
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val guarded = DedupOps.cappedSimhashPairsFromSignatures(
+        sigs, maxBucketSize = 10000)
+      val gRows = guarded.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(gRows == exact)
+      assert(guarded.filter(col("capped")).count() == 0)
+    } finally sigs.unpersist()
+  }
+
+  test("simhash: a pure oversized block collapses to the hamming-0 representative star") {
+    val sigs = (1L to 10L).map(i => (i, 0x1234567890abcdefL))
+      .toDF("doc_id", "simhash")
+    val out = DedupOps.cappedSimhashPairsFromSignatures(sigs, maxBucketSize = 4)
+    val rows = out.orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows == (2L to 10L).map(i => (1L, i, 0)))
+    assert(out.filter(col("capped")).count() == 0,
+      "a hamming-0 clique star is complete information, not a sample")
+  }
+
+  test("simhash: an oversized mixed block emits the deterministic first-cap slice, flagged") {
+    // all 6 docs share the low 48 bits (blocks 0..2 collide, occ 6,
+    // NOT pure); top-16 block has one distinct bit set per doc, so
+    // every pair is hamming 2 <= 3 and survives the verify
+    val sigs = (1L to 6L).map(i => (i, 0x0000123412341234L | (1L << (47 + i))))
+      .toDF("doc_id", "simhash")
+    val out = DedupOps.cappedSimhashPairsFromSignatures(sigs, maxBucketSize = 4)
+    val rows = out.orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSeq
+    val expected = for { a <- 1L to 4L; b <- (a + 1) to 4L }
+      yield (a, b, 2, true)
+    assert(rows == expected)
+  }
+
   test("a pair reachable through any full-fidelity bucket is not flagged") {
     // docs 1..6 share the oversized mixed band-0 bucket (cap 4 slices
     // to 1..4), but docs 1 and 2 ALSO share a private band-1 bucket of
