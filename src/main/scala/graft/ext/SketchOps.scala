@@ -144,4 +144,23 @@ object SketchOps {
           .cast("double")).as("est_raw"),
         (lit(m) - col("_present")).as("v_zero"))
   }
+
+  /** Misra–Gries heavy hitters over an item column:
+    * `(item, est_n, err_bound, n_total)`, one row per summary counter,
+    * `est_n ≤ true ≤ est_n + err_bound` and every item with
+    * `true > err_bound` guaranteed present (see
+    * [[graft.functions.FreqSketch]]). ONE narrow aggregation — k
+    * counters per partition map-side, k-sized partials through the
+    * shuffle — where the exact idiom `groupBy(item).count` must
+    * exchange the full item domain; that asymmetry is the whole
+    * operator at a 100 TB n-gram table. `err_bound == 0` marks the
+    * exact regime (domain fit in k everywhere), which is also the
+    * deterministic one. */
+  def heavyHitters(df: DataFrame, item: Column, k: Int): DataFrame =
+    df.agg(graft.functions.FreqSketch.mgSummary(item, k).as("mg"))
+      .select(col("mg.n_total").as("n_total"),
+        col("mg.err_bound").as("err_bound"),
+        explode(col("mg.items")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est_n"),
+        col("err_bound"), col("n_total"))
 }

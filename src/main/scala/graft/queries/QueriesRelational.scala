@@ -454,6 +454,40 @@ private[graft] object QueriesRelational {
            |FROM tf t JOIN est e ON e.term = t.term ORDER BY t.term""".stripMargin
       }),
 
+    Q("q201_heavy_hitters",
+      (s, dir) => {
+        // Frequent 3-token shingles via the Misra–Gries summary — the
+        // sketch that DISCOVERS heavy items in one bounded-state pass
+        // (CMS needs the query set up front; exact top-N shuffles the
+        // full shingle domain). k = 32768 holds the gate/bench corpora
+        // in the exact regime (err_bound = 0, order-independent), so
+        // the DuckDB oracle hash-gates the whole pipeline INCLUDING
+        // the map-side partials merging across 32 partitions; above
+        // that the output self-labels via err_bound (q126's `sampled`
+        // convention). The exact-count arm exists for the oracle and
+        // the true_n audit column — production reads the summary only.
+        val grams = tp(s, dir, "documents")
+          .select(explode(TextOps.shingles(col("text"), 3)).as("gram"))
+        val hh = SketchOps.heavyHitters(grams, col("gram"), k = 32768)
+        val tf = grams.groupBy("gram").agg(count(lit(1)).as("true_n"))
+        hh.join(tf, col("item") === col("gram"))
+          .select(col("gram"), col("est_n"), col("true_n"), col("err_bound"))
+          .orderBy(desc("est_n"), col("gram"))
+          .limit(40)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+             |s AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3
+             |    THEN list_transform(generate_series(0, len(toks) - 3),
+             |           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+             |    ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+             |g AS (SELECT unnest(sh) AS gram FROM s),
+             |tf AS (SELECT gram, CAST(count(*) AS BIGINT) AS true_n FROM g GROUP BY 1)
+             |SELECT gram, true_n AS est_n, true_n,
+             |  CAST(0 AS BIGINT) AS err_bound
+             |FROM tf ORDER BY est_n DESC, gram LIMIT 40""".stripMargin)),
+
     Q("q106_hll_distinct",
       (s, dir) => {
         // HyperLogLog cardinality, deterministically: registers from
