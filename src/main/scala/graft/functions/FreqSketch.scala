@@ -126,6 +126,13 @@ final class MGSummary(val k: Int) {
     }
   }
 
+  /** Items observed (total weight), across merges. */
+  def nTotal: Long = total
+
+  /** Cumulative decrement — the `err` of the summary contract:
+    * `est ≤ true ≤ est + errBound`, absent ⟹ `true ≤ errBound`. */
+  def errBound: Long = floor
+
   /** (item, est) pairs sorted est desc, item asc — a total order. The
     * consumer re-sorts relationally anyway; item asc here is plain
     * lexicographic, which coincides with engine binary order on the
