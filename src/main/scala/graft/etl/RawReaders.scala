@@ -47,6 +47,55 @@ object RawReaders {
         s"no encoding in ${encodings.mkString(",")} could parse $path"))
   }
 
+  /** JSONL (one JSON document per line — the lingua franca LLM corpora
+    * actually arrive in) with an EXPLICIT schema and corrupt-line
+    * quarantine. Returns (clean, quarantine):
+    *
+    *  - `clean`: rows that parsed against `schema` (PERMISSIVE — a line
+    *    missing a field yields a null in that column, it is NOT
+    *    quarantined; only lines that fail to parse as JSON, or whose
+    *    values can't take the declared types, land in quarantine);
+    *  - `quarantine`: the offending RAW lines verbatim (`raw_line`) so
+    *    the bad input is auditable and replayable after a fix, instead
+    *    of silently nulled or dropped.
+    *
+    * The schema is required, never inferred: schema inference is a full
+    * extra pass over the input (at 100 TB, a second 100 TB scan before
+    * the first useful row), and an inferred schema silently drifts with
+    * the data. Implementation is `text` source + `from_json`, not the
+    * raw JSON source: the JSON scan forbids corrupt-column-only
+    * projections (QUERY_ONLY_CORRUPT_RECORD_COLUMN — its suggested
+    * workaround is `.cache()`, a non-starter at corpus scale), and the
+    * text row IS the verbatim raw line the quarantine contract
+    * promises. Both returned frames are independent lazy scans —
+    * nothing materializes driver-side. */
+  def jsonlQuarantined(spark: SparkSession, path: String,
+                       schema: StructType): (DataFrame, DataFrame) =
+    parseJsonl(spark.read.text(path), schema)
+
+  /** The [[jsonlQuarantined]] core over an already-read one-string-column
+    * frame (`value`) — shared verbatim by the batch reader and the
+    * streaming ingest ([[graft.streaming.FileIngest.jsonlToParquet]]),
+    * so the two paths cannot drift. Blank lines are skipped (the JSON
+    * line reader's semantics), not quarantined. */
+  def parseJsonl(raw: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json, length, trim}
+    val corruptCol = "_graft_corrupt"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema must not contain reserved column $corruptCol")
+    val withCorrupt = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val parsed = raw
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corruptCol)).as("r"))
+    val clean = parsed.filter(col(s"r.$corruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"r.$f").as(f)).toIndexedSeq: _*)
+    val quarantine = parsed.filter(col(s"r.$corruptCol").isNotNull)
+      .select(col("value").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** S4 — parquet read with sample validation (n_rows=10 probe,
     * parquet_loader.py:150-166) and the reference's validation bounds:
     * ≥ 1 row, file size ≤ maxBytes (validators, conte_hpc.yaml:50-53). */

@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
 
 import graft.analytics._
-import graft.etl.ChangeCapture
+import graft.etl.{ChangeCapture, RawReaders}
 import graft.ext._
 import graft.QueryCaches.Pinned
 import graft.QueryHelpers._
@@ -487,6 +487,60 @@ private[graft] object QueriesRelational {
              |SELECT gram, true_n AS est_n, true_n,
              |  CAST(0 AS BIGINT) AS err_bound
              |FROM tf ORDER BY est_n DESC, gram LIMIT 40""".stripMargin)),
+
+    Q("q202_jsonl_roundtrip",
+      (s, dir) => {
+        // JSONL ingestion, hash-gated end-to-end: the corpus writes out
+        // as JSONL (the format LLM corpora actually arrive in — JSON
+        // string escaping keeps embedded newlines on one line, which is
+        // why JSONL beats CSV for text), an extra landed file injects 2
+        // well-formed and 3 corrupt lines, and RawReaders
+        // .jsonlQuarantined reads it back under the DECLARED schema
+        // (never inferred — inference is a second full pass at 100 TB).
+        // Clean rows must carry every value bit-exactly (the sums/max
+        // prove it against the parquet originals) and exactly the 3
+        // corrupt lines must land in quarantine, not vanish. The final
+        // collect is ONE aggregate row (driver-sized), materialized so
+        // the scratch dir can be deleted before the frame is consumed.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q202").toString
+        try {
+          val schema = new StructType()
+            .add("doc_id", LongType).add("text", StringType)
+            .add("lang", StringType).add("source", StringType)
+            .add("n_chars", LongType)
+          tp(s, dir, "documents")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .coalesce(4)
+            .write.mode("overwrite").json(tmp + "/docs")
+          val extra = Seq(
+            """{"doc_id":9000001,"text":"injected alpha","lang":"zz-a","source":"extra","n_chars":14}""",
+            """{"doc_id":9000002,"text":"injected beta","lang":"zz-b","source":"extra","n_chars":13}""",
+            """{"doc_id":9000003,"text":"truncated""",
+            """{"doc_id":"not-a-number","text":"bad type","lang":"zz-c","source":"extra","n_chars":1}""",
+            "plainly not json")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, "docs", "extra.json"),
+            extra.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (clean, quar) = RawReaders.jsonlQuarantined(s, tmp + "/docs", schema)
+          val out = clean.agg(
+              count(lit(1)).as("n_rows"),
+              sum("n_chars").as("sum_chars"),
+              countDistinct("lang").as("n_langs"),
+              max("doc_id").as("max_doc_id"))
+            .crossJoin(quar.agg(count(lit(1)).as("n_quarantined")))
+          val rows = out.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(tmp)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      },
+      Some("""SELECT CAST(count(*) + 2 AS BIGINT) AS n_rows,
+             |  CAST(sum(n_chars) + 27 AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT lang) + 2 AS BIGINT) AS n_langs,
+             |  CAST(greatest(max(doc_id), 9000002) AS BIGINT) AS max_doc_id,
+             |  CAST(3 AS BIGINT) AS n_quarantined
+             |FROM documents""".stripMargin)),
 
     Q("q106_hll_distinct",
       (s, dir) => {

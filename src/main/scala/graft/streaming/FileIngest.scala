@@ -44,6 +44,33 @@ object FileIngest {
       .start()
   }
 
+  /** Watch `inDir` for JSONL files (one JSON doc per line), apply the
+    * batch `transform` per micro-batch, append parquet to `outDir` —
+    * [[csvToParquet]] for the format LLM corpora actually land in.
+    * Lines that fail to parse against `schema` append verbatim to
+    * `quarantineDir` instead of vanishing (the
+    * [[graft.etl.RawReaders.jsonlQuarantined]] contract, applied per
+    * micro-batch): the ingest never drops input silently, and the bad
+    * lines stay replayable after a schema fix. */
+  def jsonlToParquet(spark: SparkSession,
+                     inDir: String, outDir: String, quarantineDir: String,
+                     checkpoint: String, schema: StructType,
+                     transform: DataFrame => DataFrame): StreamingQuery = {
+    val in = spark.readStream.text(inDir)
+    in.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (clean, bad) = graft.etl.RawReaders.parseJsonl(batch, schema)
+        if (!bad.isEmpty)
+          bad.write.mode("append").text(quarantineDir)
+        val out = transform(clean)
+        if (!out.isEmpty)
+          out.write.mode("append").option("compression", "snappy").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run an ingest pass to completion (the watcher's "process what's
     * there" cycle). Returns when all available files are committed. */
   def runOnce(q: StreamingQuery): Unit = {

@@ -37,6 +37,45 @@ class RawReadersCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("b").isNull).count() == 10)
   }
 
+  test("jsonl quarantine: corrupt lines captured verbatim, missing fields stay clean") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.write(dir.resolve("x.jsonl"),
+      ("""{"a":"ok1","b":1}""" + "\n" +
+       """{"a":"ok2"}""" + "\n" +                  // missing field → null, NOT quarantined
+       """{"a":"bad-type","b":"NaN-ish"}""" + "\n" + // b can't take LongType → quarantined
+       """{"a":"trunc""" + "\n" +                  // malformed JSON → quarantined
+       "not json at all\n").getBytes("UTF-8"))
+    val (clean, quar) = RawReaders.jsonlQuarantined(spark, dir.toString, schema)
+    assert(clean.count() == 2)
+    assert(clean.filter(col("b").isNull).count() == 1)
+    val raw = quar.collect().map(_.getString(0)).sorted
+    assert(raw.length == 3)
+    // the offending input survives verbatim — replayable after a fix
+    assert(raw.contains("not json at all"))
+    assert(raw.exists(_.contains("bad-type")))
+    assert(raw.exists(_.contains("trunc")))
+  }
+
+  test("jsonl quarantine: embedded newlines round-trip (the reason JSONL beats CSV)") {
+    val dir = Files.createTempDirectory("graft_jsonl_nl")
+    import spark.implicits._
+    val src = Seq(("line1\nline2\ttab", 7L), ("plain", 8L)).toDF("a", "b")
+    src.coalesce(1).write.mode("overwrite").json(dir.resolve("d").toString)
+    val (clean, quar) = RawReaders.jsonlQuarantined(spark, dir.resolve("d").toString, schema)
+    assert(quar.count() == 0)
+    val back = clean.orderBy("b").collect()
+    assert(back(0).getString(0) == "line1\nline2\ttab")
+    assert(back.length == 2)
+  }
+
+  test("jsonl quarantine: reserved corrupt column rejected in user schema") {
+    val dir = Files.createTempDirectory("graft_jsonl_res")
+    intercept[IllegalArgumentException] {
+      RawReaders.jsonlQuarantined(spark, dir.toString,
+        schema.add("_graft_corrupt", StringType))
+    }
+  }
+
   test("S4 parquet validated read: size bound and emptiness enforced") {
     val dir = Files.createTempDirectory("graft_val").toString
     Seq(("x", 1L)).toDF("a", "b").write.parquet(s"$dir/ok")

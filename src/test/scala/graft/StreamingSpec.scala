@@ -47,4 +47,38 @@ class StreamingSpec extends AnyFunSuite {
     val second = spark.read.parquet(outDir)
     assert(second.count() == 3) // 2 + 1, block1.csv not reprocessed
   }
+
+  test("jsonl ingest: clean rows land as parquet, corrupt lines quarantine, exactly-once") {
+    val base = Files.createTempDirectory("graft_jsonl_stream")
+    val inDir = base.resolve("in"); Files.createDirectory(inDir)
+    val outDir = base.resolve("out").toString
+    val quarDir = base.resolve("quar").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    Files.writeString(inDir.resolve("d1.jsonl"),
+      """{"doc_id":1,"text":"alpha"}
+        |{"doc_id":2,"text":"beta"}
+        |{broken line
+        |""".stripMargin)
+    val q1 = FileIngest.jsonlToParquet(spark, inDir.toString, outDir, quarDir,
+      ckpt, schema, b => b.withColumn("n", length(col("text"))))
+    FileIngest.runOnce(q1)
+    val first = spark.read.parquet(outDir)
+    assert(first.count() == 2)
+    assert(first.filter(col("n") === 5).count() == 1)
+    assert(spark.read.text(quarDir).count() == 1)
+
+    // second pass: only the NEW file processes; quarantine appends
+    Files.writeString(inDir.resolve("d2.jsonl"),
+      """{"doc_id":3,"text":"gamma"}
+        |also not json
+        |""".stripMargin)
+    val q2 = FileIngest.jsonlToParquet(spark, inDir.toString, outDir, quarDir,
+      ckpt, schema, b => b.withColumn("n", length(col("text"))))
+    FileIngest.runOnce(q2)
+    assert(spark.read.parquet(outDir).count() == 3)
+    assert(spark.read.text(quarDir).count() == 2)
+  }
 }
