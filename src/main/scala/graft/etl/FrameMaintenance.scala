@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DedupOps, ExactSubstrOps}
+import graft.ext.{DedupOps, ExactSubstrOps, SketchOps}
 
 /** Incremental maintenance of the durable [[FrameStore]] family frames
   * from a corpus DELTA — the missing half of the durable-artifact
@@ -227,6 +227,82 @@ object FrameMaintenance {
       s, newDir, s"ivf-$nlist-$iters-assigned")(assignedNew)
     Seq(centKey -> centStored,
       s"ivf-$nlist-$iters-assigned" -> assignedStored)
+  }
+
+  /** Roll a durable Count-Min counter table forward under a FULL CDC
+    * delta. CMS is the one sketch in the family that DELETES exactly:
+    * the counter table is linear in the per-item counts (a signed
+    * measure over the token multiset), so the roll adds the delta's
+    * counters — departed tokens carry negative weight — and drops
+    * buckets that sum to zero. Roll ≡ rebuild is exact EQUALITY, not
+    * an approximation bound: both sides are the same Σ over the same
+    * multiset (q203 hash-gates it; HLL registers and MG summaries are
+    * max/threshold-monotone, so they get [[rollForwardHllRegisters]]'s
+    * append-only contract instead). `tokens` maps a (doc_id, text)
+    * frame to per-document item counts (doc_id, item, n); its gram
+    * passes run over TOUCHED documents only. */
+  def rollForwardCms(s: SparkSession, oldDir: String, newDir: String,
+                     key: String, oldDocs: DataFrame, newDocs: DataFrame,
+                     depth: Int, width: Int, salt: String = "cms")
+                    (tokens: DataFrame => DataFrame): DataFrame = {
+    val changes = ChangeCapture.diff(
+        oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
+        "doc_id")
+      .filter(col("change") =!= "unchanged")
+    val oldCounters = FrameStore.getOrBuild(s, oldDir, key)(
+      SketchOps.cmsCounters(
+        tokens(oldDocs.select("doc_id", "text")),
+        col("item"), col("n"), depth, width, salt))
+    val departed = tokens(changes
+        .filter(col("change").isin("delete", "update"))
+        .select(col("doc_id"), col("old.text").as("text")))
+      .select(col("item"), (-col("n")).as("n"))
+    val arrived = tokens(changes
+        .filter(col("change").isin("insert", "update"))
+        .select(col("doc_id"), col("new.text").as("text")))
+      .select(col("item"), col("n"))
+    val deltaCounters = SketchOps.cmsCounters(
+      departed.unionByName(arrived), col("item"), col("n"), depth, width, salt)
+    val rolled = oldCounters.unionByName(deltaCounters)
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0L)
+    FrameStore.getOrBuild(s, newDir, key)(rolled)
+  }
+
+  /** Roll a durable HLL register family forward. Registers are
+    * max-monotone — they absorb arrivals and cannot forget — so the
+    * delta-bounded roll applies ONLY to an append-only delta (pure
+    * inserts: the daily-dump-grows case). Any delete or update falls
+    * back to a full rebuild from `newDocs`, deliberately: carrying
+    * registers across a shrunken corpus would overestimate forever
+    * and silently diverge from the family's rebuild semantics. The
+    * published frame is identical either way (merge(build(A),
+    * build(B)) ≡ build(A ∪ B), the q110-proven property); only the
+    * work differs. `items` maps (doc_id, text) to an `item` column. */
+  def rollForwardHllRegisters(s: SparkSession, oldDir: String,
+                              newDir: String, key: String,
+                              oldDocs: DataFrame, newDocs: DataFrame,
+                              b: Int, salt: String = "hll")
+                             (items: DataFrame => DataFrame): DataFrame = {
+    val changes = ChangeCapture.diff(
+        oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
+        "doc_id")
+      .filter(col("change") =!= "unchanged")
+    val oldRegs = FrameStore.getOrBuild(s, oldDir, key)(
+      SketchOps.hllRegisters(
+        items(oldDocs.select("doc_id", "text")), col("item"), b, salt))
+    val hasRemoval = !changes
+      .filter(col("change").isin("delete", "update")).isEmpty
+    val rolled =
+      if (hasRemoval)
+        SketchOps.hllRegisters(
+          items(newDocs.select("doc_id", "text")), col("item"), b, salt)
+      else
+        SketchOps.hllMerge(oldRegs, SketchOps.hllRegisters(
+          items(changes.filter(col("change") === "insert")
+            .select(col("doc_id"), col("new.text").as("text"))),
+          col("item"), b, salt))
+    FrameStore.getOrBuild(s, newDir, key)(rolled)
   }
 
   private def dupOf(occ: DataFrame, cnt: DataFrame,

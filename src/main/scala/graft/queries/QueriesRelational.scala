@@ -542,6 +542,75 @@ private[graft] object QueriesRelational {
              |  CAST(3 AS BIGINT) AS n_quarantined
              |FROM documents""".stripMargin)),
 
+    Q("q203_rolled_cms",
+      (s, dir) => {
+        // The sketch family under CDC, driver-oracle-gated: the corpus
+        // mutates (the q200 mutation — deletes, edits, duplicates under
+        // shifted ids), the Count-Min counter table rolls forward
+        // through FrameMaintenance.rollForwardCms (token passes over
+        // TOUCHED docs only; departed tokens subtract — CMS counters
+        // are linear in the token counts, the one sketch that deletes
+        // exactly), and the estimates come off the ROLLED table. The
+        // oracle rebuilds the 4×64 table from the mutated corpus from
+        // scratch — the hash match IS roll ≡ rebuild, exact equality.
+        // No store configured in the gate → getOrBuild is identity and
+        // the roll is pure dataflow.
+        val docs = tp(s, dir, "documents").select("doc_id", "text")
+        val mutated = docs
+          .filter(pmod(col("doc_id"), lit(5)) =!= 2)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" v2 v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        def toks(d: DataFrame): DataFrame = d
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("item"))
+          .filter(col("item") =!= "")
+          .groupBy("doc_id", "item").agg(count(lit(1)).as("n"))
+        val rolled = graft.etl.FrameMaintenance.rollForwardCms(
+          s, s"q203old:$dir", s"q203new:$dir", "cms4x64", docs, mutated,
+          depth = 4, width = 64)(toks)
+        val tf = toks(mutated).groupBy("item").agg(sum("n").as("true_n"))
+        SketchOps.cmsEstimate(rolled, tf.select(col("item")), col("item"),
+            depth = 4, width = 64)
+          .join(tf, Seq("item"))
+          .select(col("item").as("term"), col("true_n"), col("est_n"))
+          .orderBy("term")
+      },
+      Some {
+        val cs = PortableHash.coeffs(4)
+        val branches = cs.zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT term, true_n, $i AS d, ((h * ${a}::BIGINT + $b) % ${PortableHash.P}) % 64 AS bucket FROM hh"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH mut AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2 v2'
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id % 5 <> 2
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents
+           |  WHERE doc_id % 11 = 3),
+           |toks AS (
+           |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           |  FROM mut),
+           |tf AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS true_n
+           |  FROM toks WHERE term <> '' GROUP BY 1),
+           |hh AS (SELECT term, true_n,
+           |         ${PortableHash.baseSql("term || ':cms'")} AS h FROM tf),
+           |bk AS (
+           |  $branches),
+           |counters AS (
+           |  SELECT d, bucket, CAST(sum(true_n) AS BIGINT) AS cnt
+           |  FROM bk GROUP BY 1, 2),
+           |est AS (
+           |  SELECT b.term, min(c.cnt) AS est_n
+           |  FROM bk b JOIN counters c USING (d, bucket) GROUP BY 1)
+           |SELECT t.term, t.true_n, CAST(e.est_n AS BIGINT) AS est_n
+           |FROM tf t JOIN est e ON e.term = t.term ORDER BY t.term""".stripMargin
+      }),
+
     Q("q106_hll_distinct",
       (s, dir) => {
         // HyperLogLog cardinality, deterministically: registers from

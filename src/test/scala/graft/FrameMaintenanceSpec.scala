@@ -191,6 +191,55 @@ class FrameMaintenanceSpec extends AnyFunSuite {
     assert(rows(centNew) == rows(centOld))
   }
 
+  test("rolled-forward CMS counters equal a full rebuild — deletes subtract exactly") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    def toksF(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("item"))
+      .filter(col("item") =!= "")
+      .groupBy("doc_id", "item").agg(count(lit(1)).as("n"))
+    // width 4096 ≫ vocabulary: doc 1's b-tokens leave the corpus
+    // entirely, so their buckets must VANISH from the rolled table
+    // (zero-sum drop), exactly as the rebuild never creates them
+    val rolled = FrameMaintenance.rollForwardCms(
+      s, "fm-old", "fm-new", "cms2x4096", oldDocs, newDocs,
+      depth = 2, width = 4096)(toksF)
+    val rebuild = graft.ext.SketchOps.cmsCounters(
+      toksF(newDocs), col("item"), col("n"), depth = 2, width = 4096)
+    assert(rows(rolled) == rows(rebuild))
+    assert(FrameStore.publishedKeys(s, "fm-new").contains("cms2x4096"))
+  }
+
+  test("HLL registers: append-only delta merges stored registers; removal rebuilds") {
+    val root = Files.createTempDirectory("framemaint").toString
+    val s = storedSession(root)
+    def itemsF(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(split(col("text"), " ")).as("item"))
+    // doctored old registers: bucket 999 is outside b=6's 0..63 range —
+    // no rebuild can produce it, so it survives ONLY via the merge path
+    val sentinel = Seq((999L, 3L)).toDF("bucket", "mj")
+    val oldRegs = graft.ext.SketchOps.hllRegisters(
+        itemsF(oldDocs), col("item"), b = 6)
+      .unionByName(sentinel)
+    FrameStore.getOrBuild(s, "fmhll-old", "hll6")(oldRegs)
+
+    val fresh = Seq((10L, "fresh1 fresh2")).toDF("doc_id", "text")
+    val appended = oldDocs.unionByName(fresh)
+    val rolledA = FrameMaintenance.rollForwardHllRegisters(
+      s, "fmhll-old", "fmhll-newA", "hll6", oldDocs, appended, b = 6)(itemsF)
+    assert(rows(rolledA) == rows(
+      graft.ext.SketchOps.hllRegisters(itemsF(appended), col("item"), b = 6)
+        .unionByName(sentinel)),
+      "append-only roll = rebuild ∪ carried sentinel (old registers reused)")
+
+    val shrunk = oldDocs.filter(col("doc_id") =!= 1L)
+    val rolledB = FrameMaintenance.rollForwardHllRegisters(
+      s, "fmhll-old", "fmhll-newB", "hll6", oldDocs, shrunk, b = 6)(itemsF)
+    assert(rows(rolledB) == rows(
+      graft.ext.SketchOps.hllRegisters(itemsF(shrunk), col("item"), b = 6)),
+      "a delete must force the rebuild arm — registers cannot forget")
+  }
+
   test("maintenance is idempotent: a re-run leaves published frames untouched") {
     val root = Files.createTempDirectory("framemaint").toString
     val s = storedSession(root)
