@@ -27,6 +27,11 @@ import graft.streaming.{StreamingCardinality, StreamingContamination,
   *  - **contamination** ([[StreamingContamination]]): stateless by
   *    design (static benchmark side); flat per-batch flag+append time
   *    as the output directory grows is the measurable claim.
+  *  - **heavy_hitters** ([[graft.streaming.StreamingHeavyHitters]]):
+  *    one k-capped Misra–Gries buffer per key; every batch adds a
+  *    never-repeating item tail, so the tracked item domain grows
+  *    linearly while state rows stay pinned at the key count and the
+  *    per-row buffer at k counters.
   *
   * Per path: per-batch wall seconds, the state-rows trajectory from
   * StreamingQueryProgress (the bounded-state evidence), and
@@ -164,6 +169,39 @@ object StreamRehearsalOps {
     PathRun(times, state, "stateless: flat batch time as output dir grows")
   }
 
+  private def runHeavyHitters(spark: SparkSession, n: Int, rows: Long): PathRun = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val keys = 100
+    val ms = MemoryStream[(String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("reh_hh").toString
+    val q = graft.streaming.StreamingHeavyHitters.runningHeavyHitters(
+        ms.toDF().toDF("k", "item"), "k", "item", k = 64, topN = 5)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val times = Array.ofDim[Double](n)
+    val state = Array.ofDim[Long](n)
+    (0 until n).foreach { b =>
+      // zipf-ish: a few persistent heavy items per key + a tail of
+      // NEVER-REPEATING items — the tracked item domain grows by
+      // rows/2 distinct strings every batch while the MG buffer stays
+      // k-capped, which is the whole claim
+      val batch = (0L until rows).map { i =>
+        val key = s"k${i % keys}"
+        if (i % 2 == 0) (key, s"heavy${i % 16}") else (key, s"tail-$b-$i")
+      }
+      val t0 = System.nanoTime()
+      ms.addData(batch)
+      q.processAllAvailable()
+      times(b) = (System.nanoTime() - t0) / 1e9
+      state(b) = lastStateRows(q)
+      System.err.println(f"[hh] batch $b%02d ${times(b)}%.2fs state=${state(b)}")
+    }
+    q.stop()
+    PathRun(times, state,
+      s"state rows must stay = $keys MG summaries (k=64 counters each)")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toInt).getOrElse(20)
     val rows = args.lift(1).map(_.toLong).getOrElse(50000L)
@@ -188,7 +226,8 @@ object StreamRehearsalOps {
       "quota" -> runQuota(spark, n, rows),
       "cardinality" -> runCardinality(spark, n, rows),
       "sessions" -> runSessions(spark, n, rows),
-      "contamination" -> runContamination(spark, n, rows))
+      "contamination" -> runContamination(spark, n, rows),
+      "heavy_hitters" -> runHeavyHitters(spark, n, rows))
 
     val paths = runs.map { case (name, r) =>
       val (head, tail, ratio) = flat(r.times)

@@ -97,6 +97,26 @@ object ParquetSink {
       .csv(path)
   }
 
+  /** Sharded JSONL export — the reverse of
+    * [[RawReaders.jsonlQuarantined]]: hand a cleaned corpus to trainer
+    * tooling in the format it reads. `maxRecordsPerFile` bounds shard
+    * size (the S6 chunked-write contract applied to JSONL — trainers
+    * want many same-sized shards to parallelize over, not one giant
+    * file); embedded newlines stay escaped inside the JSON string, so
+    * the export round-trips losslessly through the quarantining reader
+    * (spec-pinned). `gzip` trades CPU for the ~5× text shrink —
+    * fine for trainers, which stream shards sequentially and never
+    * need splittable compression. */
+  def exportJsonl(df: DataFrame, path: String,
+                  maxRecordsPerFile: Long = 500000,
+                  gzip: Boolean = false): Unit = {
+    if (df.isEmpty) throw EmptyWriteException(path)
+    val w = df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** S7 (literal fidelity) — byte-level reproduction of the reference's
     * hand-rolled CSV writer (export.ts:36-52), quirks preserved:
     *  - STRING values are wrapped in plain double quotes ONLY when they

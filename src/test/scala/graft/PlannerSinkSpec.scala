@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.ParquetSink
@@ -137,6 +138,35 @@ class PlannerSinkSpec extends AnyFunSuite {
     assert(body(0) == "1,\"a,b\",2024-01-15T10:00:00.000Z") // quoted ONLY for comma
     assert(body(1) == "2,say \"hi\",")                      // quote NOT escaped, null ts -> empty
     assert(body(2) == "3,,2024-06-01T23:59:59.000Z")        // null string -> empty
+  }
+
+  test("jsonl export: sharded, gzip-able, lossless through the quarantining reader") {
+    val tmp = Files.createTempDirectory("graft_jsonl_exp").toString
+    val df = Seq(
+      (1L, "multi\nline\ttext"), (2L, "plain"), (3L, "quote\"s"))
+      .toDF("doc_id", "text").coalesce(1)
+    ParquetSink.exportJsonl(df, s"$tmp/out", maxRecordsPerFile = 2)
+    assert(spark.read.textFile(s"$tmp/out").inputFiles.length == 2,
+      "maxRecordsPerFile must shard the export")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, quar) = graft.etl.RawReaders.jsonlQuarantined(
+      spark, s"$tmp/out", schema)
+    assert(quar.count() == 0)
+    assert(clean.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      Seq("multi\nline\ttext", "plain", "quote\"s"))
+
+    ParquetSink.exportJsonl(df, s"$tmp/gz", gzip = true)
+    val gzFiles = new java.io.File(s"$tmp/gz").listFiles()
+      .map(_.getName).filter(_.endsWith(".json.gz"))
+    assert(gzFiles.nonEmpty, "gzip export must write .json.gz shards")
+    val (cleanGz, _) = graft.etl.RawReaders.jsonlQuarantined(
+      spark, s"$tmp/gz", schema)
+    assert(cleanGz.count() == 3, "text source must decode the gzip shards")
+
+    intercept[ParquetSink.EmptyWriteException] {
+      ParquetSink.exportJsonl(df.limit(0), s"$tmp/empty")
+    }
   }
 
   test("path templating matches the reference pattern") {
