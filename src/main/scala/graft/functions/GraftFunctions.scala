@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *  - `nearest_centroid(v, m)`   — argmin centroid id over a foldable matrix
   *  - `top_k_by_score(id, s, k)` — bounded-heap exact top-k aggregate,
   *                                 k a literal
+  *  - `multi_match_ids(s, ps)`   — Aho–Corasick multi-pattern scan; ps a
+  *                                 foldable `array(string)` pattern list
   *
   * Register on a live session with [[register]], or for every session
   * via `spark.sql.extensions=graft.GraftExtensions` (which also
@@ -59,6 +61,19 @@ object GraftFunctions {
   }
 
   private def cast(e: Expression, t: DataType): Expression = Cast(e, t, Some("UTC"))
+
+  /** A foldable `array(<string>)` argument — the pattern list the text
+    * scan carries as its automaton's source (one reference object per
+    * plan, like the matrix args). */
+  private def stringsArg(e: Expression, name: String, sig: String): Seq[String] = {
+    if (!e.foldable) usage(name, sig)
+    val cast = Cast(e, ArrayType(org.apache.spark.sql.types.StringType), Some("UTC"))
+    cast.eval() match {
+      case arr: ArrayData =>
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toVector
+      case _ => usage(name, sig)
+    }
+  }
 
   private def fn(name: String, sig: String, note: String)
                 (builder: PartialFunction[Seq[Expression], Expression])
@@ -101,6 +116,12 @@ object GraftFunctions {
       case Seq(id, score, k) => TopKByScore(
         cast(id, LongType), cast(score, DoubleType),
         intArg(k, "top_k_by_score", "id, score, k"))
+    },
+    fn("multi_match_ids", "text, patterns",
+       "Aho-Corasick scan: ids of every literal-array pattern found") {
+      case Seq(t, p) => TextScanExpressions.MultiPatternIds(
+        cast(t, org.apache.spark.sql.types.StringType),
+        stringsArg(p, "multi_match_ids", "text, patterns"))
     })
 
   /** Register every function on an EXISTING session (temp-function

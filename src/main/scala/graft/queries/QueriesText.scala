@@ -1031,5 +1031,40 @@ private[graft] object QueriesText {
              |  CAST(new_tokens AS BIGINT) AS new_tokens,
              |  CAST((1000000 * new_types) // greatest(1, new_tokens) AS BIGINT) AS yield_fp
              |FROM del ORDER BY source, k""".stripMargin)),
+
+    Q("q204_blocklist_scan",
+      (s, dir) => {
+        // Multi-pattern blocklist scan via the Aho–Corasick expression
+        // (graft.functions.TextScanExpressions): ONE automaton pass per
+        // document finds every pattern — per-pattern contains() is
+        // O(text × patterns) and a plan node per pattern; the automaton
+        // is O(text + matches) with the whole list as one reference
+        // object. The pattern set mixes guaranteed-hit single tokens,
+        // multi-word phrases, an OVERLAPPING pair ("table value" /
+        // "value part" can fire on the same trigram), and a
+        // never-matching entry — the oracle replays each as a plain
+        // contains() join, so the hash match pins exact per-pattern
+        // contains semantics, overlaps included.
+        val pats = Seq("vector", "spark", "table value", "value part",
+          "customer stream", "zz-never-occurs")
+        tp(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextScanExpressions.multiMatchIds(
+              col("text"), pats).as("hit_ids"))
+          .filter(size(col("hit_ids")) > 0)
+          .select(col("doc_id"), size(col("hit_ids")).cast("long").as("n_hits"),
+            col("hit_ids"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p(pid, pat) AS (VALUES
+             |    (0, 'vector'), (1, 'spark'), (2, 'table value'),
+             |    (3, 'value part'), (4, 'customer stream'),
+             |    (5, 'zz-never-occurs')),
+             |hits AS (
+             |  SELECT d.doc_id, p.pid FROM documents d
+             |  JOIN p ON contains(d.text, p.pat))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+             |  list_sort(list(pid)) AS hit_ids
+             |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -106,6 +106,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2)
   }
 
+  test("multi_match_ids in SQL: plan identical to the DataFrame path") {
+    val pats = Seq("alpha", "bet", "ha be")
+    val patsSql = pats.map(p => s"'$p'").mkString("array(", ",", ")")
+    s.sql("SELECT * FROM VALUES (1, 'alpha beta'), (2, 'gamma') t(id, txt)")
+      .createOrReplaceTempView("tscan")
+    val sqlDf = s.sql(
+      s"SELECT id, multi_match_ids(txt, $patsSql) AS ids FROM tscan")
+    val dfDf = s.table("tscan").select(col("id"),
+      graft.functions.TextScanExpressions.multiMatchIds(col("txt"), pats)
+        .as("ids"))
+    assert(sqlDf.orderBy("id").collect().map(_.toString).toSeq
+      == dfDf.orderBy("id").collect().map(_.toString).toSeq)
+    assert(sqlDf.queryExecution.optimizedPlan
+      .sameResult(dfDf.queryExecution.optimizedPlan),
+      "SQL must resolve to the identical MultiPatternIds node")
+  }
+
   test("arity/literal misuse fails with a usage message, not a MatchError") {
     val ex = intercept[Exception] {
       s.sql("SELECT top_k_by_score(vec_id, 1.0, vec_id) FROM emb").collect()
