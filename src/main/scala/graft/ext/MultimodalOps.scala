@@ -169,6 +169,99 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** 64-bit difference hash (dHash) — the standard cheap perceptual
+    * fingerprint for image near-dup (Krawetz's dHash): box-average the
+    * luma onto a 9×8 grid, one bit per horizontal neighbor pair
+    * (left < right). All arithmetic is EXACT integers — luma is the
+    * ITU-R 601 weighted sum ×1000, cell means compare by
+    * cross-multiplied (sum, count) pairs, no division — so the hash is
+    * deterministic across JVMs and identical across lossless encodes
+    * of the same pixels (PNG and BMP of one image hash the same;
+    * spec-pinned). Huge images sample with [[decodeImage]]'s stride
+    * cap (O(1024²) work per image). None for null/undecodable. */
+  def dhashImage(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 1 || h < 1) return None
+      val stride = math.max(1, math.max(w, h) / 1024)
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val gy = (y * 8L / h).toInt
+        var x = 0
+        while (x < w) {
+          val gx = (x * 9L / w).toInt
+          val px = img.getRGB(x, y)
+          sums(gy)(gx) += 299L * ((px >> 16) & 0xff) +
+            587L * ((px >> 8) & 0xff) + 114L * (px & 0xff)
+          cnts(gy)(gx) += 1
+          x += stride
+        }
+        y += stride
+      }
+      // empty cells (w < 9, stride gaps) compare as 0·n < 0·m = false —
+      // still deterministic, never a throw
+      var bits = 0L
+      var gy = 0
+      var i = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (sums(gy)(gx) * cnts(gy)(gx + 1) <
+              sums(gy)(gx + 1) * cnts(gy)(gx)) bits |= (1L << i)
+          i += 1; gx += 1
+        }
+        gy += 1
+      }
+      Some(bits)
+    } catch { case _: Exception => None }
+  }
+
+  /** Row produced by the dHash stage. */
+  val imageDhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** dHash stage over the standard `mapPartitions` plumbing: image rows
+    * get their 64-bit perceptual fingerprint; non-image/undecodable
+    * rows keep a null dhash (auditable, never dropped silently). */
+  def imageDhashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(imageDhashSchema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val nBytes = if (payload == null) 0 else payload.length
+          val dh =
+            if (r.getAs[String]("kind") == "image") dhashImage(payload) else None
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
+            dh.map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc)
+  }
+
+  /** Perceptual image near-dup pairs: dHash per image, then EXACTLY the
+    * SimHash block machinery — the 64-bit fingerprint meets the
+    * `(doc_id, simhash)` contract, so the pigeonhole block join, the
+    * hamming verify, and the hot-bucket guard apply unchanged (one
+    * similarity engine, two signal sources). Returns
+    * (id_a, id_b, hamming, capped) over media ids. Requires
+    * maxHamming < bands for pigeonhole completeness. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBucketSize: Int = 64): DataFrame =
+    DedupOps.cappedSimhashPairsFromSignatures(
+      imageDhashes(spark, media)
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("dhash").as("simhash")),
+      maxHamming, bands, maxBucketSize)
+
   /** REAL image resize via headless `Graphics2D` (bilinear), re-encoded
     * as PNG. Executor-side only, one decode+render per row; returns None
     * for null/undecodable payloads. */

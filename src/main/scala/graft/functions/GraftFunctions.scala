@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *                                 k a literal
   *  - `multi_match_ids(s, ps)`   — Aho–Corasick multi-pattern scan; ps a
   *                                 foldable `array(string)` pattern list
+  *  - `mg_summary(item, k)`      — Misra–Gries frequent-items summary,
+  *                                 k a literal
   *
   * Register on a live session with [[register]], or for every session
   * via `spark.sql.extensions=graft.GraftExtensions` (which also
@@ -122,6 +124,11 @@ object GraftFunctions {
       case Seq(t, p) => TextScanExpressions.MultiPatternIds(
         cast(t, org.apache.spark.sql.types.StringType),
         stringsArg(p, "multi_match_ids", "text, patterns"))
+    },
+    fn("mg_summary", "item, k", "Misra-Gries frequent-items summary, k a literal") {
+      case Seq(item, k) => MisraGriesAgg(
+        cast(item, org.apache.spark.sql.types.StringType),
+        intArg(k, "mg_summary", "item, k"))
     })
 
   /** Register every function on an EXISTING session (temp-function

@@ -466,14 +466,37 @@ private[graft] object QueriesRelational {
         // that the output self-labels via err_bound (q126's `sampled`
         // convention). The exact-count arm exists for the oracle and
         // the true_n audit column — production reads the summary only.
+        // Top-40 is taken BEFORE the truth join: the sort keys
+        // (est desc, item asc) live entirely in the summary, and every
+        // reported item exists in the corpus (MG counts only real
+        // arrivals), so the join is 1:1 and limit-then-join ≡
+        // join-then-limit. The audit counts then run over a
+        // broadcast-semi-filtered gram stream — the corpus-gram-sized
+        // exchange the unrestricted truth arm paid (the ×100 sweep's
+        // heap-churn source) is gone; the summary pass is the only
+        // full-corpus aggregation left, which is the operator's point.
         val grams = tp(s, dir, "documents")
           .select(explode(TextOps.shingles(col("text"), 3)).as("gram"))
         val hh = SketchOps.heavyHitters(grams, col("gram"), k = 32768)
-        val tf = grams.groupBy("gram").agg(count(lit(1)).as("true_n"))
-        hh.join(tf, col("item") === col("gram"))
+        // the top-40 is MODEL-SIZED state (the IVF-centroid precedent):
+        // collect it once — the summary pass runs exactly once — and
+        // push the 40 grams down as a literal In predicate (InSet after
+        // OptimizeIn) on the audit count's scan. Isolated warm time is
+        // scan-dominated either way (two explode passes are intrinsic:
+        // the summary must see every gram, the audit re-reads the 40);
+        // what this buys is the corpus-gram-domain EXCHANGE the
+        // unrestricted truth arm paid — 70M aggregation-state rows at
+        // ×100 whose spill churned the shared-sweep heap (the q137
+        // eviction incident) now never exist.
+        val top = hh.orderBy(desc("est_n"), col("item")).limit(40)
+        val topRows = top.collect().toIndexedSeq
+        val topKeys = topRows.map(_.getString(0))
+        val tf = grams.filter(col("gram").isin(topKeys: _*))
+          .groupBy("gram").agg(count(lit(1)).as("true_n"))
+        s.createDataFrame(s.sparkContext.parallelize(topRows, 1), top.schema)
+          .join(tf, col("item") === col("gram"))
           .select(col("gram"), col("est_n"), col("true_n"), col("err_bound"))
           .orderBy(desc("est_n"), col("gram"))
-          .limit(40)
       },
       Some("""WITH t AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

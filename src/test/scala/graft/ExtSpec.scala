@@ -379,6 +379,52 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L).getInt(2) == 16) // byte count still reported
   }
 
+  test("multimodal: dHash is pixel-deterministic and drives perceptual near-dup pairs") {
+    import org.apache.spark.sql.Row
+    // deterministic 90x80 grayscale gradients rendered in-test; the
+    // dHash contract under test: identical pixels hash identically
+    // across container formats, global brightness scaling is invariant
+    // (gradient DIRECTION is the signal), and a one-row direction flip
+    // moves exactly that row's 8 bits
+    def render(fmt: String, dim: Double, flipRow: Int, reverse: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(90, 80,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 80; x <- 0 until 90) {
+        val base = x * 255 / 89
+        val v0 = if (reverse || y * 8 / 80 == flipRow) 255 - base else base
+        val v = (v0 * dim).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val basePng = render("png", 1.0, -1, reverse = false)
+    val baseBmp = render("bmp", 1.0, -1, reverse = false)
+    assert(MultimodalOps.dhashImage(basePng).get ==
+      MultimodalOps.dhashImage(baseBmp).get,
+      "same pixels must hash identically across lossless containers")
+
+    val mediaRows = java.util.Arrays.asList(
+      Row(1L, "image", basePng, null),
+      Row(2L, "image", render("png", 0.6, -1, reverse = false), null), // dimmed
+      Row(3L, "image", render("png", 1.0, 3, reverse = false), null),  // one row flipped
+      Row(4L, "image", render("png", 1.0, -1, reverse = true), null),  // reversed
+      Row(5L, "image", Array.fill[Byte](16)(42), null))                // undecodable
+    val media = spark.createDataFrame(mediaRows, MultimodalOps.mediaSchema)
+
+    val hashes = MultimodalOps.imageDhashes(spark, media)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(hashes(5L).isEmpty, "garbage bytes -> null dhash, row kept")
+    assert(hashes(1L) == hashes(2L), "global brightness scaling is invariant")
+
+    val pairs = MultimodalOps.imageNearDupPairs(spark, media,
+        maxHamming = 10, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(pairs.toSeq == Seq((1L, 2L, 0), (1L, 3L, 8), (2L, 3L, 8)),
+      "copy at hamming 0, row-flip at hamming 8, reversed image excluded")
+  }
+
   test("multimodal: COMPRESSED formats (JPEG, TIFF) decode for real on this JDK") {
     import org.apache.spark.sql.Row
     // Round-9 verdicts carried "compressed-media decode blocked on

@@ -123,6 +123,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SQL must resolve to the identical MultiPatternIds node")
   }
 
+  test("mg_summary in SQL: exact-regime summary equals the Column API") {
+    val viaSql = s.sql(
+      """SELECT mg_summary(CAST(vec_id % 7 AS STRING), 32) AS mg
+        |FROM emb""".stripMargin).collect().head.toString
+    val viaCol = s.table("emb")
+      .agg(graft.functions.FreqSketch.mgSummary(
+        col("vec_id") % 7, 32).as("mg")).collect().head.toString
+    assert(viaSql == viaCol)
+    assert(viaSql.contains("[0,")) // err_bound 0: the 7-item domain fits k=32
+  }
+
   test("arity/literal misuse fails with a usage message, not a MatchError") {
     val ex = intercept[Exception] {
       s.sql("SELECT top_k_by_score(vec_id, 1.0, vec_id) FROM emb").collect()
