@@ -185,10 +185,14 @@ object StreamRehearsalOps {
       // zipf-ish: a few persistent heavy items per key + a tail of
       // NEVER-REPEATING items — the tracked item domain grows by
       // rows/2 distinct strings every batch while the MG buffer stays
-      // k-capped, which is the whole claim
+      // k-capped, which is the whole claim. Key derives from i/2 so
+      // heavy and tail rows land on the SAME keys (keys=100 is even —
+      // keying on i%keys would make i%2 equal key parity and give
+      // every key a pure diet, never exercising MG retention under
+      // tail churn inside one buffer)
       val batch = (0L until rows).map { i =>
-        val key = s"k${i % keys}"
-        if (i % 2 == 0) (key, s"heavy${i % 16}") else (key, s"tail-$b-$i")
+        val key = s"k${(i / 2) % keys}"
+        if (i % 2 == 0) (key, s"heavy${(i / 2) % 16}") else (key, s"tail-$b-$i")
       }
       val t0 = System.nanoTime()
       ms.addData(batch)

@@ -288,20 +288,24 @@ object FrameMaintenance {
         oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
         "doc_id")
       .filter(col("change") =!= "unchanged")
-    val oldRegs = FrameStore.getOrBuild(s, oldDir, key)(
-      SketchOps.hllRegisters(
-        items(oldDocs.select("doc_id", "text")), col("item"), b, salt))
     val hasRemoval = !changes
       .filter(col("change").isin("delete", "update")).isEmpty
+    // the old frame is read (building it only if never published) on
+    // the merge arm ONLY — the rebuild arm must not pay a full
+    // old-corpus register pass just to discard it
     val rolled =
       if (hasRemoval)
         SketchOps.hllRegisters(
           items(newDocs.select("doc_id", "text")), col("item"), b, salt)
-      else
+      else {
+        val oldRegs = FrameStore.getOrBuild(s, oldDir, key)(
+          SketchOps.hllRegisters(
+            items(oldDocs.select("doc_id", "text")), col("item"), b, salt))
         SketchOps.hllMerge(oldRegs, SketchOps.hllRegisters(
           items(changes.filter(col("change") === "insert")
             .select(col("doc_id"), col("new.text").as("text"))),
           col("item"), b, salt))
+      }
     FrameStore.getOrBuild(s, newDir, key)(rolled)
   }
 

@@ -89,9 +89,13 @@ object RawReaders {
       .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> corruptCol)).as("r"))
-    val clean = parsed.filter(col(s"r.$corruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"r.$f").as(f)).toIndexedSeq: _*)
-    val quarantine = parsed.filter(col(s"r.$corruptCol").isNotNull)
+    // getField, not col("r.name"): field names are taken LITERALLY, so
+    // JSON keys containing dots (common in the wild) resolve correctly
+    // instead of being parsed as nested paths
+    val corrupt = col("r").getField(corruptCol)
+    val clean = parsed.filter(corrupt.isNull)
+      .select(schema.fieldNames.map(f => col("r").getField(f).as(f)).toIndexedSeq: _*)
+    val quarantine = parsed.filter(corrupt.isNotNull)
       .select(col("value").as("raw_line"))
     (clean, quarantine)
   }

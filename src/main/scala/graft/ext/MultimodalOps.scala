@@ -119,11 +119,19 @@ object MultimodalOps {
     * (width, height, [meanR, meanG, meanB]) or None for null/undecodable
     * payloads. Executor-side only; one decode per row inside a
     * `mapPartitions` batch. */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  /** Shared decode preamble for every image stage (mean features,
+    * dHash, resize): null/empty guard, ImageIO decode, undecodable →
+    * None — ONE place for a future decode-hardening change. */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) return None
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .filter(img => img.getWidth >= 1 && img.getHeight >= 1)
+    } catch { case _: Exception => None }
+  }
+
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    try readImage(payload).map { img =>
       val (w, h) = (img.getWidth, img.getHeight)
       // channel means via a coarse stride so huge images stay O(1024²)
       val stride = math.max(1, math.max(w, h) / 1024)
@@ -138,8 +146,8 @@ object MultimodalOps {
         }
         y += stride
       }
-      Some((w, h, Array((r.toDouble / n / 255.0).toFloat,
-        (g.toDouble / n / 255.0).toFloat, (b.toDouble / n / 255.0).toFloat)))
+      (w, h, Array((r.toDouble / n / 255.0).toFloat,
+        (g.toDouble / n / 255.0).toFloat, (b.toDouble / n / 255.0).toFloat))
     } catch { case _: Exception => None }
   }
 
@@ -180,12 +188,8 @@ object MultimodalOps {
     * spec-pinned). Huge images sample with [[decodeImage]]'s stride
     * cap (O(1024²) work per image). None for null/undecodable. */
   def dhashImage(payload: Array[Byte]): Option[Long] = {
-    if (payload == null || payload.isEmpty) return None
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) return None
+    try readImage(payload).map { img =>
       val (w, h) = (img.getWidth, img.getHeight)
-      if (w < 1 || h < 1) return None
       val stride = math.max(1, math.max(w, h) / 1024)
       val sums = Array.ofDim[Long](8, 9)
       val cnts = Array.ofDim[Long](8, 9)
@@ -217,7 +221,7 @@ object MultimodalOps {
         }
         gy += 1
       }
-      Some(bits)
+      bits
     } catch { case _: Exception => None }
   }
 
@@ -266,10 +270,8 @@ object MultimodalOps {
     * as PNG. Executor-side only, one decode+render per row; returns None
     * for null/undecodable payloads. */
   def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
-    if (payload == null || payload.isEmpty || targetW <= 0 || targetH <= 0) return None
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) return None
+    if (targetW <= 0 || targetH <= 0) return None
+    try readImage(payload).map { img =>
       val out = new java.awt.image.BufferedImage(
         targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
@@ -280,7 +282,7 @@ object MultimodalOps {
       } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
-      Some(bos.toByteArray)
+      bos.toByteArray
     } catch { case _: Exception => None }
   }
 

@@ -72,7 +72,11 @@ object GraftFunctions {
     val cast = Cast(e, ArrayType(org.apache.spark.sql.types.StringType), Some("UTC"))
     cast.eval() match {
       case arr: ArrayData =>
-        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString).toVector
+        (0 until arr.numElements()).map { i =>
+          val s = arr.getUTF8String(i)
+          if (s == null) usage(name, sig) // null pattern → usage, not an NPE
+          s.toString
+        }.toVector
       case _ => usage(name, sig)
     }
   }

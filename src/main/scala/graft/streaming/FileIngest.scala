@@ -59,12 +59,19 @@ object FileIngest {
     val in = spark.readStream.text(inDir)
     in.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (clean, bad) = graft.etl.RawReaders.parseJsonl(batch, schema)
-        if (!bad.isEmpty)
-          bad.write.mode("append").text(quarantineDir)
-        val out = transform(clean)
-        if (!out.isEmpty)
-          out.write.mode("append").option("compression", "snappy").parquet(outDir)
+        // persisted for the 4 actions below (two emptiness probes + two
+        // writes): the raw lines read from disk ONCE per micro-batch;
+        // re-parsing cached text per action is cheap, re-reading N
+        // JSONL files four times is not
+        val cached = batch.persist()
+        try {
+          val (clean, bad) = graft.etl.RawReaders.parseJsonl(cached, schema)
+          if (!bad.isEmpty)
+            bad.write.mode("append").text(quarantineDir)
+          val out = transform(clean)
+          if (!out.isEmpty)
+            out.write.mode("append").option("compression", "snappy").parquet(outDir)
+        } finally cached.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

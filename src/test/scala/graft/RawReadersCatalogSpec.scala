@@ -68,6 +68,18 @@ class RawReadersCatalogSpec extends AnyFunSuite {
     assert(back.length == 2)
   }
 
+  test("jsonl quarantine: field names containing dots resolve literally") {
+    val dir = Files.createTempDirectory("graft_jsonl_dot")
+    Files.write(dir.resolve("x.jsonl"),
+      ("""{"user.name":"ada","b":1}""" + "\n").getBytes("UTF-8"))
+    val dotted = StructType(Seq(
+      StructField("user.name", StringType), StructField("b", LongType)))
+    val (clean, quar) = RawReaders.jsonlQuarantined(spark, dir.toString, dotted)
+    assert(quar.count() == 0)
+    val row = clean.collect().head
+    assert(row.getString(0) == "ada" && row.getLong(1) == 1L)
+  }
+
   test("jsonl quarantine: reserved corrupt column rejected in user schema") {
     val dir = Files.createTempDirectory("graft_jsonl_res")
     intercept[IllegalArgumentException] {

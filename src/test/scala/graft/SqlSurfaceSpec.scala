@@ -139,5 +139,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s.sql("SELECT top_k_by_score(vec_id, 1.0, vec_id) FROM emb").collect()
     }
     assert(ex.getMessage.contains("usage: top_k_by_score"))
+    val ex2 = intercept[Exception] {
+      s.sql("SELECT multi_match_ids('t', array('a', CAST(NULL AS STRING))) ").collect()
+    }
+    assert(ex2.getMessage.contains("usage: multi_match_ids"),
+      "a null pattern element must report usage, not NPE")
   }
 }
