@@ -50,6 +50,24 @@ class TextScanSpec extends AnyFunSuite {
     }
   }
 
+  test("automaton at blocklist scale: 2000 patterns, still brute-force-equal") {
+    // deterministic LCG pattern list over a tight alphabet so shared
+    // prefixes/suffixes (the failure-link paths) are dense
+    var x = 99L
+    def nxt(n: Int): Int = { x = x * 6364136223846793005L + 1442695040888963407L; ((x >>> 33) % n).toInt }
+    val alpha = "abcd"
+    val pats = (0 until 2000).map { _ =>
+      val len = 1 + nxt(6)
+      (0 until len).map(_ => alpha(nxt(4))).mkString
+    }.distinct
+    val ac = AcAutomaton.build(pats)
+    (0 until 50).foreach { _ =>
+      val t = (0 until 60).map(_ => alpha(nxt(4))).mkString
+      assert(ac.matchedIds(t.getBytes("UTF-8")).toSeq == brute(t, pats),
+        s"mismatch on '$t'")
+    }
+  }
+
   test("DataFrame path (codegen) matches the raw automaton") {
     val pats = Seq("alpha", "beta", "alp", "ha be")
     val df = Seq((1L, "alpha beta"), (2L, "the alp"), (3L, "nothing"),
