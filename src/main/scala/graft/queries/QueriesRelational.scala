@@ -511,6 +511,49 @@ private[graft] object QueriesRelational {
              |  CAST(0 AS BIGINT) AS err_bound
              |FROM tf ORDER BY est_n DESC, gram LIMIT 40""".stripMargin)),
 
+    Q("q205_grouped_heavy_hitters",
+      (s, dir) => {
+        // Frequent items PER GROUP: the Misra–Gries aggregate run as a
+        // grouped aggregation — the 100 TB shape for "top terms per
+        // domain/language". State is k counters PER GROUP through the
+        // map-side partials; the exact form's (group × term) exchange
+        // never exists. This vocabulary fits k everywhere (err_bound
+        // 0, order-independent), so the oracle hash-gates the grouped
+        // partial-merge path end to end; top-5 per group is a window
+        // over the summary's ≤ k reported rows, not over the corpus.
+        val toks = tp(s, dir, "documents")
+          .select(col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+        val mg = toks.groupBy("lang")
+          .agg(graft.functions.FreqSketch.mgSummary(col("term"), 4096).as("mg"))
+          .select(col("lang"), col("mg.err_bound").as("err_bound"),
+            explode(col("mg.items")).as("e"))
+          .select(col("lang"), col("e.item").as("term"),
+            col("e.est").as("est_n"), col("err_bound"))
+        val w = Window.partitionBy("lang").orderBy(desc("est_n"), col("term"))
+        mg.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn").cast("long").as("rn"), col("term"),
+            col("est_n"), col("err_bound"))
+          .orderBy("lang", "rn")
+      },
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (
+             |  SELECT lang, term, CAST(count(*) AS BIGINT) AS est_n
+             |  FROM t WHERE term <> '' GROUP BY 1, 2),
+             |r AS (
+             |  SELECT lang, term, est_n,
+             |    row_number() OVER (PARTITION BY lang
+             |                       ORDER BY est_n DESC, term) AS rn
+             |  FROM tf)
+             |SELECT lang, CAST(rn AS BIGINT) AS rn, term, est_n,
+             |  CAST(0 AS BIGINT) AS err_bound
+             |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
     Q("q202_jsonl_roundtrip",
       (s, dir) => {
         // JSONL ingestion, hash-gated end-to-end: the corpus writes out
