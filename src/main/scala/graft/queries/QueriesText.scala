@@ -1053,7 +1053,12 @@ private[graft] object QueriesText {
               col("text"), pats).as("hit_ids"))
           .filter(size(col("hit_ids")) > 0)
           .select(col("doc_id"), size(col("hit_ids")).cast("long").as("n_hits"),
-            col("hit_ids"))
+            // Serialize the (already ascending-distinct) id list to a
+            // canonical CSV string: the driver's pandas gate cannot
+            // hash/sort a bare array column, and a scalar column makes
+            // the row hashable on both engines.
+            array_join(transform(col("hit_ids"), _.cast("string")), ",")
+              .as("hit_ids"))
           .orderBy("doc_id")
       },
       Some("""WITH p(pid, pat) AS (VALUES
@@ -1064,7 +1069,7 @@ private[graft] object QueriesText {
              |  SELECT d.doc_id, p.pid FROM documents d
              |  JOIN p ON contains(d.text, p.pat))
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-             |  list_sort(list(pid)) AS hit_ids
+             |  array_to_string(list_sort(list(pid)), ',') AS hit_ids
              |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }
