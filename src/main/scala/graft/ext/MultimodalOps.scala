@@ -225,6 +225,53 @@ object MultimodalOps {
     } catch { case _: Exception => None }
   }
 
+  /** Render a 9×8 black/white BMP whose pixel (y, x) is bit
+    * ((y·9 + x) mod 64) of `bits` — white for 1, black for 0. Gate
+    * fixture for the image near-dup pipeline: with exactly one pixel
+    * per dHash grid cell (and stride 1 at this size), the perceptual
+    * hash of the ENCODED image is analytically predictable — dHash bit
+    * i (row gy, col gx) is set iff pixel bit ((gy·9+gx) mod 64) <
+    * pixel bit ((gy·9+gx+1) mod 64) — so a relational oracle with no
+    * image codec can replay decode → dHash → block join end to end
+    * (the q199 replay pattern applied to the image arm). */
+  def renderPatternImage(bits: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val on = ((bits >>> ((y * 9 + x) % 64)) & 1L) == 1L
+        img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** [[renderPatternImage]] over a `(media_id, bits)` frame, emitting
+    * the `(media_id, kind, payload)` shape [[imageDhashes]] consumes —
+    * executor-side encode, same `mapPartitions` plumbing as the real
+    * decode stages. */
+  def renderPatternImages(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc: Encoder[Row] = Encoders.row(schema)
+    df.select(col("media_id").cast(LongType), col("bits").cast(LongType))
+      .mapPartitions { rows =>
+        // schema-ful rows: a downstream mapPartitions fused into the
+        // same stage receives these objects directly (Spark elides the
+        // serialize/deserialize pair) and reads fields BY NAME
+        rows.map(r => new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](r.getLong(0), "image", renderPatternImage(r.getLong(1))), schema): Row)
+      }(enc)
+  }
+
   /** Row produced by the dHash stage. */
   val imageDhashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

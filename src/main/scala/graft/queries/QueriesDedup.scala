@@ -2007,5 +2007,111 @@ private[graft] object QueriesDedup {
                     |  SELECT doc_id + 1000000, text FROM documents
                     |  WHERE doc_id % 11 = 3),
                     |""".stripMargin))),
+
+    Q("q206_image_neardup_gate",
+      (s, dir) => {
+        // The image near-dup pipeline driver-gated END TO END: real BMP
+        // bytes are rendered per doc (9×8 pattern images whose pixels
+        // are the bits of a portable md5-derived 64-bit value), decoded
+        // and dHashed by the REAL executor-side codec path
+        // (MultimodalOps.imageDhashes), then paired by the REAL
+        // SimHash block join + hamming verify + hot-bucket guard
+        // (imageNearDupPairs). doc_id%9 picks one of 9 class patterns
+        // (oversized duplicate classes at gate scale → both guard arms
+        // fire at cap 8); docs with doc_id%4=1 in classes 0–5 get ONE
+        // pattern bit flipped (≤4 dHash bits — near-dups that exercise
+        // the hamming verify; classes 6–8 stay pure → star arm). The
+        // oracle replays pixel → dHash analytically (one pixel per
+        // grid cell makes the hash closed-form) and the guard
+        // relationally — a hash mismatch catches a defect anywhere in
+        // encode, ImageIO decode, luma/grid arithmetic, banding, or
+        // the guard. Pigeonhole completeness: maxHamming 6 < bands 8.
+        val media = MultimodalOps.renderPatternImages(
+          tp(s, dir, "documents")
+            .select(col("doc_id").as("media_id"),
+              PortableHash.prefix64(
+                concat(lit("imgcls:"),
+                  pmod(col("doc_id"), lit(9)).cast("string"))).as("bits0"))
+            .withColumn("bits", expr(
+              """CASE WHEN media_id % 4 = 1 AND media_id % 9 < 6
+                |THEN bits0 ^ shiftleft(cast(1 as bigint),
+                |                       cast(media_id % 64 as int))
+                |ELSE bits0 END""".stripMargin)))
+        MultimodalOps.imageNearDupPairs(s, media, maxHamming = 6,
+            bands = 8, maxBucketSize = 8)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast(LongType).as("hamming"),
+            col("capped").cast(IntegerType).as("capped"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d0 AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('imgcls:' || CAST(doc_id % 9 AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             |    ('0x' || substr(md5('imgcls:' || CAST(doc_id % 9 AS VARCHAR)), 9, 8))::BIGINT AS h2,
+             |    (doc_id % 4 = 1 AND doc_id % 9 < 6) AS flip,
+             |    doc_id % 64 AS p
+             |  FROM documents),
+             |hp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN flip AND p >= 32 THEN xor(h1, (1::BIGINT << (p - 32)))
+             |         ELSE h1 END AS h1,
+             |    CASE WHEN flip AND p < 32 THEN xor(h2, (1::BIGINT << p))
+             |         ELSE h2 END AS h2
+             |  FROM d0),
+             |dh AS MATERIALIZED (
+             |  SELECT doc_id, ${imageDhashHalfSql(1)} AS d1,
+             |    ${imageDhashHalfSql(0)} AS d2 FROM hp),
+             |bk AS (
+             |  SELECT doc_id, d1, d2, band,
+             |    CASE WHEN band < 4 THEN (d2 >> (band * 8)) & 255
+             |         ELSE (d1 >> ((band - 4) * 8)) & 255 END AS block
+             |  FROM dh, (SELECT unnest(generate_series(0, 7)) AS band) b),
+             |ann AS MATERIALIZED (
+             |  SELECT doc_id, d1, d2, band, block,
+             |    count(*) OVER w AS occ,
+             |    row_number() OVER (PARTITION BY band, block ORDER BY doc_id) AS rn,
+             |    min(doc_id) OVER w AS rep,
+             |    (min(d1) OVER w = max(d1) OVER w
+             |     AND min(d2) OVER w = max(d2) OVER w) AS pure
+             |  FROM bk WINDOW w AS (PARTITION BY band, block)),
+             |star AS (
+             |  SELECT rep AS id_a, doc_id AS id_b, 0 AS ham, 0 AS capped
+             |  FROM ann WHERE occ > 8 AND pure AND doc_id <> rep),
+             |jn AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    bit_count(xor(a.d1, b.d1)) + bit_count(xor(a.d2, b.d2)) AS ham,
+             |    CASE WHEN a.occ > 8 THEN 1 ELSE 0 END AS capped
+             |  FROM ann a JOIN ann b
+             |    ON a.band = b.band AND a.block = b.block AND a.doc_id < b.doc_id
+             |  WHERE (a.occ <= 8 OR (NOT a.pure AND a.rn <= 8))
+             |    AND (b.occ <= 8 OR (NOT b.pure AND b.rn <= 8))
+             |    AND bit_count(xor(a.d1, b.d1)) + bit_count(xor(a.d2, b.d2)) <= 6),
+             |pr AS (
+             |  SELECT id_a, id_b, min(ham) AS ham, min(capped) AS capped
+             |  FROM (SELECT * FROM star UNION ALL SELECT * FROM jn)
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming,
+             |  CAST(capped AS INT) AS capped
+             |FROM pr ORDER BY id_a, id_b""".stripMargin)),
   )
+
+  /** DuckDB SQL for one 32-bit half of the analytic dHash of a
+    * [[MultimodalOps.renderPatternImage]] image whose 64 pattern bits
+    * live in columns `h1` (bits 63..32) and `h2` (bits 31..0): dHash
+    * bit i (gy = i/8, gx = i%8) is set iff pattern bit ((gy·9+gx) mod
+    * 64) < pattern bit ((gy·9+gx+1) mod 64). `half` 0 → bits 0..31,
+    * 1 → bits 32..63, each emitted as a sum of disjoint powers of two
+    * (< 2³² — no BIGINT overflow in either engine). */
+  private def imageDhashHalfSql(half: Int): String = {
+    def pix(q: Int): String = {
+      val m = q % 64
+      if (m < 32) s"((h2 >> $m) & 1)" else s"((h1 >> ${m - 32}) & 1)"
+    }
+    (0 until 32).map { j =>
+      val i = half * 32 + j
+      val gy = i / 8
+      val gx = i % 8
+      s"(CASE WHEN ${pix(gy * 9 + gx)} < ${pix(gy * 9 + gx + 1)} THEN ${1L << j}::BIGINT ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
 }

@@ -425,6 +425,39 @@ class ExtSpec extends AnyFunSuite {
       "copy at hamming 0, row-flip at hamming 8, reversed image excluded")
   }
 
+  test("multimodal: pattern-image render -> REAL decode+dHash equals the closed form") {
+    // The q206 gate contract: a 9x8 pattern image has one pixel per
+    // dHash grid cell, so the hash of the ENCODED bytes is analytically
+    // predictable — dHash bit i (gy=i/8, gx=i%8) is set iff pattern bit
+    // ((gy*9+gx) mod 64) < pattern bit ((gy*9+gx+1) mod 64). Pinning
+    // the identity here means the driver oracle's relational replay and
+    // the executor-side codec path can only agree by both being right.
+    def analytic(bits: Long): Long = {
+      def pix(q: Int): Int = ((bits >>> (q % 64)) & 1L).toInt
+      (0 until 64).foldLeft(0L) { (d, i) =>
+        val gy = i / 8; val gx = i % 8
+        if (pix(gy * 9 + gx) < pix(gy * 9 + gx + 1)) d | (1L << i) else d
+      }
+    }
+    val rnd = new scala.util.Random(13L)
+    val patterns = Seq(0L, -1L, 0x5555555555555555L, Long.MinValue, 1L) ++
+      Seq.fill(40)(rnd.nextLong())
+    for (b <- patterns) {
+      val viaCodec = MultimodalOps.dhashImage(MultimodalOps.renderPatternImage(b))
+      assert(viaCodec.contains(analytic(b)),
+        s"pattern $b: codec ${viaCodec} != analytic ${analytic(b)}")
+    }
+    // frame plumbing: renderPatternImages feeds imageDhashes by name
+    import spark.implicits._
+    val rendered = MultimodalOps.renderPatternImages(
+      patterns.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("media_id", "bits"))
+    val hashed = MultimodalOps.imageDhashes(spark, rendered)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for ((b, i) <- patterns.zipWithIndex)
+      assert(hashed(i.toLong) == analytic(b))
+  }
+
   test("multimodal: COMPRESSED formats (JPEG, TIFF) decode for real on this JDK") {
     import org.apache.spark.sql.Row
     // Round-9 verdicts carried "compressed-media decode blocked on
