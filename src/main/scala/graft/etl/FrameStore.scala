@@ -93,8 +93,28 @@ object FrameStore {
   private[graft] def frameDir(root: String, dir: String, key: String): HPath =
     new HPath(corpusDir(root, dir), key.replaceAll("[^A-Za-z0-9._-]", "_"))
 
-  private def fileSystemFor(s: SparkSession, root: String): FileSystem =
-    new HPath(root).getFileSystem(s.sessionState.newHadoopConf())
+  /** Resolve the Hadoop FileSystem for `root`.
+    *
+    * S3A contract of the marker commit: `fs.create(marker,
+    * overwrite=false)` is atomic on HDFS and local filesystems; on
+    * S3A it is atomic ONLY with conditional writes (Hadoop ≥ 3.4's
+    * `fs.s3a.create.conditional`, an S3 If-None-Match PUT) — we set
+    * that flag here so clusters that support it get the atomic commit
+    * for free. Without it S3A degrades to check-then-PUT, so two
+    * concurrent publishers can transiently BOTH "win" the marker. The
+    * degradation is benign, not corrupting, and is spec-pinned
+    * (FrameStoreSpec "S3A degradation"): every reader re-resolves the
+    * marker on every call, a second winner's overwrite just redirects
+    * readers to its (complete, immutable) data dir, and the worst
+    * interleaving — a stale post-commit sweep deleting the dir the
+    * final marker names — self-heals because a marker naming no
+    * complete data dir reads as unpublished and the next caller
+    * rebuilds. No wedge, no wrong rows; the cost is one rebuild. */
+  private def fileSystemFor(s: SparkSession, root: String): FileSystem = {
+    val conf = s.sessionState.newHadoopConf()
+    conf.setIfUnset("fs.s3a.create.conditional", "true")
+    new HPath(root).getFileSystem(conf)
+  }
 
   private def readSmallFile(fs: FileSystem, p: HPath): String = {
     val in = fs.open(p)

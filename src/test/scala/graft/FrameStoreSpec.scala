@@ -138,6 +138,67 @@ class FrameStoreSpec extends AnyFunSuite {
     assert(back.orderBy("x").collect().map(_.toString).toSeq == results(0))
   }
 
+  test("S3A degradation: a double-win marker overwrite converges; a marker naming a swept dir self-heals") {
+    // On S3A without conditional writes, create-if-absent is
+    // check-then-PUT: two publishers can transiently BOTH "win" the
+    // marker. This pins the documented saving properties on a real
+    // store: (1) readers re-resolve the marker every call, so a second
+    // winner's overwrite just redirects them to its complete data dir
+    // — no rebuild, no wrong rows; (2) the worst interleaving — a
+    // stale post-commit sweep deleted the dir the final marker names —
+    // self-heals to a rebuild, never a wedge.
+    val root = Files.createTempDirectory("framestore").toString
+    val s = storedSession(root)
+    FrameStore.getOrBuild(s, sfDir, "s3akey")(s.range(3).toDF("x"))
+    val fd = Paths.get(FrameStore.frameDir(root, sfDir, "s3akey").toString)
+
+    // publisher B "wins" AFTER A's commit: stages its own complete
+    // data dir, then force-overwrites the marker (the S3A PUT)
+    val bDir = fd.resolve("data-s3aracewin")
+    val bDf = s.range(100, 104).toDF("x")
+    bDf.write.mode("overwrite").parquet(bDir.toString)
+    Files.write(bDir.resolve("_graft_schema.json"),
+      bDf.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the overwrite goes through the Hadoop FS API (as B's PUT would),
+    // which also maintains LocalFileSystem's checksum sidecar
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val mOut = hfs.create(
+      new org.apache.hadoop.fs.Path(fd.resolve("_GRAFT_COMMIT").toString), true)
+    try mOut.write("data-s3aracewin".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mOut.close()
+
+    val afterOverwrite = FrameStore.getOrBuild(storedSession(root), sfDir, "s3akey")(
+      fail("a reader after a double-win must NOT rebuild"): org.apache.spark.sql.DataFrame)
+    assert(afterOverwrite.collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 101L, 102L, 103L),
+      "readers must follow the overwritten marker to the second winner's frame")
+
+    // worst case: A's stale sweep deleted the dir B's marker names
+    def rmTree(p: java.nio.file.Path): Unit = {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+    rmTree(bDir)
+    assert(FrameStore.publishedKeys(storedSession(root), sfDir).isEmpty,
+      "a marker naming an absent data dir must read as unpublished")
+    val builds = new AtomicInteger(0)
+    val s4 = storedSession(root)
+    val healed = FrameStore.getOrBuild(s4, sfDir, "s3akey") {
+      builds.incrementAndGet()
+      s4.range(7).toDF("x")
+    }
+    assert(builds.get() == 1, "self-heal is one rebuild, not a wedge")
+    assert(healed.count() == 7)
+    // converged: one surviving data dir; later readers answer off disk
+    val dataDirs = Files.list(fd).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("data-")).toSeq
+    assert(dataDirs.size == 1, s"sweep must reclaim every loser: $dataDirs")
+    val back = FrameStore.getOrBuild(storedSession(root), sfDir, "s3akey")(
+      fail("must not rebuild"): org.apache.spark.sql.DataFrame)
+    assert(back.count() == 7)
+  }
+
   test("a file:// Hadoop-FS URI root behaves identically to a bare local path") {
     val local = Files.createTempDirectory("framestore")
     val root = "file://" + local.toString
