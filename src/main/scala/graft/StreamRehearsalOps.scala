@@ -169,6 +169,46 @@ object StreamRehearsalOps {
     PathRun(times, state, "stateless: flat batch time as output dir grows")
   }
 
+  private def runBlocklist(spark: SparkSession, n: Int, rows: Long): PathRun = {
+    // The ingest-time Aho–Corasick blocklist stage
+    // (StreamingPrep.tagBlocklist): stateless, so the rehearsal claim
+    // is THROUGHPUT INDEPENDENCE FROM BLOCKLIST SIZE — the pattern set
+    // cycles 10 → 10k across batches; a flat batch-time series IS the
+    // O(text + matches) claim (per-pattern contains() would be 1000×
+    // slower at the top size). A few hex bigrams guarantee real match
+    // emission; the bulk of each set ('blk<i>x') can never match the
+    // [0-9a-f] token text.
+    def mkPatterns(m: Int): Seq[String] =
+      Seq("aa", "bb", "cc", "dd") ++ (0 until m - 4).map(i => s"blk${i}x")
+    val sizes = Array(10, 100, 1000, 10000)
+    val patternSets = sizes.map(m => m -> mkPatterns(m)).toMap
+    val times = Array.ofDim[Double](n)
+    val state = Array.ofDim[Long](n)
+    val hitCounts = Array.ofDim[Long](n)
+    (0 until n).foreach { b =>
+      val m = sizes(b % sizes.length)
+      val batch = StreamRehearsal.makeBatch(spark, b, rows).persist()
+      batch.count()
+      val t0 = System.nanoTime()
+      hitCounts(b) = graft.streaming.StreamingPrep
+        .tagBlocklist(batch, patternSets(m))
+        .agg(sum(size(col("blocklist_ids")))).head().getLong(0)
+      times(b) = (System.nanoTime() - t0) / 1e9
+      batch.unpersist()
+      state(b) = 0L // stateless by design — that IS the claim
+      System.err.println(
+        f"[blk] batch $b%02d patterns=$m%5d ${times(b)}%.2fs hits=${hitCounts(b)}")
+    }
+    val bySize = (0 until n).groupBy(b => sizes(b % sizes.length))
+      .toSeq.sortBy(_._1)
+      .map { case (m, bs) =>
+        f"$m=${bs.map(times).sum / bs.size}%.2fs" }
+      .mkString(" ")
+    assert(hitCounts.forall(_ > 0), "match emission must be exercised")
+    PathRun(times, state,
+      s"stateless; pattern set cycles 10->10k per batch; mean sec by size: $bySize")
+  }
+
   private def runHeavyHitters(spark: SparkSession, n: Int, rows: Long): PathRun = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -231,7 +271,8 @@ object StreamRehearsalOps {
       "cardinality" -> runCardinality(spark, n, rows),
       "sessions" -> runSessions(spark, n, rows),
       "contamination" -> runContamination(spark, n, rows),
-      "heavy_hitters" -> runHeavyHitters(spark, n, rows))
+      "heavy_hitters" -> runHeavyHitters(spark, n, rows),
+      "blocklist" -> runBlocklist(spark, n, rows))
 
     val paths = runs.map { case (name, r) =>
       val (head, tail, ratio) = flat(r.times)

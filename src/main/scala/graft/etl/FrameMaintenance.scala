@@ -205,6 +205,15 @@ object FrameMaintenance {
       : Seq[(String, DataFrame)] = {
     val model = graft.ext.SimilarityOps.ivfFitCached(oldDir, oldVecs,
       nlist, iters)
+    publishIvf(s, newDir, nlist, iters, model.centroids,
+      rolledIvfAssignment(model, oldVecs, newVecs))
+  }
+
+  /** The frozen-centroid roll alone (no publish): removed/updated rows
+    * leave by one anti-join, only touched vectors re-run the argmax. */
+  private def rolledIvfAssignment(model: graft.ext.SimilarityOps.IvfModel,
+                                  oldVecs: DataFrame,
+                                  newVecs: DataFrame): DataFrame = {
     val changes = ChangeCapture.diff(
         oldVecs.select("cid", "cvec"), newVecs.select("cid", "cvec"), "cid")
       .filter(col("change") =!= "unchanged")
@@ -212,21 +221,74 @@ object FrameMaintenance {
       .select("cid")
     val touched = changes.filter(col("change").isin("insert", "update"))
       .select(col("cid"), col("new.cvec").as("cvec"))
-    val assignedNew = model.assigned.join(gone, Seq("cid"), "left_anti")
+    model.assigned.join(gone, Seq("cid"), "left_anti")
       .select(model.assigned.columns.map(col): _*) // the anti-join reorders
       .unionByName(graft.ext.SimilarityOps.ivfAssign(touched, model.centroids))
+  }
+
+  private def publishIvf(s: SparkSession, dir: String, nlist: Int, iters: Int,
+                         centroids: Array[Array[Double]],
+                         assigned: DataFrame): Seq[(String, DataFrame)] = {
     val centKey = s"ivf-$nlist-$iters-centroids"
     val centFrame = {
       import s.implicits._
-      model.centroids.zipWithIndex.flatMap { case (cv, cid) =>
+      centroids.zipWithIndex.flatMap { case (cv, cid) =>
         cv.zipWithIndex.map { case (c, pos) => (cid, pos, c) }
       }.toSeq.toDF("cid", "pos", "c")
     }
-    val centStored = FrameStore.getOrBuild(s, newDir, centKey)(centFrame)
-    val assignedStored = FrameStore.getOrBuild(
-      s, newDir, s"ivf-$nlist-$iters-assigned")(assignedNew)
-    Seq(centKey -> centStored,
-      s"ivf-$nlist-$iters-assigned" -> assignedStored)
+    Seq(centKey -> FrameStore.getOrBuild(s, dir, centKey)(centFrame),
+      s"ivf-$nlist-$iters-assigned" ->
+        FrameStore.getOrBuild(s, dir, s"ivf-$nlist-$iters-assigned")(assigned))
+  }
+
+  /** The decision record [[rollForwardIvfRecallTargeted]] returns next
+    * to its frames: what the frozen fit still measured, what was
+    * declared, and whether the observe→react loop re-fit. */
+  case class IvfRollDecision(refit: Boolean, frozenRecallFp: Long,
+                             targetRecallFp: Long, finalRecallFp: Long,
+                             deepestNprobe: Int)
+
+  /** [[rollForwardIvfAssigned]] with the observe→react loop CLOSED: the
+    * frozen-centroid roll is MEASURED before it is published —
+    * [[graft.ext.SimilarityOps.tuneIvfNprobe]] on the rolled inverted
+    * file reports the recall the frozen fit still buys on the NEW
+    * corpus, and a miss of `targetRecallFp` at the DEEPEST candidate
+    * nprobe (the dial has nowhere left to go) triggers the re-fit:
+    * k-means re-runs on the new corpus (cached under `newDir`, so the
+    * next delta's roll starts from THIS fit), every vector re-assigns,
+    * and the re-fit index is what publishes under the standard keys.
+    * Measure-before-publish keeps the keys immutable — no
+    * second-generation key juggling — and the returned
+    * [[IvfRollDecision]] is the auditable record of which arm won and
+    * the recalls that decided it. Centroid drift is thus observed AND
+    * reacted to; an undrifted corpus never re-pays the k-means
+    * collects (spec-pinned both ways). */
+  def rollForwardIvfRecallTargeted(
+      s: SparkSession, oldDir: String, newDir: String,
+      oldVecs: DataFrame, newVecs: DataFrame, sampleQueries: DataFrame,
+      k: Int, targetRecallFp: Long, nlist: Int, iters: Int = 2,
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16))
+      : (Seq[(String, DataFrame)], IvfRollDecision) = {
+    import graft.ext.SimilarityOps
+    val deepest = candidates.max
+    def recallAtDeepest(model: SimilarityOps.IvfModel): Long =
+      SimilarityOps.tuneIvfNprobe(sampleQueries, newVecs, model, k,
+          targetRecallFp, candidates)
+        .filter(col("nprobe") === deepest)
+        .select("recall_fp").head().getLong(0)
+    val frozen = SimilarityOps.ivfFitCached(oldDir, oldVecs, nlist, iters)
+    val rolledModel = SimilarityOps.IvfModel(frozen.centroids,
+      rolledIvfAssignment(frozen, oldVecs, newVecs))
+    val frozenRecall = recallAtDeepest(rolledModel)
+    val refit = frozenRecall < targetRecallFp
+    val finalModel =
+      if (refit) SimilarityOps.ivfFitCached(newDir, newVecs, nlist, iters)
+      else rolledModel
+    val finalRecall = if (refit) recallAtDeepest(finalModel) else frozenRecall
+    (publishIvf(s, newDir, nlist, iters, finalModel.centroids,
+        finalModel.assigned),
+      IvfRollDecision(refit, frozenRecall, targetRecallFp, finalRecall,
+        deepest))
   }
 
   /** Roll a durable Count-Min counter table forward under a FULL CDC

@@ -72,11 +72,16 @@ object GraftFunctions {
     val cast = Cast(e, ArrayType(org.apache.spark.sql.types.StringType), Some("UTC"))
     cast.eval() match {
       case arr: ArrayData =>
-        (0 until arr.numElements()).map { i =>
+        val out = (0 until arr.numElements()).map { i =>
           val s = arr.getUTF8String(i)
           if (s == null) usage(name, sig) // null pattern → usage, not an NPE
           s.toString
         }.toVector
+        // empty list / empty-string patterns would otherwise surface as
+        // a raw require() from the automaton build at execution time —
+        // misuse fails at RESOLUTION with the usage message instead
+        if (out.isEmpty || out.exists(_.isEmpty)) usage(name, sig)
+        out
       case _ => usage(name, sig)
     }
   }

@@ -535,7 +535,16 @@ private[graft] object QueriesRelational {
         mg.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("lang"), col("rn").cast("long").as("rn"), col("term"),
-            col("est_n"), col("err_bound"))
+            col("est_n"),
+            // the gate's claim is the EXACT regime (err_bound 0); a
+            // vocabulary that outgrows k (e.g. a scaled corpus salted
+            // with per-copy tokens) must surface as an explicit error
+            // here, not as a silent flip to the approximate regime
+            // that the oracle then hash-mismatches
+            (col("err_bound") + coalesce(assert_true(col("err_bound") === 0,
+              concat(lit("q205: per-lang vocabulary outgrew k=4096; "),
+                lit("approximate regime for lang "), col("lang"))),
+              lit(0L))).as("err_bound"))
           .orderBy("lang", "rn")
       },
       Some("""WITH t AS (

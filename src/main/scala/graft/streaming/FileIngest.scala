@@ -45,20 +45,31 @@ object FileIngest {
   }
 
   /** Watch `inDir` for JSONL files (one JSON doc per line), apply the
-    * batch `transform` per micro-batch, append parquet to `outDir` —
+    * batch `transform` per micro-batch, write parquet under `outDir` —
     * [[csvToParquet]] for the format LLM corpora actually land in.
-    * Lines that fail to parse against `schema` append verbatim to
+    * Lines that fail to parse against `schema` land verbatim under
     * `quarantineDir` instead of vanishing (the
     * [[graft.etl.RawReaders.jsonlQuarantined]] contract, applied per
     * micro-batch): the ingest never drops input silently, and the bad
-    * lines stay replayable after a schema fix. */
+    * lines stay replayable after a schema fix.
+    *
+    * EXACTLY-ONCE output (for a deterministic `transform`): the two
+    * per-batch writes are independent and non-atomic, so instead of
+    * blind appends each batch writes to the batchId-DETERMINISTIC
+    * partition `ingest_batch=<id>` in overwrite mode — a crash between
+    * the quarantine and parquet writes, or a foreachBatch retry,
+    * replays the same epoch (same checkpointed file list) into the
+    * same directories and overwrites its own partial output instead
+    * of duplicating it. Readers of `outDir` see a standard
+    * partitioned parquet table whose `ingest_batch` column is honest
+    * ingest provenance. */
   def jsonlToParquet(spark: SparkSession,
                      inDir: String, outDir: String, quarantineDir: String,
                      checkpoint: String, schema: StructType,
                      transform: DataFrame => DataFrame): StreamingQuery = {
     val in = spark.readStream.text(inDir)
     in.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // persisted for the 4 actions below (two emptiness probes + two
         // writes): the raw lines read from disk ONCE per micro-batch;
         // re-parsing cached text per action is cheap, re-reading N
@@ -67,10 +78,12 @@ object FileIngest {
         try {
           val (clean, bad) = graft.etl.RawReaders.parseJsonl(cached, schema)
           if (!bad.isEmpty)
-            bad.write.mode("append").text(quarantineDir)
+            bad.write.mode("overwrite")
+              .text(s"$quarantineDir/ingest_batch=$batchId")
           val out = transform(clean)
           if (!out.isEmpty)
-            out.write.mode("append").option("compression", "snappy").parquet(outDir)
+            out.write.mode("overwrite").option("compression", "snappy")
+              .parquet(s"$outDir/ingest_batch=$batchId")
         } finally cached.unpersist()
       }
       .option("checkpointLocation", checkpoint)

@@ -29,6 +29,28 @@ object StreamingPrep {
       .filter(col("lang").isin(langs: _*) && col("quality") >= minQuality)
       .withColumn("text", TextOps.redactPii(col("text")))
 
+  /** Stateless blocklist tagging at INGEST time — contamination
+    * markers stamped at the door, not after the corpus landed: ONE
+    * Aho–Corasick automaton pass
+    * ([[graft.functions.TextScanExpressions.multiMatchIds]]) per
+    * document finds every blocklist pattern, and the whole pattern set
+    * rides the plan as one reference object, so per-batch cost is
+    * O(text + matches) regardless of blocklist size (rehearsal-pinned
+    * flat from 10 to 10k patterns). Works identically on batch and
+    * streaming frames; composes before/after [[prep]]. */
+  def tagBlocklist(df: DataFrame, patterns: Seq[String],
+                   textCol: String = "text"): DataFrame =
+    df.withColumn("blocklist_ids",
+      graft.functions.TextScanExpressions.multiMatchIds(col(textCol), patterns))
+
+  /** [[tagBlocklist]] as a gate: rows matching ANY blocklist pattern
+    * are dropped before they reach the corpus. */
+  def dropBlocklisted(df: DataFrame, patterns: Seq[String],
+                      textCol: String = "text"): DataFrame =
+    tagBlocklist(df, patterns, textCol)
+      .filter(size(col("blocklist_ids")) === 0)
+      .drop("blocklist_ids")
+
   /** Full streaming prep: gates → redaction → stateful first-seen
     * dedup on the redacted digest. Append-mode output. */
   def cleanStream(df: DataFrame, minQuality: Double = 0.3,

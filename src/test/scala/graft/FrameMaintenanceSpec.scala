@@ -191,6 +191,70 @@ class FrameMaintenanceSpec extends AnyFunSuite {
     assert(rows(centNew) == rows(centOld))
   }
 
+  test("IVF maintenance observes drift AND reacts: drifted corpus re-fits to target, undrifted never re-fits") {
+    // Geometry: the OLD corpus is two tight clusters at e1/e2, so the
+    // frozen fit's centroids are ~e1/~e2. The DRIFTED corpus is a
+    // boundary cloud whose real neighborhood structure runs along z
+    // while a ±0.002 y-jitter ALTERNATING with z-order decides which
+    // frozen cell each point lands in — true neighbors split across
+    // cells, so frozen recall at the deepest probe is ~50% and the
+    // observe→react loop must re-fit; after the re-fit k-means splits
+    // along z and the same queries hit their full top-5.
+    def vecsDF(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("cid", "cvec")
+    val old = (0 until 40).map(j => (j.toLong, Array(1f, j * 0.001f, 0f))) ++
+      (0 until 40).map(j => ((40 + j).toLong, Array(j * 0.001f, 1f, 0f)))
+    val oldDf = vecsDF(old)
+
+    // undrifted: two deletes, same geometry — frozen fit must be kept
+    val sU = storedSession(Files.createTempDirectory("framemaint").toString)
+    val (framesU, decU) = FrameMaintenance.rollForwardIvfRecallTargeted(
+      sU, "ivfdrift-oldu", "ivfdrift-newu", oldDf,
+      vecsDF(old.filterNot(r => r._1 == 5L || r._1 == 45L)),
+      Seq((0L, Array(1f, 0.01f, 0f)), (1L, Array(0.01f, 1f, 0f)))
+        .toDF("qid", "qvec"),
+      k = 5, targetRecallFp = 9000L, nlist = 2, iters = 4,
+      candidates = Seq(1))
+    assert(!decU.refit, s"undrifted corpus must keep the frozen fit: $decU")
+    assert(decU.frozenRecallFp >= 9000L
+      && decU.finalRecallFp == decU.frozenRecallFp)
+    // what published IS the frozen fit's centroid table
+    val frozenCents = graft.ext.SimilarityOps
+      .ivfFitCached("ivfdrift-oldu", oldDf, nlist = 2, iters = 4).centroids
+    val pubCents = framesU.toMap.apply("ivf-2-4-centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    assert(pubCents.toSeq == frozenCents.flatten.toSeq)
+
+    // drifted: boundary cloud replaces the corpus entirely
+    val drift = (0 until 60).map { i =>
+      ((100 + i).toLong,
+        Array(1f, if (i % 2 == 0) 1.002f else 0.998f, -0.75f + i * 0.025f))
+    }
+    val sD = storedSession(Files.createTempDirectory("framemaint").toString)
+    val (framesD, decD) = FrameMaintenance.rollForwardIvfRecallTargeted(
+      sD, "ivfdrift-oldd", "ivfdrift-newd", oldDf, vecsDF(drift),
+      Seq((0L, Array(1f, 1f, 0.55f)), (1L, Array(1f, 1f, -0.55f)))
+        .toDF("qid", "qvec"),
+      k = 5, targetRecallFp = 9000L, nlist = 2, iters = 4,
+      candidates = Seq(1))
+    assert(decD.refit, s"drifted corpus must trigger the re-fit: $decD")
+    assert(decD.frozenRecallFp < 9000L,
+      s"the frozen fit must MEASURE as missing the target: $decD")
+    assert(decD.finalRecallFp >= 9000L,
+      s"the re-fit must MEET the declared target: $decD")
+    // the published inverted file is the re-fit one: each query's true
+    // top-5 (contiguous in z) now lives in ONE cell
+    val cellOf = framesD.toMap.apply("ivf-2-4-assigned")
+      .collect().map(r => r.getAs[Long]("cid") -> r.getAs[Int]("centroid_id"))
+      .toMap
+    for (center <- Seq(52, 8)) { // z = 0.55 and z = -0.55
+      val top5 = (center - 2 to center + 2).map(i => (100 + i).toLong)
+      assert(top5.map(cellOf).distinct.size == 1,
+        s"after re-fit the top-5 around i=$center must share a cell")
+    }
+  }
+
   test("rolled-forward CMS counters equal a full rebuild — deletes subtract exactly") {
     val root = Files.createTempDirectory("framemaint").toString
     val s = storedSession(root)

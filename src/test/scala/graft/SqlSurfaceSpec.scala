@@ -144,5 +144,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("usage: multi_match_ids"),
       "a null pattern element must report usage, not NPE")
+    // empty list / empty-string patterns fail at RESOLUTION with the
+    // usage message — not as a raw require() from the automaton build
+    // at execution/codegen time
+    val ex3 = intercept[Exception] {
+      s.sql("SELECT multi_match_ids('t', array()) ").collect()
+    }
+    assert(ex3.getMessage.contains("usage: multi_match_ids"),
+      s"an empty pattern list must report usage: ${ex3.getMessage}")
+    val ex4 = intercept[Exception] {
+      s.sql("SELECT multi_match_ids('t', array('a', '')) ").collect()
+    }
+    assert(ex4.getMessage.contains("usage: multi_match_ids"),
+      s"an empty-string pattern must report usage: ${ex4.getMessage}")
   }
 }

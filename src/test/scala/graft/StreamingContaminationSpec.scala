@@ -68,6 +68,48 @@ class StreamingContaminationSpec extends AnyFunSuite {
     keys.unpersist()
   }
 
+  test("blocklist scan runs at INGEST: streaming tags equal batch tags; gate drops flagged docs") {
+    // The stateless Aho–Corasick stage composes into a streaming query
+    // unchanged (one automaton reference object per plan); verdicts
+    // must be boundary-independent and equal the batch path's.
+    val pats = Seq("passage", "a b c", "zz-never")
+    val docs = Seq(
+      (1L, s"intro words $passage trailing"), // hits "a b c"
+      (2L, "clean document with a passage marker"), // hits "passage"
+      (3L, "nothing to see"),
+      (4L, s"the passage a b c overlaps")  // hits both
+    ).toDF("doc_id", "text")
+    val batchTags = graft.streaming.StreamingPrep.tagBlocklist(docs, pats)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](r.fieldIndex("blocklist_ids")).toList).toMap
+
+    val dir = Files.createTempDirectory("graft_sblock")
+    docs.filter(col("doc_id") <= 2).repartition(1)
+      .write.parquet(dir.resolve("in/p1").toString)
+    docs.filter(col("doc_id") > 2).repartition(1)
+      .write.parquet(dir.resolve("in/p2").toString)
+    val stream = spark.readStream
+      .schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.resolve("in/*").toString)
+    val q = graft.streaming.StreamingPrep.tagBlocklist(stream, pats)
+      .writeStream.format("parquet")
+      .option("path", dir.resolve("out").toString)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(dir.resolve("out").toString)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](r.fieldIndex("blocklist_ids")).toList).toMap
+    assert(streamed == batchTags)
+    assert(streamed(1L) == List(1) && streamed(2L) == List(0)
+      && streamed(3L) == Nil && streamed(4L) == List(0, 1))
+    // the gate form drops exactly the flagged docs
+    assert(graft.streaming.StreamingPrep.dropBlocklisted(docs, pats)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("flagged docs are exactly the docs the batch decontamination audit spans") {
     val keys = ExactSubstrOps.benchGramKeys(bench, col("doc_id"), col("text"))
     val flagged = StreamingContamination.flagBatch(train, keys)

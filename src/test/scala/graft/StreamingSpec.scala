@@ -80,5 +80,27 @@ class StreamingSpec extends AnyFunSuite {
     FileIngest.runOnce(q2)
     assert(spark.read.parquet(outDir).count() == 3)
     assert(spark.read.text(quarDir).count() == 2)
+
+    // forced REPLAY of the last epoch: drop its commit record so the
+    // restarted query re-runs batch 1 from the offsets log (same file
+    // list, same batchId). The batchId-deterministic overwrite makes
+    // BOTH non-atomic writes idempotent — no duplicate parquet rows,
+    // no duplicate quarantine lines.
+    import scala.jdk.CollectionConverters._
+    val last = Files.list(Paths.get(ckpt, "commits")).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(last)
+    // the local checkpoint manager keeps a checksum sidecar; a stale
+    // one would read as a concurrent writer on the re-committed epoch
+    Files.deleteIfExists(
+      last.resolveSibling("." + last.getFileName.toString + ".crc"))
+    val q3 = FileIngest.jsonlToParquet(spark, inDir.toString, outDir, quarDir,
+      ckpt, schema, b => b.withColumn("n", length(col("text"))))
+    FileIngest.runOnce(q3)
+    assert(spark.read.parquet(outDir).count() == 3,
+      "a replayed epoch must overwrite its own output, not append to it")
+    assert(spark.read.text(quarDir).count() == 2,
+      "a replayed epoch must not duplicate quarantine lines")
   }
 }
