@@ -1489,5 +1489,117 @@ private[graft] object QueriesAnn {
            |    THEN 1 ELSE 0 END AS BIGINT) AS chosen,
            |  CAST(500 AS BIGINT) AS target_fp
            |FROM board CROSS JOIN pick ORDER BY tables""".stripMargin)),
+
+    Q("q207_ivf_drift_refit",
+      (s, dir) => {
+        // The IVF observe→react maintenance loop, driver-gated END TO
+        // END (FrameMaintenance.rollForwardIvfRecallTargeted): the
+        // corpus DRIFTS — every embedding is cyclically rotated by its
+        // own id and sign-flipped per (id, coordinate) bit, an exact
+        // per-vector isometry (the ScaleUp decorrelation trick, made
+        // engine-portable) that destroys cross-vector neighborhoods —
+        // the frozen fit's recall is measured on the rolled inverted
+        // file, the miss triggers the k-means re-fit, and the re-fit
+        // index is what publishes. The oracle replays BOTH fits (the
+        // frozen one over the original corpus, the re-fit over the
+        // drifted one), both recall measurements at the deepest probe,
+        // and the decision itself; the output pins the decision record
+        // AND the per-centroid occupancy of whichever index won. The
+        // hash can only match if the two engines agree on every Lloyd
+        // round, the roll, the recall arithmetic, and the trigger.
+        val old = tp(s, dir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val mut = old.withColumn("cvec", expr(
+          """transform(sequence(0, 63), i ->
+            |  cast(element_at(cvec, cast((i + cid) % 64 as int) + 1) *
+            |       cast(1 - 2 * (shiftright(cid, cast(i % 16 as int)) % 2)
+            |            as float) as float))""".stripMargin))
+        val sample = mut.filter(col("cid") < 16)
+          .select(col("cid").as("qid"), col("cvec").as("qvec"))
+        val (frames, dec) =
+          graft.etl.FrameMaintenance.rollForwardIvfRecallTargeted(
+            s, s"embeddings:$dir", s"q207new:$dir", old, mut, sample,
+            k = 10, targetRecallFp = 9000L, nlist = 16, iters = 2,
+            // the decision consumes only the DEEPEST arm; shallower
+            // arms would triple the probe joins for output nobody reads
+            candidates = Seq(4))
+        frames.toMap.apply("ivf-16-2-assigned")
+          .groupBy("centroid_id")
+          .agg(count(lit(1)).as("n_vecs"))
+          .select(col("centroid_id").cast(LongType).as("centroid_id"),
+            col("n_vecs"),
+            lit(if (dec.refit) 1L else 0L).as("refit"),
+            lit(dec.frozenRecallFp).as("frozen_recall_fp"),
+            lit(dec.finalRecallFp).as("final_recall_fp"))
+          .orderBy("centroid_id")
+      },
+      Some(s"""WITH ${ivfFitCtes(
+               "SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")},
+             |mut AS MATERIALIZED (
+             |  SELECT cid, list_transform(generate_series(0, 63), i ->
+             |    v[((i + cid) % 64) + 1] *
+             |    CASE WHEN ((cid >> (i % 16)) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS v
+             |  FROM corpus),
+             |${ivfFitCtes("SELECT cid, v FROM mut", "m")},
+             |qs AS (SELECT cid AS qid, v AS qv FROM mut WHERE cid < 16),
+             |exact AS MATERIALIZED (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.qid, c.cid,
+             |      row_number() OVER (PARTITION BY q.qid
+             |        ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cid) AS rn
+             |    FROM qs q CROSS JOIN mut c WHERE c.cid <> q.qid) t
+             |  WHERE rn <= 10),
+             |poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM exact),
+             |fasg AS MATERIALIZED (
+             |  SELECT cid, v, kid FROM (
+             |    SELECT c.cid, c.v, k.kid,
+             |      row_number() OVER (PARTITION BY c.cid
+             |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
+             |    FROM mut c CROSS JOIN cent2 k) t WHERE rn = 1),
+             |fprobe AS (
+             |  SELECT qid, kid FROM (
+             |    SELECT q.qid, k.kid,
+             |      row_number() OVER (PARTITION BY q.qid
+             |        ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS rn
+             |    FROM qs q CROSS JOIN cent2 k) t WHERE rn <= 4),
+             |fivf AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.qid, a.cid,
+             |      row_number() OVER (PARTITION BY q.qid
+             |        ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.cid) AS rn
+             |    FROM fprobe p JOIN qs q USING (qid) JOIN fasg a ON a.kid = p.kid
+             |    WHERE a.cid <> q.qid) t WHERE rn <= 10),
+             |frec AS MATERIALIZED (
+             |  SELECT CAST((10000 * (SELECT count(*) FROM exact JOIN fivf USING (qid, cid)))
+             |    // possible AS BIGINT) AS r FROM poss),
+             |dec AS MATERIALIZED (SELECT (r < 9000) AS refit FROM frec),
+             |bprobe AS (
+             |  SELECT qid, kid FROM (
+             |    SELECT q.qid, k.kid,
+             |      row_number() OVER (PARTITION BY q.qid
+             |        ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS rn
+             |    FROM qs q CROSS JOIN mcent2 k) t WHERE rn <= 4),
+             |bivf AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.qid, a.cid,
+             |      row_number() OVER (PARTITION BY q.qid
+             |        ORDER BY list_cosine_similarity(q.qv, a.v) DESC, a.cid) AS rn
+             |    FROM bprobe p JOIN qs q USING (qid) JOIN masgF a ON a.kid = p.kid
+             |    WHERE a.cid <> q.qid) t WHERE rn <= 10),
+             |brec AS MATERIALIZED (
+             |  SELECT CAST((10000 * (SELECT count(*) FROM exact JOIN bivf USING (qid, cid)))
+             |    // possible AS BIGINT) AS r FROM poss),
+             |finalasg AS (
+             |  SELECT cid, kid FROM masgF WHERE (SELECT refit FROM dec)
+             |  UNION ALL
+             |  SELECT cid, kid FROM fasg WHERE NOT (SELECT refit FROM dec))
+             |SELECT CAST(kid AS BIGINT) AS centroid_id,
+             |  CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST((SELECT CASE WHEN refit THEN 1 ELSE 0 END FROM dec) AS BIGINT) AS refit,
+             |  CAST((SELECT r FROM frec) AS BIGINT) AS frozen_recall_fp,
+             |  CAST((SELECT CASE WHEN (SELECT refit FROM dec)
+             |    THEN (SELECT r FROM brec) ELSE (SELECT r FROM frec) END) AS BIGINT)
+             |    AS final_recall_fp
+             |FROM finalasg GROUP BY kid ORDER BY centroid_id""".stripMargin)),
   )
 }

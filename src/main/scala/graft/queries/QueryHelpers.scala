@@ -511,56 +511,67 @@ private[graft] object QueryHelpers {
     * the hyperplane-LSH queries and their generated oracle SQL share it. */
   val embDim = 64
 
-  /** Oracle CTE chain RE-DERIVING the IVF fit in SQL (shared by q41 and
-    * q70): portable-hash sample init, two Lloyd rounds with exact
-    * fixed-point mean sums (order-independent in both engines),
-    * 6-decimal normalized centroids, final assignment `asgF`, query set
-    * `q`, probe set `probe` (nlist=16, nprobe=4). Callers append their
-    * scoring tail. Possible because every ivfFit arithmetic step is
-    * engine-portable. */
-  lazy val ivfOracleCtes: String = {
+  /** Parameterized oracle CTE fragment RE-DERIVING the IVF fit in SQL:
+    * portable-hash sample init, two Lloyd rounds with exact fixed-point
+    * mean sums (order-independent in both engines), 6-decimal
+    * normalized centroids, final assignment `<p>asgF` over `<p>corpus`
+    * (defined by `corpusSql`, columns (cid, v DOUBLE[])). Every CTE
+    * name is prefixed with `p` so two fits (q207's frozen + re-fit)
+    * compose in one statement; the centroid and assignment CTEs are
+    * MATERIALIZED — DuckDB inlines CTEs per reference, and an inlined
+    * k-means chain re-fits once per downstream mention. Possible
+    * because every ivfFit arithmetic step is engine-portable. */
+  def ivfFitCtes(corpusSql: String, p: String = ""): String = {
     val P = graft.ext.PortableHash.P
     // one spherical-k-means round: assignment against cent${r-1},
     // fixed-point mean, normalize+round; empty clusters keep their
     // previous centroid (the LEFT JOIN + COALESCE)
     def round(r: Int): String =
-      s"""asg$r AS (
+      s"""${p}asg$r AS (
          |  SELECT cid, v, kid FROM (
          |    SELECT c.cid, c.v, k.kid,
          |      row_number() OVER (PARTITION BY c.cid
          |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
-         |    FROM corpus c CROSS JOIN cent${r - 1} k) t WHERE rn = 1),
-         |sums$r AS (
+         |    FROM ${p}corpus c CROSS JOIN ${p}cent${r - 1} k) t WHERE rn = 1),
+         |${p}sums$r AS (
          |  SELECT kid, pos, CAST(sum(CAST(floor(v[pos] * 10000000.0) AS BIGINT)) AS DOUBLE) AS sf, count(*) AS n
-         |  FROM asg$r CROSS JOIN generate_series(1, $embDim) AS g(pos)
+         |  FROM ${p}asg$r CROSS JOIN generate_series(1, $embDim) AS g(pos)
          |  GROUP BY kid, pos),
-         |newc$r AS (
-         |  SELECT kid, list(sf / n / 10000000.0 ORDER BY pos) AS m FROM sums$r GROUP BY kid),
-         |norm$r AS (
-         |  SELECT kid, m, sqrt(list_sum(list_transform(m, x -> x * x))) AS nn FROM newc$r),
-         |cent$r AS (
+         |${p}newc$r AS (
+         |  SELECT kid, list(sf / n / 10000000.0 ORDER BY pos) AS m FROM ${p}sums$r GROUP BY kid),
+         |${p}norm$r AS (
+         |  SELECT kid, m, sqrt(list_sum(list_transform(m, x -> x * x))) AS nn FROM ${p}newc$r),
+         |${p}cent$r AS MATERIALIZED (
          |  SELECT k.kid, COALESCE(list_transform(n.m,
          |      x -> CASE WHEN n.nn > 0 THEN floor(x / n.nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END), k.c) AS c
-         |  FROM cent${r - 1} k LEFT JOIN norm$r n USING (kid)),""".stripMargin
-    s"""WITH corpus AS (
-       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |samp AS (
-       |  SELECT v FROM corpus
+         |  FROM ${p}cent${r - 1} k LEFT JOIN ${p}norm$r n USING (kid)),""".stripMargin
+    s"""${p}corpus AS MATERIALIZED (
+       |  $corpusSql),
+       |${p}samp AS (
+       |  SELECT v FROM ${p}corpus
        |  ORDER BY ('0x' || substr(md5(cid::VARCHAR), 1, 15))::BIGINT % $P, cid
        |  LIMIT 16),
-       |sampn AS (
+       |${p}sampn AS (
        |  SELECT list_transform(v,
        |      x -> CASE WHEN nn > 0 THEN floor(x / nn * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END) AS c
-       |  FROM (SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM samp) t),
-       |cent0 AS (SELECT row_number() OVER (ORDER BY c) - 1 AS kid, c FROM sampn),
+       |  FROM (SELECT v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM ${p}samp) t),
+       |${p}cent0 AS (SELECT row_number() OVER (ORDER BY c) - 1 AS kid, c FROM ${p}sampn),
        |${round(1)}
        |${round(2)}
-       |asgF AS (
+       |${p}asgF AS MATERIALIZED (
        |  SELECT cid, v, kid FROM (
        |    SELECT c.cid, c.v, k.kid,
        |      row_number() OVER (PARTITION BY c.cid
        |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
-       |    FROM corpus c CROSS JOIN cent2 k) t WHERE rn = 1),
+       |    FROM ${p}corpus c CROSS JOIN ${p}cent2 k) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle CTE chain for the q41/q70 shape: the [[ivfFitCtes]] fit
+    * over the full embeddings table plus the query set `q` and probe
+    * set `probe` (nlist=16, nprobe=4). Callers append a scoring tail. */
+  lazy val ivfOracleCtes: String =
+    s"""WITH ${ivfFitCtes(
+         "SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")},
        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 16),
        |probe AS (
        |  SELECT qid, kid FROM (
@@ -568,7 +579,6 @@ private[graft] object QueryHelpers {
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS rn
        |    FROM q CROSS JOIN cent2 k) t WHERE rn <= 4)""".stripMargin
-  }
 
   /** q163's IPF fit on collected model-sized cells, shared with the
     * apply query q169: (source, lang, n_docs, obs_fp, raked_fp,
