@@ -404,6 +404,158 @@ object MultimodalOps {
     } catch { case _: Exception => None }
   }
 
+  /** 64-bit audio fingerprint over the REAL decode path — the audio
+    * analogue of [[dhashImage]]: the PCM sample stream splits into 65
+    * frames on integer boundaries (frame f covers samples
+    * [f·n/65, (f+1)·n/65)), each frame's energy is the EXACT integer
+    * sum of squared raw sample values summed across channels (no
+    * division, no sqrt — deterministic across JVMs and lossless
+    * containers), and fingerprint bit i is set iff
+    * energy(frame i) < energy(frame i+1) compared by cross-multiplied
+    * (sum, count) pairs — a loudness-DELTA signature that meets the
+    * `(doc_id, simhash)` contract, so the SimHash block join, hamming
+    * verify, and hot-bucket guard serve audio unchanged. Signed and
+    * unsigned PCM at 8/16 bits via javax.sound (WAV/AIFF/AU); None for
+    * null/undecodable/compressed payloads. Frames longer than 60k
+    * samples compare via BigInt (the cross product would overflow a
+    * long around 2⁶³). */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16) || channels < 1) return None
+        val bytes = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val n = bytes.length / frameBytes
+        if (n < 65) return None // needs one sample per energy frame
+        val sums = new Array[Long](65)
+        val cnts = new Array[Long](65)
+        var f = 0
+        while (f < n) {
+          val g = (f * 65L / n).toInt
+          var c = 0
+          var e = 0L
+          while (c < channels) {
+            val off = f * frameBytes + c * bytesPerSample
+            val raw: Long =
+              if (bits == 8) {
+                if (signed) bytes(off).toLong else (bytes(off) & 0xff).toLong - 128L
+              } else {
+                val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                val v = (bytes(hi).toInt << 8) | (bytes(lo) & 0xff)
+                if (signed) v.toLong else (v & 0xffff).toLong - 32768L
+              }
+            e += raw * raw
+            c += 1
+          }
+          sums(g) += e
+          cnts(g) += 1
+          f += 1
+        }
+        val big = cnts.max > 60000L
+        var out = 0L
+        var i = 0
+        while (i < 64) {
+          val less =
+            if (big) BigInt(sums(i)) * cnts(i + 1) < BigInt(sums(i + 1)) * cnts(i)
+            else sums(i) * cnts(i + 1) < sums(i + 1) * cnts(i)
+          if (less) out |= (1L << i)
+          i += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Fingerprint stage over the standard `mapPartitions` plumbing:
+    * audio rows get their 64-bit loudness-delta fingerprint;
+    * non-audio/undecodable rows keep a null (auditable, never dropped
+    * silently). */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("afp", LongType, nullable = true)))
+    val enc: Encoder[Row] = Encoders.row(schema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val nBytes = if (payload == null) 0 else payload.length
+          val fp =
+            if (r.getAs[String]("kind") == "audio") audioFingerprint(payload) else None
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
+            fp.map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc)
+  }
+
+  /** Perceptual audio near-dup pairs: [[audioFingerprint]] per clip,
+    * then EXACTLY the SimHash block machinery ([[imageNearDupPairs]]'s
+    * contract — one similarity engine, three signal sources). Returns
+    * (id_a, id_b, hamming, capped) over media ids. */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBucketSize: Int = 64): DataFrame =
+    DedupOps.cappedSimhashPairsFromSignatures(
+      audioFingerprints(spark, media)
+        .filter(col("afp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("afp").as("simhash")),
+      maxHamming, bands, maxBucketSize)
+
+  /** Render a 520-sample 8-bit unsigned mono WAV whose 65 constant-
+    * amplitude frames encode `bits`: frame f is loud (amplitude 100)
+    * when pattern bit (f mod 64) is set, quiet (amplitude 10)
+    * otherwise. Gate fixture for the audio near-dup pipeline: with
+    * 8 samples per energy frame the fingerprint of the ENCODED bytes
+    * is closed-form — bit i = patbit(i mod 64) < patbit((i+1) mod 64)
+    * (frame 64 wraps to pattern bit 0) — so a relational oracle with
+    * no audio codec can replay decode → fingerprint → block join end
+    * to end (the q206 image pattern applied to the audio arm). */
+  def renderToneWav(bits: Long): Array[Byte] = {
+    val n = 65 * 8
+    val data = new Array[Byte](n)
+    var f = 0
+    while (f < 65) {
+      val amp = if (((bits >>> (f % 64)) & 1L) == 1L) 100 else 10
+      var i = 0
+      while (i < 8) { data(f * 8 + i) = (128 + amp).toByte; i += 1 }
+      f += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** [[renderToneWav]] over a `(media_id, bits)` frame, emitting the
+    * `(media_id, kind, payload)` shape [[audioFingerprints]] consumes. */
+  def renderToneWavs(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc: Encoder[Row] = Encoders.row(schema)
+    df.select(col("media_id").cast(LongType), col("bits").cast(LongType))
+      .mapPartitions { rows =>
+        rows.map(r => new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](r.getLong(0), "audio", renderToneWav(r.getLong(1))), schema): Row)
+      }(enc)
+  }
+
   /** Audio decode/feature stage over the same `mapPartitions` plumbing
     * as `extractImageFeatures`. Non-audio kinds and undecodable payloads
     * yield null property/feature rows (kept, for failure audits). */

@@ -2061,57 +2061,125 @@ private[graft] object QueriesDedup {
              |dh AS MATERIALIZED (
              |  SELECT doc_id, ${imageDhashHalfSql(1)} AS d1,
              |    ${imageDhashHalfSql(0)} AS d2 FROM hp),
-             |bk AS (
-             |  SELECT doc_id, d1, d2, band,
-             |    CASE WHEN band < 4 THEN (d2 >> (band * 8)) & 255
-             |         ELSE (d1 >> ((band - 4) * 8)) & 255 END AS block
-             |  FROM dh, (SELECT unnest(generate_series(0, 7)) AS band) b),
-             |ann AS MATERIALIZED (
-             |  SELECT doc_id, d1, d2, band, block,
-             |    count(*) OVER w AS occ,
-             |    row_number() OVER (PARTITION BY band, block ORDER BY doc_id) AS rn,
-             |    min(doc_id) OVER w AS rep,
-             |    (min(d1) OVER w = max(d1) OVER w
-             |     AND min(d2) OVER w = max(d2) OVER w) AS pure
-             |  FROM bk WINDOW w AS (PARTITION BY band, block)),
-             |star AS (
-             |  SELECT rep AS id_a, doc_id AS id_b, 0 AS ham, 0 AS capped
-             |  FROM ann WHERE occ > 8 AND pure AND doc_id <> rep),
-             |jn AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |    bit_count(xor(a.d1, b.d1)) + bit_count(xor(a.d2, b.d2)) AS ham,
-             |    CASE WHEN a.occ > 8 THEN 1 ELSE 0 END AS capped
-             |  FROM ann a JOIN ann b
-             |    ON a.band = b.band AND a.block = b.block AND a.doc_id < b.doc_id
-             |  WHERE (a.occ <= 8 OR (NOT a.pure AND a.rn <= 8))
-             |    AND (b.occ <= 8 OR (NOT b.pure AND b.rn <= 8))
-             |    AND bit_count(xor(a.d1, b.d1)) + bit_count(xor(a.d2, b.d2)) <= 6),
-             |pr AS (
-             |  SELECT id_a, id_b, min(ham) AS ham, min(capped) AS capped
-             |  FROM (SELECT * FROM star UNION ALL SELECT * FROM jn)
-             |  GROUP BY 1, 2)
-             |SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming,
-             |  CAST(capped AS INT) AS capped
-             |FROM pr ORDER BY id_a, id_b""".stripMargin)),
+             |$simhashGuardReplaySql""".stripMargin)),
+
+    Q("q208_audio_neardup_gate",
+      (s, dir) => {
+        // The AUDIO near-dup pipeline driver-gated END TO END — the
+        // q206 image pattern applied to the sound arm: real WAV bytes
+        // are rendered per doc (65 constant-amplitude tone frames
+        // encoding a portable md5-derived 64-bit value), decoded and
+        // fingerprinted by the REAL javax.sound codec path
+        // (MultimodalOps.audioFingerprints: integer-exact frame-energy
+        // deltas), then paired by the REAL SimHash block join + hamming
+        // verify + hot-bucket guard (audioNearDupPairs). Same class /
+        // flip structure as q206 so both guard arms fire at gate scale;
+        // the fingerprint's frame 64 WRAPS to pattern bit 0, so the
+        // closed form (and the gate) covers the wraparound bit too.
+        val media = MultimodalOps.renderToneWavs(
+          tp(s, dir, "documents")
+            .select(col("doc_id").as("media_id"),
+              PortableHash.prefix64(
+                concat(lit("audcls:"),
+                  pmod(col("doc_id"), lit(9)).cast("string"))).as("bits0"))
+            .withColumn("bits", expr(
+              """CASE WHEN media_id % 4 = 1 AND media_id % 9 < 6
+                |THEN bits0 ^ shiftleft(cast(1 as bigint),
+                |                       cast(media_id % 64 as int))
+                |ELSE bits0 END""".stripMargin)))
+        MultimodalOps.audioNearDupPairs(s, media, maxHamming = 6,
+            bands = 8, maxBucketSize = 8)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast(LongType).as("hamming"),
+            col("capped").cast(IntegerType).as("capped"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH d0 AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('audcls:' || CAST(doc_id % 9 AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             |    ('0x' || substr(md5('audcls:' || CAST(doc_id % 9 AS VARCHAR)), 9, 8))::BIGINT AS h2,
+             |    (doc_id % 4 = 1 AND doc_id % 9 < 6) AS flip,
+             |    doc_id % 64 AS p
+             |  FROM documents),
+             |hp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN flip AND p >= 32 THEN xor(h1, (1::BIGINT << (p - 32)))
+             |         ELSE h1 END AS h1,
+             |    CASE WHEN flip AND p < 32 THEN xor(h2, (1::BIGINT << p))
+             |         ELSE h2 END AS h2
+             |  FROM d0),
+             |dh AS MATERIALIZED (
+             |  SELECT doc_id, ${audioFpHalfSql(1)} AS d1,
+             |    ${audioFpHalfSql(0)} AS d2 FROM hp),
+             |$simhashGuardReplaySql""".stripMargin)),
   )
 
-  /** DuckDB SQL for one 32-bit half of the analytic dHash of a
-    * [[MultimodalOps.renderPatternImage]] image whose 64 pattern bits
-    * live in columns `h1` (bits 63..32) and `h2` (bits 31..0): dHash
-    * bit i (gy = i/8, gx = i%8) is set iff pattern bit ((gy·9+gx) mod
-    * 64) < pattern bit ((gy·9+gx+1) mod 64). `half` 0 → bits 0..31,
-    * 1 → bits 32..63, each emitted as a sum of disjoint powers of two
-    * (< 2³² — no BIGINT overflow in either engine). */
-  private def imageDhashHalfSql(half: Int): String = {
+  /** DuckDB SQL for one 32-bit half of a 64-bit pattern-comparison
+    * signature whose source bits live in columns `h1` (bits 63..32)
+    * and `h2` (bits 31..0): signature bit i is set iff pattern bit
+    * `p1Of(i)` < pattern bit `p2Of(i)`. Each half is a sum of disjoint
+    * powers of two (< 2³² — no BIGINT overflow in either engine). */
+  private def patternCmpHalfSql(half: Int, p1Of: Int => Int,
+                                p2Of: Int => Int): String = {
     def pix(q: Int): String = {
       val m = q % 64
       if (m < 32) s"((h2 >> $m) & 1)" else s"((h1 >> ${m - 32}) & 1)"
     }
     (0 until 32).map { j =>
       val i = half * 32 + j
-      val gy = i / 8
-      val gx = i % 8
-      s"(CASE WHEN ${pix(gy * 9 + gx)} < ${pix(gy * 9 + gx + 1)} THEN ${1L << j}::BIGINT ELSE 0 END)"
+      s"(CASE WHEN ${pix(p1Of(i))} < ${pix(p2Of(i))} THEN ${1L << j}::BIGINT ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
+
+  /** The analytic dHash of a [[MultimodalOps.renderPatternImage]]
+    * image: dHash bit i (gy = i/8, gx = i%8) compares pattern bits at
+    * pixel positions gy·9+gx and gy·9+gx+1 (mod 64). */
+  private def imageDhashHalfSql(half: Int): String =
+    patternCmpHalfSql(half, i => (i / 8) * 9 + i % 8, i => (i / 8) * 9 + i % 8 + 1)
+
+  /** The analytic [[MultimodalOps.audioFingerprint]] of a
+    * [[MultimodalOps.renderToneWav]] clip: bit i compares the energies
+    * of tone frames i and i+1, whose amplitudes encode pattern bits
+    * (i mod 64) and ((i+1) mod 64) — frame 64 wraps to bit 0. */
+  private def audioFpHalfSql(half: Int): String =
+    patternCmpHalfSql(half, i => i, i => (i + 1) % 64)
+
+  /** Guard replay over a `dh(doc_id, d1, d2)` CTE (the two 32-bit
+    * halves of a 64-bit signature): banding, occupancy/purity windows,
+    * star and capped-slice arms, per-pair merge — the relational twin
+    * of `DedupOps.cappedSimhashPairsFromSignatures(maxHamming = 6,
+    * bands = 8, maxBucketSize = 8)`, shared by q206/q208. */
+  private def simhashGuardReplaySql: String =
+    """bk AS (
+      |  SELECT doc_id, d1, d2, band,
+      |    CASE WHEN band < 4 THEN (d2 >> (band * 8)) & 255
+      |         ELSE (d1 >> ((band - 4) * 8)) & 255 END AS block
+      |  FROM dh, (SELECT unnest(generate_series(0, 7)) AS band) b),
+      |ann AS MATERIALIZED (
+      |  SELECT doc_id, d1, d2, band, block,
+      |    count(*) OVER w AS occ,
+      |    row_number() OVER (PARTITION BY band, block ORDER BY doc_id) AS rn,
+      |    min(doc_id) OVER w AS rep,
+      |    (min(d1) OVER w = max(d1) OVER w
+      |     AND min(d2) OVER w = max(d2) OVER w) AS pure
+      |  FROM bk WINDOW w AS (PARTITION BY band, block)),
+      |star AS (
+      |  SELECT rep AS id_a, doc_id AS id_b, 0 AS ham, 0 AS capped
+      |  FROM ann WHERE occ > 8 AND pure AND doc_id <> rep),
+      |jn AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    bit_count(xor(a.d1, b.d1)) + bit_count(xor(a.d2, b.d2)) AS ham,
+      |    CASE WHEN a.occ > 8 THEN 1 ELSE 0 END AS capped
+      |  FROM ann a JOIN ann b
+      |    ON a.band = b.band AND a.block = b.block AND a.doc_id < b.doc_id
+      |  WHERE (a.occ <= 8 OR (NOT a.pure AND a.rn <= 8))
+      |    AND (b.occ <= 8 OR (NOT b.pure AND b.rn <= 8))
+      |    AND bit_count(xor(a.d1, b.d1)) + bit_count(xor(a.d2, b.d2)) <= 6),
+      |pr AS (
+      |  SELECT id_a, id_b, min(ham) AS ham, min(capped) AS capped
+      |  FROM (SELECT * FROM star UNION ALL SELECT * FROM jn)
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming,
+      |  CAST(capped AS INT) AS capped
+      |FROM pr ORDER BY id_a, id_b""".stripMargin
 }

@@ -458,6 +458,38 @@ class ExtSpec extends AnyFunSuite {
       assert(hashed(i.toLong) == analytic(b))
   }
 
+  test("multimodal: tone-WAV render -> REAL decode+fingerprint equals the closed form") {
+    // The q208 gate contract, audio arm: 65 constant-amplitude tone
+    // frames encode the pattern bits, so the fingerprint of the ENCODED
+    // WAV is closed-form — bit i = patbit(i mod 64) < patbit((i+1) mod
+    // 64), frame 64 wrapping to bit 0.
+    def analytic(bits: Long): Long = {
+      def b(q: Int): Int = ((bits >>> (q % 64)) & 1L).toInt
+      (0 until 64).foldLeft(0L) { (d, i) =>
+        if (b(i) < b((i + 1) % 64)) d | (1L << i) else d
+      }
+    }
+    val rnd = new scala.util.Random(208L)
+    val patterns = Seq(0L, -1L, 0x5555555555555555L, Long.MinValue, 1L) ++
+      Seq.fill(40)(rnd.nextLong())
+    for (p <- patterns) {
+      val viaCodec = MultimodalOps.audioFingerprint(MultimodalOps.renderToneWav(p))
+      assert(viaCodec.contains(analytic(p)),
+        s"pattern $p: codec $viaCodec != analytic ${analytic(p)}")
+    }
+    // frame plumbing + audit contract: non-audio rows keep a null
+    import spark.implicits._
+    val rendered = MultimodalOps.renderToneWavs(
+      patterns.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("media_id", "bits"))
+    val fps = MultimodalOps.audioFingerprints(spark, rendered)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for ((p, i) <- patterns.zipWithIndex)
+      assert(fps(i.toLong) == analytic(p))
+    assert(MultimodalOps.audioFingerprint(Array.fill[Byte](16)(42)).isEmpty,
+      "garbage bytes -> None, never a throw")
+  }
+
   test("multimodal: COMPRESSED formats (JPEG, TIFF) decode for real on this JDK") {
     import org.apache.spark.sql.Row
     // Round-9 verdicts carried "compressed-media decode blocked on
