@@ -122,6 +122,43 @@ object MultimodalOps {
   /** Shared decode preamble for every image stage (mean features,
     * dHash, resize): null/empty guard, ImageIO decode, undecodable →
     * None — ONE place for a future decode-hardening change. */
+  // ImageIO's default stream cache is DISK-BACKED: every decode/encode
+  // writes the byte stream to a temp file first. On a 32-core executor
+  // that is 32 threads contending on temp-file creation per row — the
+  // in-memory cache is strictly better for our byte-array payloads.
+  // (Executor-side objects re-run this initializer per JVM, which is
+  // exactly the scope the flag has.)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Audio decoder SPIs resolved ONCE per JVM: AudioSystem's registry
+    * lookup is synchronized, so calling `getAudioInputStream` per row
+    * SERIALIZES a 32-thread decode stage (measured: the q208 x10
+    * fingerprint pass ran at single-core speed). The providers here are
+    * the same JDK reader classes AudioSystem would pick. */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    // PCM container readers (WAVE/AIFF/AU) FIRST: the JDK's ServiceLoader
+    // order leads with SoftMidiAudioFileReader, whose sniff routes every
+    // payload through the GLOBALLY-SYNCHRONIZED
+    // JSSecurityManager.getProviders — a 32-thread decode stage ran at
+    // single-core speed with every thread BLOCKED on that class lock
+    // (jstack-verified). With the MIDI reader last, a PCM payload never
+    // reaches it.
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+      .sortBy(r => if (r.getClass.getName.contains("Midi")) 1 else 0)
+  }
+
+  private def openAudio(payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return Some(it.next().getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => () }
+    }
+    None
+  }
+
   private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (payload == null || payload.isEmpty) return None
     try {
@@ -306,12 +343,23 @@ object MultimodalOps {
     * maxHamming < bands for pigeonhole completeness. */
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6, bands: Int = 8,
-                        maxBucketSize: Int = 64): DataFrame =
-    DedupOps.cappedSimhashPairsFromSignatures(
-      imageDhashes(spark, media)
-        .filter(col("dhash").isNotNull)
-        .select(col("media_id").as("doc_id"), col("dhash").as("simhash")),
+                        maxBucketSize: Int = 64): DataFrame = {
+    import graft.QueryCaches.Pinned
+    // pinned: the block join's a/b branches and the occupancy window
+    // each re-read the signature frame — without the pin the whole
+    // decode+hash chain executes 3-4x per run (measured 13 s -> ~2 s
+    // at x10), and image decode is the expensive stage by far
+    val sigs = imageDhashes(spark, media)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("dhash").as("simhash"))
+      .pin()
+    sigs.count() // EAGER: persist alone is lazy, and the block join's
+    // branches evaluate as concurrent subqueries — each would race past
+    // the empty cache and re-run the decode chain (stage metrics showed
+    // 5 parquet scans per execution before this count)
+    DedupOps.cappedSimhashPairsFromSignatures(sigs,
       maxHamming, bands, maxBucketSize)
+  }
 
   /** REAL image resize via headless `Graphics2D` (bilinear), re-encoded
     * as PNG. Executor-side only, one decode+render per row; returns None
@@ -362,8 +410,7 @@ object MultimodalOps {
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = openAudio(payload).getOrElse(return None)
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
@@ -422,8 +469,7 @@ object MultimodalOps {
   def audioFingerprint(payload: Array[Byte]): Option[Long] = {
     if (payload == null || payload.isEmpty) return None
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = openAudio(payload).getOrElse(return None)
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
@@ -506,12 +552,20 @@ object MultimodalOps {
     * (id_a, id_b, hamming, capped) over media ids. */
   def audioNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6, bands: Int = 8,
-                        maxBucketSize: Int = 64): DataFrame =
-    DedupOps.cappedSimhashPairsFromSignatures(
-      audioFingerprints(spark, media)
-        .filter(col("afp").isNotNull)
-        .select(col("media_id").as("doc_id"), col("afp").as("simhash")),
+                        maxBucketSize: Int = 64): DataFrame = {
+    import graft.QueryCaches.Pinned
+    // pinned for the same reason as imageNearDupPairs — worse here:
+    // javax.sound's SPI lookup is JVM-synchronized, so re-decoding per
+    // join branch also serializes the 32 cores (measured 32 s -> ~3 s
+    // at x10 from this pin alone)
+    val sigs = audioFingerprints(spark, media)
+      .filter(col("afp").isNotNull)
+      .select(col("media_id").as("doc_id"), col("afp").as("simhash"))
+      .pin()
+    sigs.count() // EAGER — same reason as imageNearDupPairs
+    DedupOps.cappedSimhashPairsFromSignatures(sigs,
       maxHamming, bands, maxBucketSize)
+  }
 
   /** Render a 520-sample 8-bit unsigned mono WAV whose 65 constant-
     * amplitude frames encode `bits`: frame f is loud (amplitude 100)
@@ -524,21 +578,34 @@ object MultimodalOps {
     * to end (the q206 image pattern applied to the audio arm). */
   def renderToneWav(bits: Long): Array[Byte] = {
     val n = 65 * 8
-    val data = new Array[Byte](n)
+    // hand-built 44-byte RIFF/WAVE header + unsigned 8-bit mono PCM:
+    // AudioSystem.write would route through the same JVM-synchronized
+    // writer registry the reader fix above avoids — rendering 50k
+    // fixtures via the registry serialized the whole stage (the DECODE
+    // side, which is what the gate tests, still uses the real SPI
+    // reader). Fixture-spec pin: decode(render(bits)) ≡ closed form.
+    val out = new Array[Byte](44 + n)
+    def ascii(off: Int, s: String): Unit =
+      { var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 } }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit =
+      { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    ascii(0, "RIFF"); le32(4, 36 + n); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, 1); le32(24, 8000); le32(28, 8000)  // mono, 8 kHz, byteRate
+    le16(32, 1); le16(34, 8)                     // blockAlign, 8-bit
+    ascii(36, "data"); le32(40, n)
     var f = 0
     while (f < 65) {
       val amp = if (((bits >>> (f % 64)) & 1L) == 1L) 100 else 10
       var i = 0
-      while (i < 8) { data(f * 8 + i) = (128 + amp).toByte; i += 1 }
+      while (i < 8) { out(44 + f * 8 + i) = (128 + amp).toByte; i += 1 }
       f += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   /** [[renderToneWav]] over a `(media_id, bits)` frame, emitting the
