@@ -20,10 +20,17 @@ import org.apache.spark.sql.types.StructType
 object FileIngest {
 
   /** Watch `inDir` for CSVs of the given schema, apply the batch
-    * `transform` to each micro-batch, append parquet to `outDir`.
+    * `transform` to each micro-batch, write parquet under `outDir`.
     * `Trigger.AvailableNow` processes everything currently present and
     * stops — the watcher's "drain what's there" cycle; re-run to pick up
-    * newly landed files (already-committed files are skipped). */
+    * newly landed files (already-committed files are skipped).
+    *
+    * Output is EXACTLY-ONCE for a deterministic `transform` (same
+    * mechanism as [[jsonlToParquet]], which strictly beats the
+    * reference watcher's at-least-once): each batch overwrites its
+    * batchId-deterministic `ingest_batch=<id>` partition, so a
+    * foreachBatch retry replays into the same directory instead of
+    * appending duplicates. */
   def csvToParquet(spark: SparkSession,
                    inDir: String, outDir: String, checkpoint: String,
                    schema: StructType,
@@ -34,10 +41,11 @@ object FileIngest {
       .option("header", header.toString)
       .csv(inDir)
     in.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = transform(batch)
         if (!out.isEmpty)
-          out.write.mode("append").option("compression", "snappy").parquet(outDir)
+          out.write.mode("overwrite").option("compression", "snappy")
+            .parquet(s"$outDir/ingest_batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -46,6 +46,21 @@ class StreamingSpec extends AnyFunSuite {
     FileIngest.runOnce(q2)
     val second = spark.read.parquet(outDir)
     assert(second.count() == 3) // 2 + 1, block1.csv not reprocessed
+
+    // forced REPLAY of the last epoch (drop its commit record + crc):
+    // the batchId-deterministic overwrite must not duplicate rows
+    import scala.jdk.CollectionConverters._
+    val last = Files.list(Paths.get(ckpt, "commits")).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toInt)
+    Files.delete(last)
+    Files.deleteIfExists(
+      last.resolveSibling("." + last.getFileName.toString + ".crc"))
+    val q3 = FileIngest.csvToParquet(spark, inDir.toString, outDir, ckpt,
+      blockSchema, MetricTransformers.block)
+    FileIngest.runOnce(q3)
+    assert(spark.read.parquet(outDir).count() == 3,
+      "a replayed epoch must overwrite its own output, not append to it")
   }
 
   test("jsonl ingest: clean rows land as parquet, corrupt lines quarantine, exactly-once") {
