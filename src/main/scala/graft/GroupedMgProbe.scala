@@ -116,7 +116,11 @@ object GroupedMgProbe {
     // domain. (Records count partials, not counters; each partial holds
     // ≤ k counters.)
     val scanParts = toks.rdd.getNumPartitions.toLong
-    val mgBound = groups.toLong * (scanParts max cores.toLong)
+    // bound = one k-capped partial per (map partition, group) for the
+    // MG exchange, PLUS the model-sized second exchange of the summary
+    // roll-up (one record per reduce partition per agg column — bounded
+    // by a small multiple of the partition count, NOT by the data)
+    val mgBound = groups.toLong * (scanParts max cores.toLong) + 64L * cores
     assert(mg.shuffleRecords <= mgBound,
       s"MG shuffle records ${mg.shuffleRecords} exceed groups×partitions $mgBound")
     assert(mg.shuffleBytes < exact.shuffleBytes,

@@ -269,16 +269,24 @@ object FrameMaintenance {
       k: Int, targetRecallFp: Long, nlist: Int, iters: Int = 2,
       candidates: Seq[Int] = Seq(1, 2, 4, 8, 16))
       : (Seq[(String, DataFrame)], IvfRollDecision) = {
+    import graft.QueryCaches.Pinned
     import graft.ext.SimilarityOps
     val deepest = candidates.max
+    // the exact ground truth is MODEL-INDEPENDENT: one pinned
+    // brute-force pass serves both the frozen measurement and the
+    // post-refit one (review finding — the loop paid it twice)
+    val exact = SimilarityOps.bruteForceTopK(sampleQueries, newVecs, k)
+      .select("qid", "cid").pin()
     def recallAtDeepest(model: SimilarityOps.IvfModel): Long =
-      SimilarityOps.tuneIvfNprobe(sampleQueries, newVecs, model, k,
+      SimilarityOps.tuneIvfNprobeWithExact(exact, sampleQueries, model, k,
           targetRecallFp, candidates)
         .filter(col("nprobe") === deepest)
         .select("recall_fp").head().getLong(0)
     val frozen = SimilarityOps.ivfFitCached(oldDir, oldVecs, nlist, iters)
+    // pinned: the non-refit path evaluates the rolled assignment twice
+    // (recall measurement, then publish)
     val rolledModel = SimilarityOps.IvfModel(frozen.centroids,
-      rolledIvfAssignment(frozen, oldVecs, newVecs))
+      rolledIvfAssignment(frozen, oldVecs, newVecs).pin())
     val frozenRecall = recallAtDeepest(rolledModel)
     val refit = frozenRecall < targetRecallFp
     val finalModel =

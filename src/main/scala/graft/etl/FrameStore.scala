@@ -112,6 +112,15 @@ object FrameStore {
     * rebuilds. No wedge, no wrong rows; the cost is one rebuild. */
   private def fileSystemFor(s: SparkSession, root: String): FileSystem = {
     val conf = s.sessionState.newHadoopConf()
+    // both spellings: HADOOP-19256 shipped the gate as
+    // fs.s3a.create.conditional.enabled; set the bare key too for
+    // forward-compatibility. BEST-EFFORT: Hadoop caches FileSystem
+    // instances per (scheme, authority, UGI), so an s3a FS the session
+    // already opened (corpus reads) keeps its original conf — the flag
+    // reliably engages only when set in the CLUSTER config. Either way
+    // the degradation contract the spec pins (double-win converges,
+    // swept-marker self-heals) holds without it.
+    conf.setIfUnset("fs.s3a.create.conditional.enabled", "true")
     conf.setIfUnset("fs.s3a.create.conditional", "true")
     new HPath(root).getFileSystem(conf)
   }

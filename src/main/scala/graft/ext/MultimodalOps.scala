@@ -289,11 +289,13 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** [[renderPatternImage]] over a `(media_id, bits)` frame, emitting
-    * the `(media_id, kind, payload)` shape [[imageDhashes]] consumes —
-    * executor-side encode, same `mapPartitions` plumbing as the real
-    * decode stages. */
-  def renderPatternImages(df: DataFrame): DataFrame = {
+  /** Shared fixture-render plumbing for the media gates: a
+    * `(media_id, bits)` frame becomes the `(media_id, kind, payload)`
+    * shape the fingerprint stages consume — executor-side encode, same
+    * `mapPartitions` shape as the real decode stages. One body for the
+    * image and audio arms so schema/encoder changes cannot diverge. */
+  private def renderFixtures(df: DataFrame, kind: String,
+                             render: Long => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -305,9 +307,37 @@ object MultimodalOps {
         // same stage receives these objects directly (Spark elides the
         // serialize/deserialize pair) and reads fields BY NAME
         rows.map(r => new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          Array[Any](r.getLong(0), "image", renderPatternImage(r.getLong(1))), schema): Row)
+          Array[Any](r.getLong(0), kind, render(r.getLong(1))), schema): Row)
       }(enc)
   }
+
+  /** Shared fingerprint-stage plumbing: rows of the given `kind` get a
+    * 64-bit fingerprint in `outCol`; other kinds and undecodable
+    * payloads keep a null (auditable, never dropped silently). */
+  private def fingerprintStage(media: DataFrame, kind: String, outCol: String,
+                               fp: Array[Byte] => Option[Long]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField(outCol, LongType, nullable = true)))
+    val enc: Encoder[Row] = Encoders.row(schema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val nBytes = if (payload == null) 0 else payload.length
+          val v = if (r.getAs[String]("kind") == kind) fp(payload) else None
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
+            v.map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc)
+  }
+
+  /** [[renderPatternImage]] over a `(media_id, bits)` frame, emitting
+    * the `(media_id, kind, payload)` shape [[imageDhashes]] consumes. */
+  def renderPatternImages(df: DataFrame): DataFrame =
+    renderFixtures(df, "image", renderPatternImage)
 
   /** Row produced by the dHash stage. */
   val imageDhashSchema: StructType = StructType(Seq(
@@ -319,20 +349,8 @@ object MultimodalOps {
   /** dHash stage over the standard `mapPartitions` plumbing: image rows
     * get their 64-bit perceptual fingerprint; non-image/undecodable
     * rows keep a null dhash (auditable, never dropped silently). */
-  def imageDhashes(spark: SparkSession, media: DataFrame): DataFrame = {
-    val enc: Encoder[Row] = Encoders.row(imageDhashSchema)
-    media.select("media_id", "kind", "payload")
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val nBytes = if (payload == null) 0 else payload.length
-          val dh =
-            if (r.getAs[String]("kind") == "image") dhashImage(payload) else None
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
-            dh.map(java.lang.Long.valueOf).orNull)
-        }
-      }(enc)
-  }
+  def imageDhashes(spark: SparkSession, media: DataFrame): DataFrame =
+    fingerprintStage(media, "image", "dhash", dhashImage)
 
   /** Perceptual image near-dup pairs: dHash per image, then EXACTLY the
     * SimHash block machinery — the 64-bit fingerprint meets the
@@ -507,7 +525,13 @@ object MultimodalOps {
           cnts(g) += 1
           f += 1
         }
-        val big = cnts.max > 60000L
+        // cross-product overflow guard: sums(g) <= cnts(g)*channels*2^30
+        // (16-bit worst case), so sums(i)*cnts(j) <= cnt^2*channels*2^30;
+        // stay in Long only while that is provably under 2^62 — the old
+        // fixed 60k cutoff ignored CHANNELS and a >=3-channel 16-bit clip
+        // near the cutoff could wrap negative and silently flip bits
+        val cmax = cnts.max.toDouble
+        val big = cmax * cmax * channels * (1L << 30).toDouble >= (1L << 62).toDouble
         var out = 0L
         var i = 0
         while (i < 64) {
@@ -526,25 +550,8 @@ object MultimodalOps {
     * audio rows get their 64-bit loudness-delta fingerprint;
     * non-audio/undecodable rows keep a null (auditable, never dropped
     * silently). */
-  def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("afp", LongType, nullable = true)))
-    val enc: Encoder[Row] = Encoders.row(schema)
-    media.select("media_id", "kind", "payload")
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val nBytes = if (payload == null) 0 else payload.length
-          val fp =
-            if (r.getAs[String]("kind") == "audio") audioFingerprint(payload) else None
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
-            fp.map(java.lang.Long.valueOf).orNull)
-        }
-      }(enc)
-  }
+  def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame =
+    fingerprintStage(media, "audio", "afp", audioFingerprint)
 
   /** Perceptual audio near-dup pairs: [[audioFingerprint]] per clip,
     * then EXACTLY the SimHash block machinery ([[imageNearDupPairs]]'s
@@ -610,18 +617,8 @@ object MultimodalOps {
 
   /** [[renderToneWav]] over a `(media_id, bits)` frame, emitting the
     * `(media_id, kind, payload)` shape [[audioFingerprints]] consumes. */
-  def renderToneWavs(df: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = true)))
-    val enc: Encoder[Row] = Encoders.row(schema)
-    df.select(col("media_id").cast(LongType), col("bits").cast(LongType))
-      .mapPartitions { rows =>
-        rows.map(r => new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          Array[Any](r.getLong(0), "audio", renderToneWav(r.getLong(1))), schema): Row)
-      }(enc)
-  }
+  def renderToneWavs(df: DataFrame): DataFrame =
+    renderFixtures(df, "audio", renderToneWav)
 
   /** Audio decode/feature stage over the same `mapPartitions` plumbing
     * as `extractImageFeatures`. Non-audio kinds and undecodable payloads

@@ -595,10 +595,20 @@ object SimilarityOps {
     * exactly like the fit itself. */
   def tuneIvfNprobe(sampleQueries: DataFrame, corpus: DataFrame,
                     model: IvfModel, k: Int, targetRecallFp: Long,
-                    candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+                    candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame =
+    tuneIvfNprobeWithExact(
+      bruteForceTopK(sampleQueries, corpus, k).select("qid", "cid")
+        .pin(), // sample-sized, but repeated calibrations must be drain()-able
+      sampleQueries, model, k, targetRecallFp, candidates)
+
+  /** [[tuneIvfNprobe]] against a PRECOMPUTED exact top-k frame — the
+    * ground truth is model-independent, so a caller measuring several
+    * candidate indexes over one corpus (the drift→refit maintenance
+    * loop) pays the brute-force pass once instead of per model. */
+  def tuneIvfNprobeWithExact(exact: DataFrame, sampleQueries: DataFrame,
+                             model: IvfModel, k: Int, targetRecallFp: Long,
+                             candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
     val nlist = model.centroids.length.toLong
-    val exact = bruteForceTopK(sampleQueries, corpus, k).select("qid", "cid")
-      .pin() // sample-sized, but repeated calibrations must be drain()-able
     val arms = candidates.map { np =>
       exact.join(ivfTopK(sampleQueries, model, k, np).select("qid", "cid"),
           Seq("qid", "cid"), "left_semi")
