@@ -553,6 +553,37 @@ object MultimodalOps {
   def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame =
     fingerprintStage(media, "audio", "afp", audioFingerprint)
 
+  /** ONE ingest-time fingerprint pass over MIXED media: image rows get
+    * [[dhashImage]], audio rows [[audioFingerprint]], anything else —
+    * and every undecodable payload — an auditable null `fingerprint`.
+    * Stateless, so it composes identically into batch jobs and
+    * Structured Streaming ingest (see
+    * [[graft.streaming.StreamingPrep.fingerprintMedia]]); a downstream
+    * exact-dup gate keys on (kind, fingerprint), the near-dup path
+    * feeds the same column to the guarded block join. */
+  def mediaFingerprints(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("fingerprint", LongType, nullable = true)))
+    val enc: Encoder[Row] = Encoders.row(schema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val nBytes = if (payload == null) 0 else payload.length
+          val v = r.getAs[String]("kind") match {
+            case "image" => dhashImage(payload)
+            case "audio" => audioFingerprint(payload)
+            case _       => None
+          }
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
+            v.map(java.lang.Long.valueOf).orNull)
+        }
+      }(enc)
+  }
+
   /** Perceptual audio near-dup pairs: [[audioFingerprint]] per clip,
     * then EXACTLY the SimHash block machinery ([[imageNearDupPairs]]'s
     * contract — one similarity engine, three signal sources). Returns

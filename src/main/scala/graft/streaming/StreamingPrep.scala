@@ -51,6 +51,16 @@ object StreamingPrep {
       .filter(size(col("blocklist_ids")) === 0)
       .drop("blocklist_ids")
 
+  /** Stateless media fingerprinting at INGEST
+    * ([[graft.ext.MultimodalOps.mediaFingerprints]] on a streaming
+    * frame): image rows get their perceptual dHash, audio rows their
+    * loudness-delta fingerprint, in ONE decode pass at the door — the
+    * key a later exact-dup gate (first-seen on (kind, fingerprint) via
+    * [[StreamingDedup]]) or near-dup block join consumes. Expects
+    * `(media_id, kind, payload)`. */
+  def fingerprintMedia(df: DataFrame): DataFrame =
+    graft.ext.MultimodalOps.mediaFingerprints(df)
+
   /** Full streaming prep: gates → redaction → stateful first-seen
     * dedup on the redacted digest. Append-mode output. */
   def cleanStream(df: DataFrame, minQuality: Double = 0.3,

@@ -118,4 +118,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.text(quarDir).count() == 2,
       "a replayed epoch must not duplicate quarantine lines")
   }
+
+  test("media fingerprints at INGEST: streaming equals batch across micro-batch boundaries") {
+    import graft.ext.MultimodalOps
+    import org.apache.spark.sql.Row
+    // mixed media: two images (one a pixel-twin of the other), one
+    // audio clip, one garbage payload, one video (stubbed kind)
+    val rows = Seq(
+      Row(1L, "image", MultimodalOps.renderPatternImage(0x0123456789abcdefL)),
+      Row(2L, "image", MultimodalOps.renderPatternImage(0x0123456789abcdefL)),
+      Row(3L, "audio", MultimodalOps.renderToneWav(0x0fedcba987654321L)),
+      Row(4L, "image", Array.fill[Byte](16)(42)), // undecodable
+      Row(5L, "video", Array.fill[Byte](16)(1)))  // no fingerprint path
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    def fps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (if (r.isNullAt(r.fieldIndex("fingerprint"))) None
+         else Some(r.getAs[Long]("fingerprint")))).toMap
+    val batchFps = fps(graft.ext.MultimodalOps.mediaFingerprints(media))
+    assert(batchFps(1L).isDefined && batchFps(1L) == batchFps(2L),
+      "pixel-identical images must fingerprint identically")
+    assert(batchFps(3L).isDefined)
+    assert(batchFps(4L).isEmpty && batchFps(5L).isEmpty,
+      "undecodable/unfingerprintable rows keep an auditable null")
+
+    val dir = Files.createTempDirectory("graft_smedia")
+    media.filter(col("media_id") <= 2).repartition(1)
+      .write.parquet(dir.resolve("in/p1").toString)
+    media.filter(col("media_id") > 2).repartition(1)
+      .write.parquet(dir.resolve("in/p2").toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.resolve("in/*").toString)
+    val q = graft.streaming.StreamingPrep.fingerprintMedia(stream)
+      .writeStream.format("parquet")
+      .option("path", dir.resolve("out").toString)
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(fps(spark.read.parquet(dir.resolve("out").toString)) == batchFps,
+      "the stateless fingerprint stage must be boundary-independent")
+  }
 }
