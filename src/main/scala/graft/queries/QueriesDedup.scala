@@ -2112,7 +2112,74 @@ private[graft] object QueriesDedup {
              |  SELECT doc_id, ${audioFpHalfSql(1)} AS d1,
              |    ${audioFpHalfSql(0)} AS d2 FROM hp),
              |$simhashGuardReplaySql""".stripMargin)),
+
+    Q("q209_media_fingerprint_gate",
+      (s, dir) => {
+        // The MIXED-media ingest fingerprint pass
+        // (MultimodalOps.mediaFingerprints — what StreamingPrep
+        // .fingerprintMedia runs at the door) driver-gated: one corpus
+        // where doc_id%3 picks the modality — image rows render real
+        // BMPs, audio rows real WAVs (both closed-form fixtures over
+        // the q206/q208 pattern bits), video rows carry an opaque
+        // payload with no fingerprint path. The ONE output column
+        // carries dHash for images, the loudness-delta fingerprint for
+        // audio, and an auditable NULL for video — so the hash gate
+        // pins the kind DISPATCH itself on top of both codec paths.
+        val base = tp(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            PortableHash.prefix64(
+              concat(lit("medcls:"),
+                pmod(col("doc_id"), lit(9)).cast("string"))).as("bits0"))
+          .withColumn("bits", expr(
+            """CASE WHEN media_id % 4 = 1 AND media_id % 9 < 6
+              |THEN bits0 ^ shiftleft(cast(1 as bigint),
+              |                       cast(media_id % 64 as int))
+              |ELSE bits0 END""".stripMargin))
+        val media = MultimodalOps.renderPatternImages(
+            base.filter(pmod(col("media_id"), lit(3)) === 0))
+          .unionByName(MultimodalOps.renderToneWavs(
+            base.filter(pmod(col("media_id"), lit(3)) === 1)))
+          .unionByName(base.filter(pmod(col("media_id"), lit(3)) === 2)
+            .select(col("media_id"), lit("video").as("kind"),
+              lit(Array[Byte](9, 9, 9)).as("payload")))
+        MultimodalOps.mediaFingerprints(media)
+          .select(col("media_id"), col("kind"), col("fingerprint"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH d0 AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('medcls:' || CAST(doc_id % 9 AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             |    ('0x' || substr(md5('medcls:' || CAST(doc_id % 9 AS VARCHAR)), 9, 8))::BIGINT AS h2,
+             |    (doc_id % 4 = 1 AND doc_id % 9 < 6) AS flip,
+             |    doc_id % 64 AS p
+             |  FROM documents),
+             |hp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN flip AND p >= 32 THEN xor(h1, (1::BIGINT << (p - 32)))
+             |         ELSE h1 END AS h1,
+             |    CASE WHEN flip AND p < 32 THEN xor(h2, (1::BIGINT << p))
+             |         ELSE h2 END AS h2
+             |  FROM d0),
+             |fp AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS kind,
+             |    CASE doc_id % 3
+             |      WHEN 0 THEN ${signed64Sql(imageDhashHalfSql(1), imageDhashHalfSql(0))}
+             |      WHEN 1 THEN ${signed64Sql(audioFpHalfSql(1), audioFpHalfSql(0))}
+             |      ELSE NULL END AS fingerprint
+             |  FROM hp)
+             |SELECT doc_id AS media_id, kind,
+             |  CAST(fingerprint AS BIGINT) AS fingerprint
+             |FROM fp ORDER BY media_id""".stripMargin)),
   )
+
+  /** Recombine two 32-bit halves into ONE signed BIGINT without
+    * overflow in either engine: re-sign the high half into
+    * [−2³¹, 2³¹) first, so the ×2³² product spans exactly the signed
+    * 64-bit range (Spark-side this is just `(d1 << 32) | d2`). */
+  private def signed64Sql(hi: String, lo: String): String =
+    s"(($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + $lo)"
 
   /** DuckDB SQL for one 32-bit half of a 64-bit pattern-comparison
     * signature whose source bits live in columns `h1` (bits 63..32)
