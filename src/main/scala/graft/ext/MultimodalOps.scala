@@ -294,28 +294,31 @@ object MultimodalOps {
     * shape the fingerprint stages consume — executor-side encode, same
     * `mapPartitions` shape as the real decode stages. One body for the
     * image and audio arms so schema/encoder changes cannot diverge. */
-  private def renderFixtures(df: DataFrame, kind: String,
-                             render: Long => Array[Byte]): DataFrame = {
+  private def renderFixtures(df: DataFrame,
+                             render: (String, Long) => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc: Encoder[Row] = Encoders.row(schema)
-    df.select(col("media_id").cast(LongType), col("bits").cast(LongType))
+    df.select(col("media_id").cast(LongType), col("kind").cast(StringType),
+        col("bits").cast(LongType))
       .mapPartitions { rows =>
         // schema-ful rows: a downstream mapPartitions fused into the
         // same stage receives these objects directly (Spark elides the
         // serialize/deserialize pair) and reads fields BY NAME
         rows.map(r => new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-          Array[Any](r.getLong(0), kind, render(r.getLong(1))), schema): Row)
+          Array[Any](r.getLong(0), r.getString(1),
+            render(r.getString(1), r.getLong(2))), schema): Row)
       }(enc)
   }
 
-  /** Shared fingerprint-stage plumbing: rows of the given `kind` get a
-    * 64-bit fingerprint in `outCol`; other kinds and undecodable
-    * payloads keep a null (auditable, never dropped silently). */
-  private def fingerprintStage(media: DataFrame, kind: String, outCol: String,
-                               fp: Array[Byte] => Option[Long]): DataFrame = {
+  /** Shared fingerprint-stage plumbing: the per-row `fp` dispatches on
+    * kind; kinds it declines and undecodable payloads keep a null in
+    * `outCol` (auditable, never dropped silently). ONE body for the
+    * single-kind stages AND the mixed ingest pass. */
+  private def fingerprintStage(media: DataFrame, outCol: String,
+                               fp: (String, Array[Byte]) => Option[Long]): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -327,7 +330,7 @@ object MultimodalOps {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val nBytes = if (payload == null) 0 else payload.length
-          val v = if (r.getAs[String]("kind") == kind) fp(payload) else None
+          val v = fp(r.getAs[String]("kind"), payload)
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
             v.map(java.lang.Long.valueOf).orNull)
         }
@@ -337,7 +340,8 @@ object MultimodalOps {
   /** [[renderPatternImage]] over a `(media_id, bits)` frame, emitting
     * the `(media_id, kind, payload)` shape [[imageDhashes]] consumes. */
   def renderPatternImages(df: DataFrame): DataFrame =
-    renderFixtures(df, "image", renderPatternImage)
+    renderFixtures(df.withColumn("kind", lit("image")),
+      (_, b) => renderPatternImage(b))
 
   /** Row produced by the dHash stage. */
   val imageDhashSchema: StructType = StructType(Seq(
@@ -350,7 +354,8 @@ object MultimodalOps {
     * get their 64-bit perceptual fingerprint; non-image/undecodable
     * rows keep a null dhash (auditable, never dropped silently). */
   def imageDhashes(spark: SparkSession, media: DataFrame): DataFrame =
-    fingerprintStage(media, "image", "dhash", dhashImage)
+    fingerprintStage(media, "dhash",
+      (k, p) => if (k == "image") dhashImage(p) else None)
 
   /** Perceptual image near-dup pairs: dHash per image, then EXACTLY the
     * SimHash block machinery — the 64-bit fingerprint meets the
@@ -551,7 +556,8 @@ object MultimodalOps {
     * non-audio/undecodable rows keep a null (auditable, never dropped
     * silently). */
   def audioFingerprints(spark: SparkSession, media: DataFrame): DataFrame =
-    fingerprintStage(media, "audio", "afp", audioFingerprint)
+    fingerprintStage(media, "afp",
+      (k, p) => if (k == "audio") audioFingerprint(p) else None)
 
   /** ONE ingest-time fingerprint pass over MIXED media: image rows get
     * [[dhashImage]], audio rows [[audioFingerprint]], anything else —
@@ -561,28 +567,12 @@ object MultimodalOps {
     * [[graft.streaming.StreamingPrep.fingerprintMedia]]); a downstream
     * exact-dup gate keys on (kind, fingerprint), the near-dup path
     * feeds the same column to the guarded block join. */
-  def mediaFingerprints(media: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("fingerprint", LongType, nullable = true)))
-    val enc: Encoder[Row] = Encoders.row(schema)
-    media.select("media_id", "kind", "payload")
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val nBytes = if (payload == null) 0 else payload.length
-          val v = r.getAs[String]("kind") match {
-            case "image" => dhashImage(payload)
-            case "audio" => audioFingerprint(payload)
-            case _       => None
-          }
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
-            v.map(java.lang.Long.valueOf).orNull)
-        }
-      }(enc)
-  }
+  def mediaFingerprints(media: DataFrame): DataFrame =
+    fingerprintStage(media, "fingerprint", {
+      case ("image", p) => dhashImage(p)
+      case ("audio", p) => audioFingerprint(p)
+      case _            => None
+    })
 
   /** Perceptual audio near-dup pairs: [[audioFingerprint]] per clip,
     * then EXACTLY the SimHash block machinery ([[imageNearDupPairs]]'s
@@ -649,7 +639,20 @@ object MultimodalOps {
   /** [[renderToneWav]] over a `(media_id, bits)` frame, emitting the
     * `(media_id, kind, payload)` shape [[audioFingerprints]] consumes. */
   def renderToneWavs(df: DataFrame): DataFrame =
-    renderFixtures(df, "audio", renderToneWav)
+    renderFixtures(df.withColumn("kind", lit("audio")),
+      (_, b) => renderToneWav(b))
+
+  /** Mixed gate fixture over a `(media_id, kind, bits)` frame — ONE
+    * render pass: image/audio rows get their closed-form fixture, any
+    * other kind a small opaque payload (no fingerprint path). Built for
+    * q209, which gates [[mediaFingerprints]]' kind dispatch without
+    * scanning the corpus once per modality. */
+  def renderMixedFixtures(df: DataFrame): DataFrame =
+    renderFixtures(df, {
+      case ("image", b) => renderPatternImage(b)
+      case ("audio", b) => renderToneWav(b)
+      case _            => Array[Byte](9, 9, 9)
+    })
 
   /** Audio decode/feature stage over the same `mapPartitions` plumbing
     * as `extractImageFeatures`. Non-audio kinds and undecodable payloads

@@ -2027,16 +2027,7 @@ private[graft] object QueriesDedup {
         // encode, ImageIO decode, luma/grid arithmetic, banding, or
         // the guard. Pigeonhole completeness: maxHamming 6 < bands 8.
         val media = MultimodalOps.renderPatternImages(
-          tp(s, dir, "documents")
-            .select(col("doc_id").as("media_id"),
-              PortableHash.prefix64(
-                concat(lit("imgcls:"),
-                  pmod(col("doc_id"), lit(9)).cast("string"))).as("bits0"))
-            .withColumn("bits", expr(
-              """CASE WHEN media_id % 4 = 1 AND media_id % 9 < 6
-                |THEN bits0 ^ shiftleft(cast(1 as bigint),
-                |                       cast(media_id % 64 as int))
-                |ELSE bits0 END""".stripMargin)))
+          patternBitsFixture(s, dir, "imgcls"))
         MultimodalOps.imageNearDupPairs(s, media, maxHamming = 6,
             bands = 8, maxBucketSize = 8)
           .select(col("id_a"), col("id_b"),
@@ -2044,20 +2035,7 @@ private[graft] object QueriesDedup {
             col("capped").cast(IntegerType).as("capped"))
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH d0 AS (
-             |  SELECT doc_id,
-             |    ('0x' || substr(md5('imgcls:' || CAST(doc_id % 9 AS VARCHAR)), 1, 8))::BIGINT AS h1,
-             |    ('0x' || substr(md5('imgcls:' || CAST(doc_id % 9 AS VARCHAR)), 9, 8))::BIGINT AS h2,
-             |    (doc_id % 4 = 1 AND doc_id % 9 < 6) AS flip,
-             |    doc_id % 64 AS p
-             |  FROM documents),
-             |hp AS (
-             |  SELECT doc_id,
-             |    CASE WHEN flip AND p >= 32 THEN xor(h1, (1::BIGINT << (p - 32)))
-             |         ELSE h1 END AS h1,
-             |    CASE WHEN flip AND p < 32 THEN xor(h2, (1::BIGINT << p))
-             |         ELSE h2 END AS h2
-             |  FROM d0),
+      Some(s"""WITH ${patternFixtureCtesSql("imgcls")},
              |dh AS MATERIALIZED (
              |  SELECT doc_id, ${imageDhashHalfSql(1)} AS d1,
              |    ${imageDhashHalfSql(0)} AS d2 FROM hp),
@@ -2077,16 +2055,7 @@ private[graft] object QueriesDedup {
         // the fingerprint's frame 64 WRAPS to pattern bit 0, so the
         // closed form (and the gate) covers the wraparound bit too.
         val media = MultimodalOps.renderToneWavs(
-          tp(s, dir, "documents")
-            .select(col("doc_id").as("media_id"),
-              PortableHash.prefix64(
-                concat(lit("audcls:"),
-                  pmod(col("doc_id"), lit(9)).cast("string"))).as("bits0"))
-            .withColumn("bits", expr(
-              """CASE WHEN media_id % 4 = 1 AND media_id % 9 < 6
-                |THEN bits0 ^ shiftleft(cast(1 as bigint),
-                |                       cast(media_id % 64 as int))
-                |ELSE bits0 END""".stripMargin)))
+          patternBitsFixture(s, dir, "audcls"))
         MultimodalOps.audioNearDupPairs(s, media, maxHamming = 6,
             bands = 8, maxBucketSize = 8)
           .select(col("id_a"), col("id_b"),
@@ -2094,20 +2063,7 @@ private[graft] object QueriesDedup {
             col("capped").cast(IntegerType).as("capped"))
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH d0 AS (
-             |  SELECT doc_id,
-             |    ('0x' || substr(md5('audcls:' || CAST(doc_id % 9 AS VARCHAR)), 1, 8))::BIGINT AS h1,
-             |    ('0x' || substr(md5('audcls:' || CAST(doc_id % 9 AS VARCHAR)), 9, 8))::BIGINT AS h2,
-             |    (doc_id % 4 = 1 AND doc_id % 9 < 6) AS flip,
-             |    doc_id % 64 AS p
-             |  FROM documents),
-             |hp AS (
-             |  SELECT doc_id,
-             |    CASE WHEN flip AND p >= 32 THEN xor(h1, (1::BIGINT << (p - 32)))
-             |         ELSE h1 END AS h1,
-             |    CASE WHEN flip AND p < 32 THEN xor(h2, (1::BIGINT << p))
-             |         ELSE h2 END AS h2
-             |  FROM d0),
+      Some(s"""WITH ${patternFixtureCtesSql("audcls")},
              |dh AS MATERIALIZED (
              |  SELECT doc_id, ${audioFpHalfSql(1)} AS d1,
              |    ${audioFpHalfSql(0)} AS d2 FROM hp),
@@ -2125,50 +2081,29 @@ private[graft] object QueriesDedup {
         // carries dHash for images, the loudness-delta fingerprint for
         // audio, and an auditable NULL for video — so the hash gate
         // pins the kind DISPATCH itself on top of both codec paths.
-        val base = tp(s, dir, "documents")
-          .select(col("doc_id").as("media_id"),
-            PortableHash.prefix64(
-              concat(lit("medcls:"),
-                pmod(col("doc_id"), lit(9)).cast("string"))).as("bits0"))
-          .withColumn("bits", expr(
-            """CASE WHEN media_id % 4 = 1 AND media_id % 9 < 6
-              |THEN bits0 ^ shiftleft(cast(1 as bigint),
-              |                       cast(media_id % 64 as int))
-              |ELSE bits0 END""".stripMargin))
-        val media = MultimodalOps.renderPatternImages(
-            base.filter(pmod(col("media_id"), lit(3)) === 0))
-          .unionByName(MultimodalOps.renderToneWavs(
-            base.filter(pmod(col("media_id"), lit(3)) === 1)))
-          .unionByName(base.filter(pmod(col("media_id"), lit(3)) === 2)
-            .select(col("media_id"), lit("video").as("kind"),
-              lit(Array[Byte](9, 9, 9)).as("payload")))
+        val media = MultimodalOps.renderMixedFixtures(
+          patternBitsFixture(s, dir, "medcls")
+            .withColumn("kind", expr(
+              """CASE media_id % 3 WHEN 0 THEN 'image'
+                |WHEN 1 THEN 'audio' ELSE 'video' END""".stripMargin)))
         MultimodalOps.mediaFingerprints(media)
           .select(col("media_id"), col("kind"), col("fingerprint"))
           .orderBy("media_id")
       },
-      Some(s"""WITH d0 AS (
-             |  SELECT doc_id,
-             |    ('0x' || substr(md5('medcls:' || CAST(doc_id % 9 AS VARCHAR)), 1, 8))::BIGINT AS h1,
-             |    ('0x' || substr(md5('medcls:' || CAST(doc_id % 9 AS VARCHAR)), 9, 8))::BIGINT AS h2,
-             |    (doc_id % 4 = 1 AND doc_id % 9 < 6) AS flip,
-             |    doc_id % 64 AS p
-             |  FROM documents),
-             |hp AS (
-             |  SELECT doc_id,
-             |    CASE WHEN flip AND p >= 32 THEN xor(h1, (1::BIGINT << (p - 32)))
-             |         ELSE h1 END AS h1,
-             |    CASE WHEN flip AND p < 32 THEN xor(h2, (1::BIGINT << p))
-             |         ELSE h2 END AS h2
-             |  FROM d0),
+      Some(s"""WITH ${patternFixtureCtesSql("medcls")},
+             |dhimg AS (
+             |  SELECT doc_id, ${imageDhashHalfSql(1)} AS d1,
+             |    ${imageDhashHalfSql(0)} AS d2 FROM hp WHERE doc_id % 3 = 0),
+             |dhaud AS (
+             |  SELECT doc_id, ${audioFpHalfSql(1)} AS d1,
+             |    ${audioFpHalfSql(0)} AS d2 FROM hp WHERE doc_id % 3 = 1),
              |fp AS (
-             |  SELECT doc_id,
-             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |      ELSE 'video' END AS kind,
-             |    CASE doc_id % 3
-             |      WHEN 0 THEN ${signed64Sql(imageDhashHalfSql(1), imageDhashHalfSql(0))}
-             |      WHEN 1 THEN ${signed64Sql(audioFpHalfSql(1), audioFpHalfSql(0))}
-             |      ELSE NULL END AS fingerprint
-             |  FROM hp)
+             |  SELECT doc_id, 'image' AS kind,
+             |    ${signed64Sql("d1", "d2")} AS fingerprint FROM dhimg
+             |  UNION ALL SELECT doc_id, 'audio',
+             |    ${signed64Sql("d1", "d2")} FROM dhaud
+             |  UNION ALL SELECT doc_id, 'video', NULL FROM hp
+             |  WHERE doc_id % 3 = 2)
              |SELECT doc_id AS media_id, kind,
              |  CAST(fingerprint AS BIGINT) AS fingerprint
              |FROM fp ORDER BY media_id""".stripMargin)),
@@ -2180,6 +2115,43 @@ private[graft] object QueriesDedup {
     * 64-bit range (Spark-side this is just `(d1 << 32) | d2`). */
   private def signed64Sql(hi: String, lo: String): String =
     s"(($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + $lo)"
+
+  /** Shared gate-fixture pattern bits for q206/q208/q209: class
+    * pattern from a portable md5 prefix over `salt:<doc_id%9>` (9
+    * oversized duplicate classes at gate scale), ONE bit flipped for
+    * doc_id%4==1 in classes 0–5 (near-dups that exercise the verify;
+    * classes 6–8 stay pure for the star arm). Returns
+    * (media_id, bits). */
+  private def patternBitsFixture(s: SparkSession, dir: String,
+                                 salt: String): DataFrame =
+    tp(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        PortableHash.prefix64(
+          concat(lit(s"$salt:"),
+            pmod(col("doc_id"), lit(9)).cast("string"))).as("bits0"))
+      .withColumn("bits", expr(
+        """CASE WHEN media_id % 4 = 1 AND media_id % 9 < 6
+          |THEN bits0 ^ shiftleft(cast(1 as bigint),
+          |                       cast(media_id % 64 as int))
+          |ELSE bits0 END""".stripMargin))
+
+  /** The oracle twin of [[patternBitsFixture]]: CTEs `d0`/`hp` exposing
+    * the post-flip pattern halves `h1` (bits 63..32) / `h2` (31..0). */
+  private def patternFixtureCtesSql(salt: String): String =
+    s"""d0 AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$salt:' || CAST(doc_id % 9 AS VARCHAR)), 1, 8))::BIGINT AS h1,
+       |    ('0x' || substr(md5('$salt:' || CAST(doc_id % 9 AS VARCHAR)), 9, 8))::BIGINT AS h2,
+       |    (doc_id % 4 = 1 AND doc_id % 9 < 6) AS flip,
+       |    doc_id % 64 AS p
+       |  FROM documents),
+       |hp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN flip AND p >= 32 THEN xor(h1, (1::BIGINT << (p - 32)))
+       |         ELSE h1 END AS h1,
+       |    CASE WHEN flip AND p < 32 THEN xor(h2, (1::BIGINT << p))
+       |         ELSE h2 END AS h2
+       |  FROM d0)""".stripMargin
 
   /** DuckDB SQL for one 32-bit half of a 64-bit pattern-comparison
     * signature whose source bits live in columns `h1` (bits 63..32)
