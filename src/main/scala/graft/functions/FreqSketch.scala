@@ -48,36 +48,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-positive.
   */
 final class MGSummary(val k: Int) {
-  private[functions] val m = new JHashMap[String, java.lang.Long](16)
-  private val buckets = new JHashMap[java.lang.Long, java.util.HashSet[String]]()
+  // keyed on UTF8String, NOT String: the aggregate's hot path receives
+  // a TRANSIENT UTF8String per input row (backed by row memory Spark
+  // reuses), and UTF8String's value-based equals/hashCode let the
+  // tracked-item lookup run ZERO-COPY — the key is cloned only when it
+  // is actually inserted, so the per-row String decode (one allocation
+  // + copy per input row) and the eval/serialize re-encode are gone.
+  // The remaining per-row cost is the map/bucket maintenance itself,
+  // which is the algorithm, not overhead.
+  /** Counter cell: carries the OWNED key so the hot hit path never
+    * stores the caller's transient key anywhere, and bumps mutate in
+    * place (no boxing, no map put). */
+  private final class Cnt(val key: UTF8String, var stored: Long)
+
+  private val m = new JHashMap[UTF8String, Cnt](16)
+  private val buckets = new JHashMap[java.lang.Long, java.util.HashSet[UTF8String]]()
   private[functions] var total = 0L   // items observed (weight)
   private[functions] var floor = 0L   // cumulative decrement = error bound
 
-  private def bucketAdd(v: Long, item: String): Unit = {
+  private def bucketAdd(v: Long, item: UTF8String): Unit = {
     var s = buckets.get(v)
-    if (s == null) { s = new java.util.HashSet[String](4); buckets.put(v, s) }
+    if (s == null) { s = new java.util.HashSet[UTF8String](4); buckets.put(v, s) }
     s.add(item)
   }
 
-  private def bucketRemove(v: Long, item: String): Unit = {
+  private def bucketRemove(v: Long, item: UTF8String): Unit = {
     val s = buckets.get(v)
     if (s != null) { s.remove(item); if (s.isEmpty) buckets.remove(v) }
   }
 
-  private[functions] def put(item: String, stored: Long): Unit = {
-    m.put(item, stored)
+  /** `item` must be OWNED by this summary (cloned/fresh). */
+  private[functions] def put(item: UTF8String, stored: Long): Unit = {
+    m.put(item, new Cnt(item, stored))
     bucketAdd(stored, item)
   }
 
-  def add(item: String): Unit = {
+  def add(item: String): Unit = addUtf8(UTF8String.fromString(item))
+
+  /** Hot-path add: `item` may be TRANSIENT (row-backed memory Spark
+    * reuses); the tracked-item lookup is zero-copy via UTF8String's
+    * value equality, and the key is cloned ONLY on the insert arm. */
+  def addUtf8(item: UTF8String): Unit = {
     total += 1
-    val st = m.get(item)
-    if (st != null) {
-      val v = st.longValue()
-      m.put(item, v + 1L)
-      bucketRemove(v, item); bucketAdd(v + 1L, item)
-    } else if (m.size < k) put(item, floor + 1L)
-    else {
+    val c = m.get(item)
+    if (c != null) {
+      bucketRemove(c.stored, c.key)
+      c.stored += 1L
+      bucketAdd(c.stored, c.key)
+    } else if (m.size < k) {
+      val owned = item.clone()
+      put(owned, floor + 1L)
+    } else {
       // decrement-all: live values (stored − floor) all drop by one;
       // the stored == floor bucket is exactly the counters that hit 0
       floor += 1
@@ -89,15 +110,18 @@ final class MGSummary(val k: Int) {
     }
   }
 
+  /** Tracked-counter count — spec hook. */
+  private[functions] def trackedSize: Int = m.size
+
   /** Live (item, est) pairs, est > 0. */
-  private[functions] def live: Iterator[(String, Long)] =
-    m.entrySet().iterator().asScala.collect {
-      case e if e.getValue.longValue() > floor =>
-        (e.getKey, e.getValue.longValue() - floor)
+  private[functions] def live: Iterator[(UTF8String, Long)] =
+    m.values().iterator().asScala.collect {
+      case c if c.stored > floor => (c.key, c.stored - floor)
     }
 
   def mergeFrom(o: MGSummary): Unit = {
-    val combined = new JHashMap[String, java.lang.Long](m.size + o.m.size)
+    val combined = new JHashMap[UTF8String, java.lang.Long](
+      trackedSize + o.trackedSize)
     live.foreach { case (it, v) => combined.put(it, v) }
     o.live.foreach { case (it, v) =>
       val prev = combined.get(it)
@@ -137,17 +161,22 @@ final class MGSummary(val k: Int) {
     * consumer re-sorts relationally anyway; item asc here is plain
     * lexicographic, which coincides with engine binary order on the
     * ASCII tokens this summarizes. */
-  def sorted: Array[(String, Long)] = {
+  def sorted: Array[(String, Long)] =
+    sortedUtf8.map { case (it, v) => (it.toString, v) }
+
+  /** [[sorted]] without the String decode — the aggregate's eval path.
+    * Tie order is UTF8 binary ascending (identical to String order on
+    * the ASCII tokens this summarizes, and to engine sort order). */
+  private[functions] def sortedUtf8: Array[(UTF8String, Long)] = {
     val out = live.toArray
-    out.sortWith { case ((ia, va), (ib, vb)) => va > vb || (va == vb && ia < ib) }
+    out.sortWith { case ((ia, va), (ib, vb)) =>
+      va > vb || (va == vb && ia.compareTo(ib) < 0) }
   }
 
   def toBytes: Array[Byte] = {
     val items = live.toArray
     var size = 8 + 8 + 4
-    val encoded = items.map { case (it, v) =>
-      (it.getBytes(StandardCharsets.UTF_8), v)
-    }
+    val encoded = items.map { case (it, v) => (it.getBytes, v) }
     encoded.foreach { case (b, _) => size += 4 + b.length + 8 }
     val bb = ByteBuffer.allocate(size)
     bb.putLong(total); bb.putLong(floor); bb.putInt(encoded.length)
@@ -170,7 +199,7 @@ object MGSummary {
       val len = bb.getInt
       val b = new Array[Byte](len); bb.get(b)
       val v = bb.getLong
-      s.put(new String(b, StandardCharsets.UTF_8), s.floor + v)
+      s.put(UTF8String.fromBytes(b), s.floor + v)
       i += 1
     }
     s
@@ -205,7 +234,7 @@ case class MisraGriesAgg(
 
   override def update(b: MGSummary, input: InternalRow): MGSummary = {
     val it = itemExpr.eval(input)
-    if (it != null) b.add(it.asInstanceOf[UTF8String].toString)
+    if (it != null) b.addUtf8(it.asInstanceOf[UTF8String])
     b
   }
 
@@ -214,8 +243,8 @@ case class MisraGriesAgg(
   }
 
   override def eval(b: MGSummary): Any = {
-    val items = new GenericArrayData(b.sorted.map { case (it, v) =>
-      new GenericInternalRow(Array[Any](UTF8String.fromString(it), v))
+    val items = new GenericArrayData(b.sortedUtf8.map { case (it, v) =>
+      new GenericInternalRow(Array[Any](it, v))
     })
     new GenericInternalRow(Array[Any](b.total, b.floor, items))
   }
