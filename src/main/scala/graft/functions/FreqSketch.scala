@@ -4,8 +4,6 @@ import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 import java.util.{HashMap => JHashMap}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -37,15 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     full pipeline (the approximate regime is order-dependent like
   *     any MG and is pinned by property specs instead).
   *
-  * The decrement-all step is O(1) amortized via a floor offset plus a
-  * value-bucket index: stored counts are absolute, live value =
-  * stored − floor, and a full-map miss bumps the floor and evicts
-  * EXACTLY the newly-dead counters (the `stored == floor` bucket) —
-  * the classic stream-summary structure, preserving true MG semantics
-  * (each bump destroys one unit from all k live counters, so
-  * `err ≤ N/(k+1)`). Merge follows Agarwal et al. "Mergeable
-  * Summaries": sum live values, subtract the (k+1)-st largest, drop
-  * non-positive.
+  * The decrement-all step is O(1) amortized via a floor offset plus
+  * the classic stream-summary bucket layout (Metwally et al., "Efficient
+  * Computation of Frequent and Top-k Elements in Data Streams"): stored
+  * counts are absolute, live value = stored − floor, and a full-map
+  * miss bumps the floor and evicts EXACTLY the newly-dead counters
+  * (the `stored == floor` bucket) — preserving true MG semantics (each
+  * bump destroys one unit from all k live counters, so `err ≤
+  * N/(k+1)`). Merge follows Agarwal et al. "Mergeable Summaries": sum
+  * live values, subtract the (k+1)-st largest, drop non-positive.
   */
 final class MGSummary(val k: Int) {
   // keyed on UTF8String, NOT String: the aggregate's hot path receives
@@ -54,33 +52,82 @@ final class MGSummary(val k: Int) {
   // tracked-item lookup run ZERO-COPY — the key is cloned only when it
   // is actually inserted, so the per-row String decode (one allocation
   // + copy per input row) and the eval/serialize re-encode are gone.
-  // The remaining per-row cost is the map/bucket maintenance itself,
-  // which is the algorithm, not overhead.
+  //
+  // The value index is INTRUSIVE, not a HashMap[Long, HashSet]: cells
+  // are threaded through per-value buckets as a doubly-linked list,
+  // and the buckets themselves form a doubly-linked list ordered by
+  // value ascending. A hit moves its cell to the adjacent bucket (or
+  // bumps a sole-occupant bucket in place) with pointer writes only —
+  // no boxed-Long allocation, no second hash probe, no HashSet churn.
+  // A miss at capacity evicts the minimum bucket's cells directly.
+  // Per-arrival cost: one JHashMap probe + O(1) pointer work.
   /** Counter cell: carries the OWNED key so the hot hit path never
-    * stores the caller's transient key anywhere, and bumps mutate in
-    * place (no boxing, no map put). */
-  private final class Cnt(val key: UTF8String, var stored: Long)
+    * stores the caller's transient key anywhere. Its live count is its
+    * bucket's value; the cell itself holds only list linkage. */
+  private final class Cnt(val key: UTF8String) {
+    var bucket: Bucket = _
+    var prev: Cnt = _
+    var next: Cnt = _
+  }
+
+  /** One distinct stored-count value and the cells that hold it. */
+  private final class Bucket(var value: Long) {
+    var head: Cnt = _
+    var prev: Bucket = _   // toward smaller values
+    var next: Bucket = _   // toward larger values
+  }
 
   private val m = new JHashMap[UTF8String, Cnt](16)
-  private val buckets = new JHashMap[java.lang.Long, java.util.HashSet[UTF8String]]()
+  private var minBucket: Bucket = _
+  private var maxBucket: Bucket = _
   private[functions] var total = 0L   // items observed (weight)
   private[functions] var floor = 0L   // cumulative decrement = error bound
 
-  private def bucketAdd(v: Long, item: UTF8String): Unit = {
-    var s = buckets.get(v)
-    if (s == null) { s = new java.util.HashSet[UTF8String](4); buckets.put(v, s) }
-    s.add(item)
+  private def attach(c: Cnt, b: Bucket): Unit = {
+    c.bucket = b; c.prev = null; c.next = b.head
+    if (b.head != null) b.head.prev = c
+    b.head = c
   }
 
-  private def bucketRemove(v: Long, item: UTF8String): Unit = {
-    val s = buckets.get(v)
-    if (s != null) { s.remove(item); if (s.isEmpty) buckets.remove(v) }
+  private def detach(c: Cnt): Unit = {
+    val b = c.bucket
+    if (c.prev != null) c.prev.next = c.next else b.head = c.next
+    if (c.next != null) c.next.prev = c.prev
+    c.prev = null; c.next = null; c.bucket = null
   }
 
-  /** `item` must be OWNED by this summary (cloned/fresh). */
+  private def unlinkBucket(b: Bucket): Unit = {
+    if (b.prev != null) b.prev.next = b.next else minBucket = b.next
+    if (b.next != null) b.next.prev = b.prev else maxBucket = b.prev
+    b.prev = null; b.next = null
+  }
+
+  private def insertBucketAfter(b: Bucket, fresh: Bucket): Unit = {
+    fresh.prev = b; fresh.next = b.next
+    if (b.next != null) b.next.prev = fresh else maxBucket = fresh
+    b.next = fresh
+  }
+
+  private def insertBucketFront(fresh: Bucket): Unit = {
+    fresh.next = minBucket
+    if (minBucket != null) minBucket.prev = fresh else maxBucket = fresh
+    minBucket = fresh
+  }
+
+  /** `item` must be OWNED by this summary (cloned/fresh). General
+    * insert walking from the max bucket down — O(1) when callers
+    * insert in ascending stored order (merge rebuild, deserialize). */
   private[functions] def put(item: UTF8String, stored: Long): Unit = {
-    m.put(item, new Cnt(item, stored))
-    bucketAdd(stored, item)
+    val cell = new Cnt(item)
+    m.put(item, cell)
+    var b = maxBucket
+    while (b != null && b.value > stored) b = b.prev
+    if (b != null && b.value == stored) attach(cell, b)
+    else {
+      val fresh = new Bucket(stored)
+      if (b == null) insertBucketFront(fresh) else insertBucketAfter(b, fresh)
+      attach(cell, fresh)
+    }
   }
 
   def add(item: String): Unit = addUtf8(UTF8String.fromString(item))
@@ -92,20 +139,41 @@ final class MGSummary(val k: Int) {
     total += 1
     val c = m.get(item)
     if (c != null) {
-      bucketRemove(c.stored, c.key)
-      c.stored += 1L
-      bucketAdd(c.stored, c.key)
+      val b = c.bucket
+      val nb = b.next
+      val target = b.value + 1L
+      if (nb != null && nb.value == target) {
+        detach(c); attach(c, nb)
+        if (b.head == null) unlinkBucket(b)
+      } else if (c.prev == null && c.next == null) {
+        b.value = target    // sole occupant: bump the bucket in place
+      } else {
+        val fresh = new Bucket(target)
+        insertBucketAfter(b, fresh)
+        detach(c); attach(c, fresh)
+      }
     } else if (m.size < k) {
+      // a fresh counter enters at the minimum live value, floor + 1
       val owned = item.clone()
-      put(owned, floor + 1L)
+      val cell = new Cnt(owned)
+      m.put(owned, cell)
+      if (minBucket != null && minBucket.value == floor + 1L) {
+        attach(cell, minBucket)
+      } else {
+        val fresh = new Bucket(floor + 1L)
+        insertBucketFront(fresh)
+        attach(cell, fresh)
+      }
     } else {
       // decrement-all: live values (stored − floor) all drop by one;
-      // the stored == floor bucket is exactly the counters that hit 0
+      // the min bucket at stored == floor is exactly the counters that
+      // hit 0 (live values are always > floor by construction)
       floor += 1
-      val dead = buckets.remove(floor)
-      if (dead != null) {
-        val it = dead.iterator()
-        while (it.hasNext) m.remove(it.next())
+      val b = minBucket
+      if (b != null && b.value == floor) {
+        var cell = b.head
+        while (cell != null) { m.remove(cell.key); cell = cell.next }
+        unlinkBucket(b)
       }
     }
   }
@@ -113,11 +181,18 @@ final class MGSummary(val k: Int) {
   /** Tracked-counter count — spec hook. */
   private[functions] def trackedSize: Int = m.size
 
-  /** Live (item, est) pairs, est > 0. */
-  private[functions] def live: Iterator[(UTF8String, Long)] =
-    m.values().iterator().asScala.collect {
-      case c if c.stored > floor => (c.key, c.stored - floor)
+  /** Live (item, est) pairs, est > 0, in ascending-est order (bucket
+    * order) — which keeps serialize → deserialize rebuilds O(k). */
+  private[functions] def live: Iterator[(UTF8String, Long)] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[(UTF8String, Long)](m.size)
+    var b = minBucket
+    while (b != null) {
+      var c = b.head
+      while (c != null) { buf += ((c.key, b.value - floor)); c = c.next }
+      b = b.next
     }
+    buf.iterator
+  }
 
   def mergeFrom(o: MGSummary): Unit = {
     val combined = new JHashMap[UTF8String, java.lang.Long](
@@ -141,13 +216,20 @@ final class MGSummary(val k: Int) {
       floor += cut
     }
     m.clear()
-    buckets.clear()
+    minBucket = null
+    maxBucket = null
+    // rebuild in ascending-value order: each put() then lands at the
+    // tail bucket in O(1), keeping the merge O(k log k)
+    val entries = new scala.collection.mutable.ArrayBuffer[(UTF8String, Long)](
+      combined.size)
     val ei = combined.entrySet().iterator()
     while (ei.hasNext) {
       val e = ei.next()
       val v = e.getValue.longValue()
-      if (v > cut) put(e.getKey, floor + (v - cut))
+      if (v > cut) entries += ((e.getKey, v))
     }
+    entries.sortInPlaceBy(_._2)
+    entries.foreach { case (key, v) => put(key, floor + (v - cut)) }
   }
 
   /** Items observed (total weight), across merges. */
@@ -157,10 +239,16 @@ final class MGSummary(val k: Int) {
     * `est ≤ true ≤ est + errBound`, absent ⟹ `true ≤ errBound`. */
   def errBound: Long = floor
 
-  /** (item, est) pairs sorted est desc, item asc — a total order. The
-    * consumer re-sorts relationally anyway; item asc here is plain
-    * lexicographic, which coincides with engine binary order on the
-    * ASCII tokens this summarizes. */
+  /** (item, est) pairs sorted est desc, item asc — a total order.
+    *
+    * ORDERING CONTRACT: the item-ascending tiebreak is UTF-8 BINARY
+    * order (Unicode code-point order), not Java String order (UTF-16
+    * code-unit order). The two agree on ASCII — the tokens this
+    * summarizes — and on most of the BMP, but diverge between
+    * U+E000–U+FFFF and supplementary-plane characters (surrogate
+    * pairs sort low in UTF-16, high in code-point order). Consumers
+    * that need a specific non-ASCII tie order must re-sort; the
+    * engine's own relational sort is UTF-8 binary, i.e. this order. */
   def sorted: Array[(String, Long)] =
     sortedUtf8.map { case (it, v) => (it.toString, v) }
 
