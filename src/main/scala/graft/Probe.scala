@@ -58,6 +58,14 @@ object Probe {
         graft.ext.SignatureStore.update(spark,
           s.stripPrefix("adhoc:sigstore-update:"),
           Tables.load(spark, sfDir, "documents").select("doc_id", "text"))
+      // adhoc:ivffit — the PURE cold-fit price over the sfDir embeddings
+      // (nlist=16, 2 Lloyd rounds + full assignment), isolated from any
+      // query fixture: the number the sampled-fit claim is pinned on.
+      case "adhoc:ivffit" =>
+        import org.apache.spark.sql.functions.col
+        val corpus = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        graft.ext.SimilarityOps.ivfFit(corpus, nlist = 16).assigned
       case s if s.startsWith("adhoc:sigstore-pairs:") =>
         val sigs = graft.ext.SignatureStore
           .read(spark, s.stripPrefix("adhoc:sigstore-pairs:"))

@@ -345,17 +345,36 @@ object SimilarityOps {
   private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     graft.functions.VecExpressions.nearestCentroid(vec, centroids)
 
+  /** Lloyd-step corpus cap: the k-means refinement runs over a
+    * ~`ivfFitSampleCap`-row hash-threshold sample of the corpus, not
+    * the full corpus — centroid quality saturates long before the
+    * corpus does, and the full-corpus fit was the once-per-corpus cold
+    * price (measured 200 s at 5M×64). The sample is DETERMINISTIC and
+    * engine-portable (keep rows whose [[PortableHash.base]] falls
+    * below P/ceil(n/cap) — a pure filter, no sort, no shuffle), so the
+    * DuckDB oracle replays it exactly ([[
+    * graft.queries.QueryHelpers.ivfFitCtes]] carries the same WHERE);
+    * at gate scale ceil(n/cap) == 1, the threshold admits every row,
+    * and the fit is identical to the unsampled one. The FINAL
+    * assignment pass always covers the full corpus, and recall against
+    * a declared target stays measured, not assumed ([[tuneIvfNprobe]]
+    * gates acceptability; a miss triggers the q207 refit loop as
+    * before). */
+  val ivfFitSampleCap: Int = 262144
+
   /** Fit an IVF index: deterministic hash-ordered sample init, then
-    * `iters` spherical-k-means (Lloyd) refinement steps. Each step is
-    * ONE narrow corpus scan (assignment = broadcast-literal argmax) plus
+    * `iters` spherical-k-means (Lloyd) refinement steps over the
+    * [[ivfFitSampleCap]]-row hash-threshold sample. Each step is ONE
+    * narrow sample scan (assignment = broadcast-literal argmax) plus
     * a (nlist × dim)-row partial aggregate — no crossJoin, no
-    * full-corpus shuffle anywhere. Centroids are unit-normalized and
+    * full-corpus shuffle anywhere; only the final assignment pass
+    * touches the full corpus. Centroids are unit-normalized and
     * rounded to 6 decimals so refits are bit-deterministic.
     *
     * Every arithmetic step is ENGINE-PORTABLE, so the whole fit is
     * reproducible in DuckDB SQL (q41's oracle re-derives it):
-    *  - init sample order = [[PortableHash.base]] of the id (md5-based),
-    *    not xxhash64, with the id itself as tiebreak;
+    *  - sample + init order = [[PortableHash.base]] of the id
+    *    (md5-based), not xxhash64, with the id itself as tiebreak;
     *  - centroid ids = lexicographic (element-wise numeric) order of the
     *    rounded vectors — NOT a JVM toString sort;
     *  - cluster means accumulate fixed-point longs (floor(x·1e7)), an
@@ -375,6 +394,20 @@ object SimilarityOps {
       }
       a.length < b.length
     }
+    // Hash-THRESHOLD sample the Lloyd steps iterate over: keep rows
+    // with portable-hash(cid) < P/mod where mod = ceil(n/cap) — a
+    // rank-free narrow filter, deterministic and replayable in SQL.
+    // (A rank-exact ORDER BY+LIMIT prefix was measured first: its
+    // global sort + single-task GlobalLimit pull cost ~60 s per fit at
+    // 5M×64 — as much as the full-corpus fit it replaced.) mod == 1,
+    // the gate-scale case, short-circuits to the corpus itself; the
+    // one count() job is the price of sizing the threshold.
+    val mod = math.max(1L,
+      math.ceil(corpus.count().toDouble / ivfFitSampleCap).toLong)
+    val fitSample = (if (mod == 1L) corpus
+      else corpus.filter(
+        PortableHash.base(col("cid").cast("string")) < PortableHash.P / mod))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = corpus
       .orderBy(PortableHash.base(col("cid").cast("string")), col("cid"))
       .limit(nlist)
@@ -383,7 +416,7 @@ object SimilarityOps {
       .map(r => normRound(r.getSeq[Float](0).map(_.toDouble).toArray))
       .sortWith(lexLess)
     for (_ <- 1 to iters) {
-      val sums = corpus
+      val sums = fitSample
         .withColumn("centroid_id", nearestCentroid(col("cvec"), centroids))
         .select(col("centroid_id"), posexplode(col("cvec")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
@@ -400,6 +433,7 @@ object SimilarityOps {
         }
       }.toArray
     }
+    fitSample.unpersist()
     IvfModel(centroids, ivfAssign(corpus, centroids))
   }
 

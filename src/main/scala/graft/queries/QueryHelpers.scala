@@ -512,9 +512,12 @@ private[graft] object QueryHelpers {
   val embDim = 64
 
   /** Parameterized oracle CTE fragment RE-DERIVING the IVF fit in SQL:
-    * portable-hash sample init, two Lloyd rounds with exact fixed-point
-    * mean sums (order-independent in both engines), 6-decimal
-    * normalized centroids, final assignment `<p>asgF` over `<p>corpus`
+    * portable-hash sample init, two Lloyd rounds over the
+    * ~[[graft.ext.SimilarityOps.ivfFitSampleCap]]-row hash-threshold
+    * sample `<p>fit` (the full corpus at gate scale, where the
+    * threshold admits every row) with exact fixed-point mean sums
+    * (order-independent in both engines), 6-decimal normalized
+    * centroids, final assignment `<p>asgF` over the FULL `<p>corpus`
     * (defined by `corpusSql`, columns (cid, v DOUBLE[])). Every CTE
     * name is prefixed with `p` so two fits (q207's frozen + re-fit)
     * compose in one statement; the centroid and assignment CTEs are
@@ -532,7 +535,7 @@ private[graft] object QueryHelpers {
          |    SELECT c.cid, c.v, k.kid,
          |      row_number() OVER (PARTITION BY c.cid
          |        ORDER BY list_dot_product(c.v, k.c) DESC, k.kid DESC) AS rn
-         |    FROM ${p}corpus c CROSS JOIN ${p}cent${r - 1} k) t WHERE rn = 1),
+         |    FROM ${p}fit c CROSS JOIN ${p}cent${r - 1} k) t WHERE rn = 1),
          |${p}sums$r AS (
          |  SELECT kid, pos, CAST(sum(CAST(floor(v[pos] * 10000000.0) AS BIGINT)) AS DOUBLE) AS sf, count(*) AS n
          |  FROM ${p}asg$r CROSS JOIN generate_series(1, $embDim) AS g(pos)
@@ -547,6 +550,11 @@ private[graft] object QueryHelpers {
          |  FROM ${p}cent${r - 1} k LEFT JOIN ${p}norm$r n USING (kid)),""".stripMargin
     s"""${p}corpus AS MATERIALIZED (
        |  $corpusSql),
+       |${p}fit AS MATERIALIZED (
+       |  SELECT cid, v FROM ${p}corpus
+       |  WHERE ('0x' || substr(md5(cid::VARCHAR), 1, 15))::BIGINT % $P <
+       |    $P // greatest(1, CAST(ceil((SELECT count(*) FROM ${p}corpus) /
+       |      ${graft.ext.SimilarityOps.ivfFitSampleCap}.0) AS BIGINT))),
        |${p}samp AS (
        |  SELECT v FROM ${p}corpus
        |  ORDER BY ('0x' || substr(md5(cid::VARCHAR), 1, 15))::BIGINT % $P, cid
@@ -579,6 +587,61 @@ private[graft] object QueryHelpers {
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY list_dot_product(q.qv, k.c) DESC, k.kid ASC) AS rn
        |    FROM q CROSS JOIN cent2 k) t WHERE rn <= 4)""".stripMargin
+
+  /** Oracle CTE body replaying [[graft.ext.CorpusPipeline.cleanSummary]]
+    * — language gate → quality gate → exact dedup → fingerprint
+    * near-dup resolution → one-row attrition funnel — over any
+    * `(doc_id, text)` source CTE/table `src`. q48 instantiates it on
+    * the raw `documents` table; q211 on the HTML-extraction CTE
+    * (funnel-after-ingress, same body — the two gates can never
+    * diverge in their funnel arithmetic). Caller prepends `WITH `. */
+  def corpusFunnelSql(src: String): String =
+    s"""h AS (
+       |  SELECT doc_id, text,
+       |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|that)\\b')) AS h_en,
+       |    len(regexp_extract_all(text, '\\b(el|la|de|que|y|en|un|es)\\b')) AS h_es,
+       |    len(regexp_extract_all(text, '\\b(der|die|das|und|ist|von|ein|zu)\\b')) AS h_de,
+       |    len(regexp_extract_all(text, '\\b(le|la|de|et|un|est|que|en)\\b')) AS h_fr
+       |  FROM $src),
+       |u AS (
+       |  SELECT doc_id, unnest(['de','en','es','fr']) AS code,
+       |         unnest([h_de, h_en, h_es, h_fr]) AS hits,
+       |         unnest([0, 1, 2, 3]) AS rank
+       |  FROM h),
+       |best AS (
+       |  SELECT doc_id, arg_max(code, hits * 10 + rank) AS code, max(hits) AS mh
+       |  FROM u GROUP BY doc_id),
+       |lang AS (
+       |  SELECT doc_id, CASE WHEN mh > 0 THEN code ELSE 'und' END AS pred FROM best),
+       |toks AS (
+       |  SELECT doc_id, text,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is|that)\\b')) AS stop_hits,
+       |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS n_punct
+       |  FROM $src),
+       |qual AS (
+       |  SELECT doc_id,
+       |    floor((least(n_tokens / 64.0, 1.0) * 0.4
+       |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
+       |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS quality
+       |  FROM toks),
+       |g AS (
+       |  SELECT d.doc_id, d.text FROM $src d
+       |  JOIN lang ON lang.doc_id = d.doc_id
+       |  JOIN qual ON qual.doc_id = d.doc_id
+       |  WHERE lang.pred = 'en' AND qual.quality >= 0.5),
+       |e AS (SELECT DISTINCT text FROM g),
+       |sh AS (
+       |  SELECT CASE WHEN len(tk) >= 5
+       |    THEN list_transform(generate_series(0, len(tk) - 5),
+       |           i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))
+       |    ELSE [array_to_string(tk, ' ')] END AS sh
+       |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk FROM e)),
+       |f AS (SELECT list_min(list_transform(sh, x -> md5(x))) AS fp FROM sh)
+       |SELECT (SELECT count(*) FROM $src) AS n_input,
+       |       (SELECT count(*) FROM g) AS n_gated,
+       |       (SELECT count(*) FROM e) AS n_exact,
+       |       (SELECT count(DISTINCT fp) FROM f) AS n_final""".stripMargin
 
   /** q163's IPF fit on collected model-sized cells, shared with the
     * apply query q169: (source, lang, n_docs, obs_fp, raked_fp,
