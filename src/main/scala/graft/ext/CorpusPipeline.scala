@@ -59,6 +59,25 @@ object CorpusPipeline {
     fpResolve(exact, id, text)
   }
 
+  /** [[clean]] over RAW-MARKUP input: [[HtmlOps.htmlMainText]]
+    * extraction first (chrome dropped, blocks segmented), then the
+    * identical four-stage funnel over the extracted text. The
+    * extraction is a per-row codegen'd map fused into the first gate's
+    * scan — Common-Crawl-shaped corpora enter here instead of
+    * pre-extracting in a separate pass. Output keeps `df`'s schema. */
+  def cleanHtml(df: DataFrame, id: Column, html: Column,
+                lang: String = "en", minQuality: Double = 0.5): DataFrame =
+    clean(df.withColumn("__extracted_text", HtmlOps.htmlMainText(html)),
+        id, col("__extracted_text"), lang, minQuality)
+      .drop("__extracted_text")
+
+  /** [[cleanSummary]] over RAW-MARKUP input — the [[cleanHtml]]
+    * extraction feeding the same four-stage attrition funnel. */
+  def cleanHtmlSummary(df: DataFrame, id: Column, html: Column,
+                       lang: String = "en", minQuality: Double = 0.5): DataFrame =
+    cleanSummary(df.withColumn("__extracted_text", HtmlOps.htmlMainText(html)),
+      id, col("__extracted_text"), lang, minQuality)
+
   /** One-row funnel summary (input → gated → exact-deduped → final):
     * the per-stage attrition a pipeline owner monitors. Stage frames
     * are persisted so the gates / dedup run ONCE, not once per count

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML/markup → plain-text extraction: the stage every real
+  * pretraining corpus needs BEFORE the text funnel ([[TextOps]]
+  * normalize → quality → dedup assumes extracted plain text, but
+  * Common-Crawl-shaped input arrives as markup). Beyond-reference
+  * operator — the reference's pipeline starts from already-extracted
+  * text (fresco-hpc `data-pipeline` ingests CSV metrics, not web text).
+  *
+  * Everything is a chain of codegen'd `regexp_replace` column
+  * transforms in the Java-regex/RE2 COMMON SUBSET — no backreferences,
+  * no lookaround, no `\s` (Java and RE2 disagree on U+000B), explicit
+  * `[ \t\r\n]` classes, inline `(?is)` flags only — so the exact same
+  * pattern strings drive the Spark plan and the DuckDB oracle
+  * ([[htmlChainSql]] folds the very same chain into SQL). Per-row,
+  * stateless, whole-stage-codegen friendly: at 100 TB this is a pure
+  * map over the scan with zero shuffle.
+  *
+  * The chain, in order:
+  *  1. drop invisible content: comments, `<script>`, `<style>`
+  *     (non-greedy to the matching close tag; embedded `<` / quoted
+  *     markup inside script bodies is handled, same-tag nesting —
+  *     invalid HTML anyway — truncates at the first close);
+  *  2. (main-content variant) drop page chrome wholesale: `<nav>`,
+  *     `<header>`, `<footer>`, `<aside>` subtrees — the
+  *     boilerplate-vs-main-content cut;
+  *  3. block-level tags (`p div h1..h6 li ul ol table tr td th br hr
+  *     section article blockquote pre form`) become newlines — block
+  *     segmentation survives into the text;
+  *  4. every remaining tag is deleted (inline markup joins its text);
+  *  5. the five ubiquitous named entities + `&#39;`/`&apos;`/`&nbsp;`
+  *     decode, `&amp;` LAST so double-encoded text decodes one level
+  *     exactly like a standards-compliant single pass; unknown
+  *     entities pass through verbatim (auditable, never guessed);
+  *  6. whitespace canonicalization: CR out, runs of spaces/tabs to one
+  *     space, space-padded newlines tightened, newline runs collapsed,
+  *     ends trimmed — one block per line in the output.
+  */
+object HtmlOps {
+
+  /** One extraction step: regex pattern (Java/RE2 common subset) and
+    * its literal replacement. `mainOnly` steps run only in the
+    * main-content variant. */
+  final case class Step(pattern: String, replacement: String,
+                        mainOnly: Boolean = false)
+
+  private def dropTag(t: String, mainOnly: Boolean) =
+    Step(s"(?is)<$t[^>]*>.*?</$t[ \\t\\r\\n]*>", " ", mainOnly)
+
+  /** The full extraction chain — THE single source of truth; the Spark
+    * column fold and the oracle SQL fold both walk this list. */
+  val chain: Seq[Step] = Seq(
+    Step("(?s)<!--.*?-->", " "),
+    dropTag("script", mainOnly = false),
+    dropTag("style", mainOnly = false),
+    dropTag("nav", mainOnly = true),
+    dropTag("header", mainOnly = true),
+    dropTag("footer", mainOnly = true),
+    dropTag("aside", mainOnly = true),
+    Step("(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|form)[^>]*>", "\n"),
+    Step("<[^>]*>", ""),
+    Step("&lt;", "<"),
+    Step("&gt;", ">"),
+    Step("&quot;", "\""),
+    Step("&#39;", "'"),
+    Step("&apos;", "'"),
+    Step("&nbsp;", " "),
+    Step("&amp;", "&"),
+    Step("\\r", ""),
+    Step("[ \\t]+", " "),
+    Step("[ ]*\\n[ ]*", "\n"),
+    Step("\\n+", "\n"),
+    Step("^[ \\n]+|[ \\n]+$", ""),
+  )
+
+  private def fold(html: Column, main: Boolean): Column =
+    chain.foldLeft(html) { (acc, s) =>
+      if (s.mainOnly && !main) acc
+      else regexp_replace(acc, s.pattern, s.replacement)
+    }
+
+  /** Whole-page plain text: chrome (nav/header/footer/aside) text is
+    * KEPT — the faithful "what the page says" extraction. */
+  def htmlToText(html: Column): Column = fold(html, main = false)
+
+  /** Main-content plain text: chrome subtrees dropped before
+    * stripping — the "what the page is about" extraction a training
+    * funnel wants (boilerplate nav/footer text never reaches the
+    * quality gate or the dedup shingles). */
+  def htmlMainText(html: Column): Column = fold(html, main = true)
+
+  /** The SAME chain folded into DuckDB SQL around `inner` — the oracle
+    * generator. Patterns are emitted verbatim (both engines read the
+    * identical bytes); replacements are quoted, newline as chr(10). */
+  def htmlChainSql(inner: String, main: Boolean): String =
+    chain.foldLeft(inner) { (acc, s) =>
+      if (s.mainOnly && !main) acc
+      else {
+        val rep =
+          if (s.replacement == "\n") "chr(10)"
+          else "'" + s.replacement.replace("'", "''") + "'"
+        s"regexp_replace($acc, '${s.pattern.replace("'", "''")}', $rep, 'g')"
+      }
+    }
+}

@@ -273,52 +273,7 @@ private[graft] object QueriesDedup {
         CorpusPipeline.cleanSummary(docs, col("doc_id"), col("text"),
           lang = "en", minQuality = 0.5)
       },
-      Some("""WITH h AS (
-             |  SELECT doc_id, text,
-             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS h_en,
-             |    len(regexp_extract_all(text, '\b(el|la|de|que|y|en|un|es)\b')) AS h_es,
-             |    len(regexp_extract_all(text, '\b(der|die|das|und|ist|von|ein|zu)\b')) AS h_de,
-             |    len(regexp_extract_all(text, '\b(le|la|de|et|un|est|que|en)\b')) AS h_fr
-             |  FROM documents),
-             |u AS (
-             |  SELECT doc_id, unnest(['de','en','es','fr']) AS code,
-             |         unnest([h_de, h_en, h_es, h_fr]) AS hits,
-             |         unnest([0, 1, 2, 3]) AS rank
-             |  FROM h),
-             |best AS (
-             |  SELECT doc_id, arg_max(code, hits * 10 + rank) AS code, max(hits) AS mh
-             |  FROM u GROUP BY doc_id),
-             |lang AS (
-             |  SELECT doc_id, CASE WHEN mh > 0 THEN code ELSE 'und' END AS pred FROM best),
-             |toks AS (
-             |  SELECT doc_id, text,
-             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-             |    len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|that)\b')) AS stop_hits,
-             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS n_punct
-             |  FROM documents),
-             |qual AS (
-             |  SELECT doc_id,
-             |    floor((least(n_tokens / 64.0, 1.0) * 0.4
-             |      + greatest(1.0 - (n_punct / greatest(length(text), 1.0)) * 4.0, 0.0) * 0.3
-             |      + least((stop_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5) / 1000000.0 AS quality
-             |  FROM toks),
-             |g AS (
-             |  SELECT d.doc_id, d.text FROM documents d
-             |  JOIN lang ON lang.doc_id = d.doc_id
-             |  JOIN qual ON qual.doc_id = d.doc_id
-             |  WHERE lang.pred = 'en' AND qual.quality >= 0.5),
-             |e AS (SELECT DISTINCT text FROM g),
-             |sh AS (
-             |  SELECT CASE WHEN len(tk) >= 5
-             |    THEN list_transform(generate_series(0, len(tk) - 5),
-             |           i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))
-             |    ELSE [array_to_string(tk, ' ')] END AS sh
-             |  FROM (SELECT string_split_regex(trim(text), '\s+') AS tk FROM e)),
-             |f AS (SELECT list_min(list_transform(sh, x -> md5(x))) AS fp FROM sh)
-             |SELECT (SELECT count(*) FROM documents) AS n_input,
-             |       (SELECT count(*) FROM g) AS n_gated,
-             |       (SELECT count(*) FROM e) AS n_exact,
-             |       (SELECT count(DISTINCT fp) FROM f) AS n_final""".stripMargin)),
+      Some(s"WITH ${corpusFunnelSql("documents")}")),
 
     Q("q50_simhash_neardup",
       (s, dir) => {

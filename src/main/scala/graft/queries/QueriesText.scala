@@ -1071,5 +1071,145 @@ private[graft] object QueriesText {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
              |  array_to_string(list_sort(list(pid)), ',') AS hit_ids
              |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("q210_html_extract",
+      (s, dir) => {
+        // HTML → text extraction end-to-end (graft.ext.HtmlOps): each
+        // document is wrapped in a deterministic full-page template —
+        // doctype, titled head, style + script blocks (the script body
+        // embeds quoted markup and a bare `<`), an HTML comment, nav
+        // with nested list links, header, a main div (headings,
+        // entity-bearing paragraphs, the doc text, a list), footer —
+        // and both extraction variants run over it. The oracle rebuilds
+        // the SAME template by string concat and replays the SAME
+        // regexp chain (HtmlOps.htmlChainSql folds the identical
+        // pattern list), so the hash match pins every step: invisible-
+        // content removal, chrome-vs-main cut, block segmentation,
+        // entity decode (incl. the &amp;-last one-level rule),
+        // whitespace canonicalization. main_text is gated verbatim;
+        // full_chars pins the chrome-keeping variant through length.
+        val d = tp(s, dir, "documents")
+        val html = htmlFixtureCol
+        d.select(col("doc_id"),
+            HtmlOps.htmlMainText(html).as("main_text"),
+            length(HtmlOps.htmlToText(html)).cast(LongType).as("full_chars"))
+          .select(col("doc_id"), col("main_text"),
+            length(col("main_text")).cast(LongType).as("n_chars"),
+            (length(col("main_text"))
+              - length(regexp_replace(col("main_text"), "\\n", "")) + 1)
+              .cast(LongType).as("n_blocks"),
+            col("full_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+             |x AS (
+             |  SELECT doc_id,
+             |    ${HtmlOps.htmlChainSql("html", main = true)} AS main_text,
+             |    ${HtmlOps.htmlChainSql("html", main = false)} AS full_text
+             |  FROM h)
+             |SELECT doc_id, main_text,
+             |  CAST(length(main_text) AS BIGINT) AS n_chars,
+             |  CAST(length(main_text) - length(replace(main_text, chr(10), '')) + 1 AS BIGINT) AS n_blocks,
+             |  CAST(length(full_text) AS BIGINT) AS full_chars
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
+    Q("q211_html_corpus_funnel",
+      (s, dir) => {
+        // The full training-corpus funnel WITH the markup ingress in
+        // front: each doc's text is wrapped in a page whose CHROME
+        // varies per document (nav/header/footer carry the doc_id)
+        // while the main div carries the text verbatim — so the gate
+        // simultaneously pins (a) the q48 funnel arithmetic running on
+        // EXTRACTED text and (b) the property that makes main-content
+        // extraction matter at all: two pages differing only in chrome
+        // still collapse in the dedup stages (chrome leaking into
+        // main_text injects per-doc shingles — doc_id is in the
+        // chrome — shifting fingerprints and n_final, and any
+        // extraction drift breaks the hash match against the oracle's
+        // replayed extraction). Oracle = the SAME extraction chain CTE +
+        // the SAME funnel body q48 uses (corpusFunnelSql), pointed at
+        // the extraction instead of the raw table.
+        val docs = tp(s, dir, "documents")
+          .select(col("doc_id"), htmlWrapCol.as("html"))
+        CorpusPipeline.cleanHtmlSummary(
+          docs, col("doc_id"), col("html"), lang = "en", minQuality = 0.5)
+      },
+      Some(s"""WITH hh AS (
+             |  SELECT doc_id, $htmlWrapSql AS html FROM documents),
+             |ext AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    ${HtmlOps.htmlChainSql("html", main = true)} AS text
+             |  FROM hh),
+             |${corpusFunnelSql("ext")}""".stripMargin)),
   )
+
+  /** q211's page template: chrome varies per doc (doc_id in
+    * nav/header/footer), main content is the doc text verbatim —
+    * extraction must recover the text alone or the funnel's dedup
+    * stages degenerate. Same one-list lockstep as [[htmlFixtureParts]]. */
+  private lazy val htmlWrapParts: Seq[Either[String, (Column, String)]] = Seq(
+    Left("<html><head><title>Item "),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
+    Left("</title><style>nav { color: #222; }</style></head><body>" +
+      "<nav><ul><li>browse</li><li>item "),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
+    Left("</li></ul></nav><header><h1>Entry "),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
+    Left("</h1></header><div id=\"main\"><p>"),
+    Right((col("text"), "text")),
+    Left("</p></div><footer>rendered as item "),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
+    Left("</footer></body></html>"),
+  )
+
+  private def htmlWrapCol: Column =
+    concat(htmlWrapParts.map {
+      case Left(s) => lit(s)
+      case Right((c, _)) => c
+    }: _*)
+
+  private def htmlWrapSql: String =
+    htmlWrapParts.map {
+      case Left(s) => "'" + s.replace("'", "''") + "'"
+      case Right((_, e)) => e
+    }.mkString(" || ")
+
+  /** q210's page template: one literal/column part list drives BOTH the
+    * Spark fixture concat and the oracle's `||` chain — the same
+    * lockstep-by-construction pattern as [[graft.ext.HtmlOps.chain]].
+    * The template deliberately exercises every extraction step (see
+    * q210's comment). */
+  // lazy: referenced from the `qs` initializer above its definition
+  private lazy val htmlFixtureParts: Seq[Either[String, (Column, String)]] = Seq(
+    Left("<!DOCTYPE html><html><head><title>Doc "),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
+    Left("</title><style>body { color: #333; } .nav a { top: 1px; }</style>" +
+      "<script type=\"text/javascript\">var n = 1 < 2; var s = \"<div>quoted markup</div>\";</script>" +
+      "</head><body><!-- rendered for "),
+    Right((col("source"), "source")),
+    Left(" --><nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/docs\">Docs &amp; More</a></li></ul></nav>" +
+      "<header><h1>Corpus browser</h1></header><div id=\"main\"><h2>"),
+    Right((upper(col("source")), "upper(source)")),
+    Left(" #"),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
+    Left("</h2><p>Lang: <b>"),
+    Right((col("lang"), "lang")),
+    Left("</b> &quot;tagged&quot; &#39;quoted&#39; A&amp;B &lt;kept-tag&gt; x&nbsp;y &amp;lt;once&amp;gt;</p><p>"),
+    Right((substring(col("text"), 1, 240), "substr(text, 1, 240)")),
+    Left("</p><ul><li>alpha item</li><li>beta item</li></ul></div>" +
+      "<footer><p>&copy; 2026 corpus footer</p></footer></body></html>"),
+  )
+
+  private def htmlFixtureCol: Column =
+    concat(htmlFixtureParts.map {
+      case Left(s) => lit(s)
+      case Right((c, _)) => c
+    }: _*)
+
+  private def htmlFixtureSql: String =
+    htmlFixtureParts.map {
+      case Left(s) => "'" + s.replace("'", "''") + "'"
+      case Right((_, e)) => e
+    }.mkString(" || ")
 }

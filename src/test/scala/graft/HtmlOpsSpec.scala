@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{CorpusPipeline, HtmlOps}
+
+class HtmlOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def extractMain(html: String): String =
+    Seq(html).toDF("h").select(HtmlOps.htmlMainText(col("h"))).first().getString(0)
+
+  private def extractFull(html: String): String =
+    Seq(html).toDF("h").select(HtmlOps.htmlToText(col("h"))).first().getString(0)
+
+  test("nested tags: block segmentation survives, inline markup joins") {
+    val html = "<div><h1>Title</h1><p>one <b>bold</b> two</p>" +
+      "<ul><li>a</li><li>b</li></ul></div>"
+    assert(extractMain(html) == "Title\none bold two\na\nb")
+  }
+
+  test("script/style/comment bodies vanish, even with embedded markup and '<'") {
+    val html = "<head><style>p { color: red; }</style>" +
+      "<script>var n = 1 < 2; var s = \"<div>fake</div>\";</script></head>" +
+      "<body><!-- note --><p>kept</p></body>"
+    assert(extractMain(html) == "kept")
+  }
+
+  test("entities decode once; &amp; decodes last; unknown entities pass through") {
+    val html = "<p>A&amp;B &lt;tag&gt; &quot;q\" &#39;s &nbsp; gap &amp;lt;still&amp;gt; &copy;</p>"
+    assert(extractMain(html) ==
+      "A&B <tag> \"q\" 's gap &lt;still&gt; &copy;")
+  }
+
+  test("boilerplate nav/header/footer/aside dropped from main, kept in full") {
+    val html = "<body><nav><ul><li>Home</li><li>About</li></ul></nav>" +
+      "<header>Site</header><div><p>the article body</p></div>" +
+      "<aside>related</aside><footer>legal</footer></body>"
+    assert(extractMain(html) == "the article body")
+    val full = extractFull(html)
+    assert(full.contains("Home") && full.contains("Site") &&
+      full.contains("legal") && full.contains("related") &&
+      full.contains("the article body"))
+  }
+
+  test("whitespace canonicalization: one block per line, trimmed ends") {
+    val html = "<div>\r\n   <p>  a   b  </p>\n\n\n<p>c</p>   </div>\t"
+    assert(extractMain(html) == "a b\nc")
+  }
+
+  test("cleanHtml: the funnel runs on extracted text and keeps input schema") {
+    val docs = Seq(
+      (1L, "<body><nav>Home About Contact</nav><p>the quick brown fox jumps over the lazy dog and that is that</p></body>"),
+      (2L, "<body><nav>Home About Contact</nav><p>the quick brown fox jumps over the lazy dog and that is that</p></body>"),
+      (3L, "<body><p>zz</p></body>"), // fails the quality gate
+    ).toDF("doc_id", "html")
+    val cleaned = CorpusPipeline.cleanHtml(docs, col("doc_id"), col("html"),
+      lang = "en", minQuality = 0.0)
+    assert(cleaned.columns.toSeq == Seq("doc_id", "html"))
+    val ids = cleaned.select("doc_id").as[Long].collect().sorted.toSeq
+    // 1 and 2 extract to identical text -> exact dedup keeps min id 1;
+    // nav chrome is excluded from the digest (else all-distinct pages
+    // with shared nav would never dedup)
+    assert(ids == Seq(1L))
+  }
+}
