@@ -109,20 +109,35 @@ object FrameStore {
     * interleaving — a stale post-commit sweep deleting the dir the
     * final marker names — self-heals because a marker naming no
     * complete data dir reads as unpublished and the next caller
-    * rebuilds. No wedge, no wrong rows; the cost is one rebuild. */
+    * rebuilds. No wedge, no wrong rows; the cost is one rebuild.
+    *
+    * Store-private FileSystem instances, one per (scheme, authority),
+    * built with `FileSystem.newInstance` so the conditional-create
+    * conf ACTUALLY APPLIES: Hadoop's global FS cache keys on
+    * (scheme, authority, UGI), so `getFileSystem` would silently hand
+    * back any s3a FS the session already opened for corpus reads —
+    * with its original conf, without the atomic-create upgrade. The
+    * instances live for the process (never closed), mirroring the
+    * lifetime of Hadoop's own cache. */
+  private val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
   private def fileSystemFor(s: SparkSession, root: String): FileSystem = {
-    val conf = s.sessionState.newHadoopConf()
-    // both spellings: HADOOP-19256 shipped the gate as
-    // fs.s3a.create.conditional.enabled; set the bare key too for
-    // forward-compatibility. BEST-EFFORT: Hadoop caches FileSystem
-    // instances per (scheme, authority, UGI), so an s3a FS the session
-    // already opened (corpus reads) keeps its original conf — the flag
-    // reliably engages only when set in the CLUSTER config. Either way
-    // the degradation contract the spec pins (double-win converges,
-    // swept-marker self-heals) holds without it.
-    conf.setIfUnset("fs.s3a.create.conditional.enabled", "true")
-    conf.setIfUnset("fs.s3a.create.conditional", "true")
-    new HPath(root).getFileSystem(conf)
+    val uri = new HPath(root).toUri
+    val cacheKey =
+      s"${Option(uri.getScheme).getOrElse("")}://${Option(uri.getAuthority).getOrElse("")}"
+    fsCache.computeIfAbsent(cacheKey, { _ =>
+      val conf = s.sessionState.newHadoopConf()
+      // both spellings: HADOOP-19256 shipped the gate as
+      // fs.s3a.create.conditional.enabled; set the bare key too for
+      // forward-compatibility. On Hadoop < 3.4 the flag is unknown and
+      // ignored; there S3A degrades to check-then-PUT, and the
+      // degradation contract the spec pins (double-win converges,
+      // swept-marker self-heals) holds without it.
+      conf.setIfUnset("fs.s3a.create.conditional.enabled", "true")
+      conf.setIfUnset("fs.s3a.create.conditional", "true")
+      FileSystem.newInstance(uri, conf)
+    })
   }
 
   private def readSmallFile(fs: FileSystem, p: HPath): String = {

@@ -19,6 +19,39 @@ import org.apache.spark.sql.types.StructType
   */
 object FileIngest {
 
+  /** Run identity pinned to the CHECKPOINT: a create-if-absent marker
+    * inside the checkpoint dir holding a random id, read back on every
+    * start. Partition paths embed it (`ingest_batch=<runId>-<batchId>`)
+    * so the batchId-keyed overwrite is destructive ONLY toward this
+    * run's own partial output:
+    *  - restart from the same checkpoint → same marker → same runId →
+    *    a replayed epoch overwrites its own partition (exactly-once
+    *    preserved);
+    *  - checkpoint deleted/relocated while outDir is kept → fresh
+    *    marker → NEW runId → the new run's batch 0 lands in a new
+    *    partition instead of silently clobbering the old run's
+    *    `ingest_batch=0` data (and quarantine) as a bare batchId key
+    *    would.
+    * The create uses the FS create-if-absent flag; a concurrent
+    * creator losing the race just reads the winner's id. */
+  private def runId(spark: SparkSession, checkpoint: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint, "graft-run-id")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      val fresh = java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val out = fs.create(path, false)
+        try out.write(fresh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () } // lost the race: read below
+    }
+    val in = fs.open(path)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
   /** Watch `inDir` for CSVs of the given schema, apply the batch
     * `transform` to each micro-batch, write parquet under `outDir`.
     * `Trigger.AvailableNow` processes everything currently present and
@@ -28,14 +61,16 @@ object FileIngest {
     * Output is EXACTLY-ONCE for a deterministic `transform` (same
     * mechanism as [[jsonlToParquet]], which strictly beats the
     * reference watcher's at-least-once): each batch overwrites its
-    * batchId-deterministic `ingest_batch=<id>` partition, so a
-    * foreachBatch retry replays into the same directory instead of
-    * appending duplicates. */
+    * batchId-deterministic `ingest_batch=<runId>-<batchId>` partition, so
+    * a foreachBatch retry replays into the same directory instead of
+    * appending duplicates (and a fresh checkpoint can never clobber an
+    * older run's partitions — see [[runId]]). */
   def csvToParquet(spark: SparkSession,
                    inDir: String, outDir: String, checkpoint: String,
                    schema: StructType,
                    transform: DataFrame => DataFrame,
                    header: Boolean = true): StreamingQuery = {
+    val run = runId(spark, checkpoint)
     val in = spark.readStream
       .schema(schema)
       .option("header", header.toString)
@@ -45,7 +80,7 @@ object FileIngest {
         val out = transform(batch)
         if (!out.isEmpty)
           out.write.mode("overwrite").option("compression", "snappy")
-            .parquet(s"$outDir/ingest_batch=$batchId")
+            .parquet(s"$outDir/ingest_batch=$run-$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -64,7 +99,8 @@ object FileIngest {
     * EXACTLY-ONCE output (for a deterministic `transform`): the two
     * per-batch writes are independent and non-atomic, so instead of
     * blind appends each batch writes to the batchId-DETERMINISTIC
-    * partition `ingest_batch=<id>` in overwrite mode — a crash between
+    * partition `ingest_batch=<runId>-<batchId>` in overwrite mode — a
+    * crash between
     * the quarantine and parquet writes, or a foreachBatch retry,
     * replays the same epoch (same checkpointed file list) into the
     * same directories and overwrites its own partial output instead
@@ -75,6 +111,7 @@ object FileIngest {
                      inDir: String, outDir: String, quarantineDir: String,
                      checkpoint: String, schema: StructType,
                      transform: DataFrame => DataFrame): StreamingQuery = {
+    val run = runId(spark, checkpoint)
     val in = spark.readStream.text(inDir)
     in.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -87,11 +124,11 @@ object FileIngest {
           val (clean, bad) = graft.etl.RawReaders.parseJsonl(cached, schema)
           if (!bad.isEmpty)
             bad.write.mode("overwrite")
-              .text(s"$quarantineDir/ingest_batch=$batchId")
+              .text(s"$quarantineDir/ingest_batch=$run-$batchId")
           val out = transform(clean)
           if (!out.isEmpty)
             out.write.mode("overwrite").option("compression", "snappy")
-              .parquet(s"$outDir/ingest_batch=$batchId")
+              .parquet(s"$outDir/ingest_batch=$run-$batchId")
         } finally cached.unpersist()
       }
       .option("checkpointLocation", checkpoint)
