@@ -1,0 +1,18 @@
+#!/bin/bash
+# Run a graft main class with the same JVM flags build.sbt gives forked
+# runs (Spark 4.x on JDK 17 add-opens), without sbt in the timing path.
+# Usage: scripts/run_main.sh <mainClass> [args...]; env passes through.
+set -euo pipefail
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CP" "$@"
