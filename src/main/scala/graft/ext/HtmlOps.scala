@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * map over the scan with zero shuffle.
   *
   * The chain, in order:
-  *  1. drop invisible content: comments, `<script>`, `<style>`
-  *     (non-greedy to the matching close tag; embedded `<` / quoted
-  *     markup inside script bodies is handled, same-tag nesting —
-  *     invalid HTML anyway — truncates at the first close);
+  *  1. drop invisible content: comments, the whole `<head>` subtree
+  *     (title/meta are page metadata, not content), `<script>`,
+  *     `<style>` (non-greedy to the matching close tag; embedded `<` /
+  *     quoted markup inside script bodies is handled, same-tag
+  *     nesting — invalid HTML anyway — truncates at the first close);
   *  2. (main-content variant) drop page chrome wholesale: `<nav>`,
   *     `<header>`, `<footer>`, `<aside>` subtrees — the
   *     boilerplate-vs-main-content cut;
@@ -47,13 +48,20 @@ object HtmlOps {
   final case class Step(pattern: String, replacement: String,
                         mainOnly: Boolean = false)
 
+  // The opening tag matches `<t>` or `<t ...>` but never a LONGER tag
+  // name sharing the prefix (`<head>` must not swallow `<header>`):
+  // after the name, either `>` or whitespace-then-attributes.
   private def dropTag(t: String, mainOnly: Boolean) =
-    Step(s"(?is)<$t[^>]*>.*?</$t[ \\t\\r\\n]*>", " ", mainOnly)
+    Step(s"(?is)<$t(?:[ \\t\\r\\n][^>]*)?>.*?</$t[ \\t\\r\\n]*>", " ", mainOnly)
 
   /** The full extraction chain — THE single source of truth; the Spark
     * column fold and the oracle SQL fold both walk this list. */
   val chain: Seq[Step] = Seq(
     Step("(?s)<!--.*?-->", " "),
+    // the whole <head> subtree is invisible in a browser — title/meta
+    // are page METADATA, not content; dropping it in BOTH variants
+    // keeps titles out of dedup digests and quality scores
+    dropTag("head", mainOnly = false),
     dropTag("script", mainOnly = false),
     dropTag("style", mainOnly = false),
     dropTag("nav", mainOnly = true),

@@ -61,6 +61,27 @@ object StreamingPrep {
   def fingerprintMedia(df: DataFrame): DataFrame =
     graft.ext.MultimodalOps.mediaFingerprints(df)
 
+  /** Stateless HTML → text extraction at INGEST
+    * ([[graft.ext.HtmlOps.htmlMainText]] on a streaming frame): markup
+    * corpora enter the stream already extracted, so every downstream
+    * gate — language/quality, blocklist, the dedup digest — sees
+    * main-content text and page chrome never reaches a quality score
+    * or a dedup key. One codegen'd per-row regexp chain, stateless,
+    * no state store; composes before [[prep]] exactly like the batch
+    * funnel's [[graft.ext.CorpusPipeline.cleanHtml]]. Reads `htmlCol`,
+    * emits/overwrites `text`. */
+  def extractHtml(df: DataFrame, htmlCol: String = "html"): DataFrame =
+    df.withColumn("text", graft.ext.HtmlOps.htmlMainText(col(htmlCol)))
+
+  /** [[cleanStream]] over RAW-MARKUP input: extraction → gates →
+    * redaction → stateful first-seen dedup on the extracted+redacted
+    * digest — two pages differing only in chrome (or PII) dedup
+    * together. */
+  def cleanHtmlStream(df: DataFrame, minQuality: Double = 0.3,
+                      langs: Seq[String] = Seq("en"),
+                      htmlCol: String = "html"): Dataset[StreamingDedup.Doc] =
+    cleanStream(extractHtml(df, htmlCol), minQuality, langs)
+
   /** Full streaming prep: gates → redaction → stateful first-seen
     * dedup on the redacted digest. Append-mode output. */
   def cleanStream(df: DataFrame, minQuality: Double = 0.3,

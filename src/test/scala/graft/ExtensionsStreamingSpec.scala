@@ -64,6 +64,62 @@ class ExtensionsStreamingSpec extends AnyFunSuite {
     assert(all.select("docId").as[Long].collect().toSet == Set(1L, 5L))
   }
 
+  test("streaming HTML ingest: extraction feeds the gates, chrome-only twins dedup") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_shtml")
+    val in = base.resolve("in"); Files.createDirectory(in)
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def page(id: Long, body: String): String =
+      s"<html><head><title>Item $id</title><style>p{}</style></head><body>" +
+        s"<nav>site nav item $id</nav><header>hdr $id</header>" +
+        s"<div><p>$body</p></div><footer>foot $id</footer></body></html>"
+
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = base.resolve(s"stage_$name")
+      rows.toDF("doc_id", "html").repartition(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve(s"$name.parquet"))
+    }
+
+    def runPass(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id long, html string").parquet(in.toString)
+      val q = StreamingPrep.cleanHtmlStream(stream)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val good = "the cat and the dog sat in the garden and watched the birds for a while"
+    land("b1", Seq(
+      (1L, page(1L, good)),
+      (2L, page(2L, "!!!! #### ????"))                     // quality-gated
+    ))
+    runPass()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 1)
+    // chrome stripped before the gates: the landed text is the body alone
+    assert(first.select("text").as[String].collect().head == good)
+
+    // doc 3 differs from doc 1 ONLY in chrome (ids in nav/header/footer)
+    // -> identical extracted text -> cross-batch dedup drops it; doc 4's
+    // body is new and survives
+    land("b2", Seq(
+      (3L, page(3L, good)),
+      (4L, page(4L, good + " and then the cat slept"))
+    ))
+    runPass()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 2)
+    assert(all.select("docId").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
   test("time-bound check rule: unbounded scan of watched path rejected, bounded passes") {
     val base = spark // ensure shared context exists
     SparkSession.clearActiveSession()
