@@ -54,9 +54,12 @@ object HtmlOps {
   private def dropTag(t: String, mainOnly: Boolean) =
     Step(s"(?is)<$t(?:[ \\t\\r\\n][^>]*)?>.*?</$t[ \\t\\r\\n]*>", " ", mainOnly)
 
-  /** The full extraction chain — THE single source of truth; the Spark
-    * column fold and the oracle SQL fold both walk this list. */
-  val chain: Seq[Step] = Seq(
+  /** Phase 1 — SUBTREE DROPS, markup-preserving: invisible content
+    * (comments, head, script, style) and, in the main variant, the
+    * chrome subtrees. The output is still HTML; [[extractLinks]] runs
+    * link extraction after just this phase so chrome links (nav menus,
+    * footer boilerplate) never enter a link graph. */
+  val dropSteps: Seq[Step] = Seq(
     Step("(?s)<!--.*?-->", " "),
     // the whole <head> subtree is invisible in a browser — title/meta
     // are page METADATA, not content; dropping it in BOTH variants
@@ -68,6 +71,11 @@ object HtmlOps {
     dropTag("header", mainOnly = true),
     dropTag("footer", mainOnly = true),
     dropTag("aside", mainOnly = true),
+  )
+
+  /** Phase 2 — markup → text: block segmentation, tag strip, entity
+    * decode, whitespace canonicalization. */
+  val textSteps: Seq[Step] = Seq(
     Step("(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|form)[^>]*>", "\n"),
     Step("<[^>]*>", ""),
     Step("&lt;", "<"),
@@ -84,11 +92,18 @@ object HtmlOps {
     Step("^[ \\n]+|[ \\n]+$", ""),
   )
 
-  private def fold(html: Column, main: Boolean): Column =
-    chain.foldLeft(html) { (acc, s) =>
+  /** The full extraction chain — THE single source of truth; the Spark
+    * column fold and the oracle SQL fold both walk this list. */
+  val chain: Seq[Step] = dropSteps ++ textSteps
+
+  private def foldSteps(steps: Seq[Step], html: Column, main: Boolean): Column =
+    steps.foldLeft(html) { (acc, s) =>
       if (s.mainOnly && !main) acc
       else regexp_replace(acc, s.pattern, s.replacement)
     }
+
+  private def fold(html: Column, main: Boolean): Column =
+    foldSteps(chain, html, main)
 
   /** Whole-page plain text: chrome (nav/header/footer/aside) text is
     * KEPT — the faithful "what the page says" extraction. */
@@ -100,11 +115,24 @@ object HtmlOps {
     * quality gate or the dedup shingles). */
   def htmlMainText(html: Column): Column = fold(html, main = true)
 
-  /** The SAME chain folded into DuckDB SQL around `inner` — the oracle
-    * generator. Patterns are emitted verbatim (both engines read the
-    * identical bytes); replacements are quoted, newline as chr(10). */
-  def htmlChainSql(inner: String, main: Boolean): String =
-    chain.foldLeft(inner) { (acc, s) =>
+  /** `href` values of anchor tags, double- or single-quoted, after the
+    * phase-1 subtree drops (`mainOnly = true` additionally removes the
+    * chrome subtrees first, so nav/footer boilerplate links never
+    * reach a link graph). One array column, document order within each
+    * quote style; dedup at the edge level is the consumer's call
+    * (repeated hrefs on a page are real data). Patterns live in the
+    * Java-regex/RE2 common subset like everything else here. */
+  val hrefDq = "(?is)<a[ \\t\\r\\n][^>]*href=\"([^\"]*)\""
+  val hrefSq = "(?is)<a[ \\t\\r\\n][^>]*href='([^']*)'"
+
+  def extractLinks(html: Column, mainOnly: Boolean = true): Column = {
+    val src = foldSteps(dropSteps, html, mainOnly)
+    concat(regexp_extract_all(src, lit(hrefDq), lit(1)),
+      regexp_extract_all(src, lit(hrefSq), lit(1)))
+  }
+
+  private def stepsSql(steps: Seq[Step], inner: String, main: Boolean): String =
+    steps.foldLeft(inner) { (acc, s) =>
       if (s.mainOnly && !main) acc
       else {
         val rep =
@@ -113,4 +141,23 @@ object HtmlOps {
         s"regexp_replace($acc, '${s.pattern.replace("'", "''")}', $rep, 'g')"
       }
     }
+
+  /** The SAME chain folded into DuckDB SQL around `inner` — the oracle
+    * generator. Patterns are emitted verbatim (both engines read the
+    * identical bytes); replacements are quoted, newline as chr(10). */
+  def htmlChainSql(inner: String, main: Boolean): String =
+    stepsSql(chain, inner, main)
+
+  /** Phase-1 subtree drops in DuckDB SQL (still markup) — the oracle
+    * materializes this once in a CTE, then applies [[hrefListSql]]. */
+  def dropChainSql(inner: String, main: Boolean): String =
+    stepsSql(dropSteps, inner, main)
+
+  /** The href harvest of [[extractLinks]] in DuckDB SQL over an
+    * ALREADY-STRIPPED markup column ([[dropChainSql]] output). */
+  def hrefListSql(inner: String): String = {
+    def esc(p: String) = p.replace("'", "''")
+    s"list_concat(regexp_extract_all($inner, '${esc(hrefDq)}', 1), " +
+      s"regexp_extract_all($inner, '${esc(hrefSq)}', 1))"
+  }
 }

@@ -182,5 +182,84 @@ private[graft] object QueriesGraph {
           .orderBy("id")
       },
       Some(kcoreOracleSql(8, 4))),
+
+    Q("q212_link_graph_rank",
+      (s, dir) => {
+        // HTML ingress feeding the GRAPH family: every doc is wrapped
+        // in a page carrying two deterministic main-content links
+        // (/doc/<7·id+3 mod 500>, single-quoted /doc/<13·id+11 mod
+        // 500>) plus a nav /home link and — the load-bearing decoy — a
+        // footer link to /doc/0 that passes the /doc filter: if chrome
+        // survived to the harvest, every node's out-degree and every
+        // rank would shift and the hash would break. extractLinks runs
+        // after the chrome drop, so both vanish before harvest. Harvested hrefs filter to the /doc/<n> shape, edges
+        // dedup (the two link formulas collide for id ≡ 82 mod 250),
+        // and the SAME fixed-point PageRank that gates q89 runs 3
+        // rounds over them; the oracle replays extraction with the
+        // shared chain CTEs and the rank rounds with the SAME
+        // generator (pageRankRoundsSql). Output: per-node out/in
+        // degree + rank — the full link-graph profile.
+        val docs = tp(s, dir, "documents")
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title></head><body><nav><a href=\"/home\">home</a></nav>" +
+            "<div id=\"main\"><p>See <a href=\"/doc/"),
+          pmod(col("doc_id") * 7 + 3, lit(500)).cast("string"),
+          lit("\">first</a> and <a href='/doc/"),
+          pmod(col("doc_id") * 13 + 11, lit(500)).cast("string"),
+          lit("'>second</a>.</p></div>" +
+            "<footer><a href=\"/doc/0\">archive</a></footer></body></html>"))
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(HtmlOps.extractLinks(html)).as("href"))
+          .filter(col("href").rlike("^/doc/[0-9]+$"))
+          .select(col("src"),
+            regexp_extract(col("href"), "^/doc/([0-9]+)$", 1)
+              .cast(LongType).as("dst"))
+          .distinct()
+          .pin()
+        val ranks = GraphOps.pageRank(edges, iters = 3)
+        val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+        val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+        ranks
+          .join(outDeg, ranks("id") === outDeg("src"))
+          .join(inDeg, ranks("id") === inDeg("dst"), "left")
+          .select(ranks("id").as("node_id"), col("out_deg"),
+            coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+            col("pr").as("rank_fp"))
+          .orderBy("node_id")
+      },
+      Some(s"""WITH hh AS (
+             |  SELECT doc_id,
+             |    '<html><head><title>Doc ' || doc_id::VARCHAR ||
+             |    '</title></head><body><nav><a href="/home">home</a></nav>' ||
+             |    '<div id="main"><p>See <a href="/doc/' ||
+             |    ((doc_id * 7 + 3) % 500)::VARCHAR ||
+             |    '">first</a> and <a href=''/doc/' ||
+             |    ((doc_id * 13 + 11) % 500)::VARCHAR ||
+             |    '''>second</a>.</p></div>' ||
+             |    '<footer><a href="/doc/0">archive</a></footer></body></html>'
+             |      AS html
+             |  FROM documents),
+             |hs AS MATERIALIZED (
+             |  SELECT doc_id, ${HtmlOps.dropChainSql("html", main = true)} AS bodyhtml
+             |  FROM hh),
+             |lx AS (
+             |  SELECT doc_id AS src, unnest(${HtmlOps.hrefListSql("bodyhtml")}) AS href
+             |  FROM hs),
+             |edges AS MATERIALIZED (
+             |  SELECT DISTINCT src,
+             |    CAST(regexp_extract(href, '^/doc/([0-9]+)$$', 1) AS BIGINT) AS dst
+             |  FROM lx WHERE regexp_matches(href, '^/doc/[0-9]+$$')),
+             |${pageRankRoundsSql(3)},
+             |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY 1)
+             |SELECT r.id AS node_id,
+             |  CAST(d.deg AS BIGINT) AS out_deg,
+             |  COALESCE(i.in_deg, 0) AS in_deg,
+             |  r.pr AS rank_fp
+             |FROM r3 r
+             |JOIN outdeg d ON d.src = r.id
+             |LEFT JOIN ind i ON i.dst = r.id
+             |ORDER BY node_id""".stripMargin)),
   )
 }

@@ -93,7 +93,11 @@ private[graft] object QueryHelpers {
     * rankᵢ = teleport + (85·Σ rankᵢ₋₁ div outdeg) div 100 in DuckDB's
     * truncating `//` — the same arithmetic GraphOps.pageRank runs, so
     * the full rank vector hash-matches. */
-  def pageRankOracleSql(iters: Int): String = {
+  /** The PageRank iteration CTEs alone (outdeg/nodes/r0/r1..rN),
+    * expecting an `edges(src, dst)` CTE in scope — q89 instantiates it
+    * on the purchase graph, q212 on the extracted link graph; the
+    * caller writes its own final SELECT over `r<iters>`. */
+  def pageRankRoundsSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
          |  SELECT n.id,
@@ -105,13 +109,16 @@ private[graft] object QueryHelpers {
          |    JOIN r${i - 1} r ON r.id = e.src
          |    GROUP BY 1) s ON s.id = n.id)"""
     }.mkString(",\n")
-    s"""WITH $purchaseGraphCtes,
-       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    s"""outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
-       |$rounds
-       |SELECT id AS node_id, pr AS rank_fp FROM r$iters ORDER BY node_id""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  def pageRankOracleSql(iters: Int): String =
+    s"""WITH $purchaseGraphCtes,
+       |${pageRankRoundsSql(iters)}
+       |SELECT id AS node_id, pr AS rank_fp FROM r$iters ORDER BY node_id""".stripMargin
 
   /** Unrolled synchronous label-propagation oracle mirroring
     * [[graft.analytics.GraphOps.labelPropagation]]: self-looped edge

@@ -50,6 +50,23 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(extractMain(html) == "a b\nc")
   }
 
+  test("extractLinks: both quote styles harvested, chrome links excluded") {
+    val html = "<html><head><title>t</title></head><body>" +
+      "<nav><a href=\"/home\">home</a></nav>" +
+      "<div><p><a href=\"/doc/1\">a</a> and <a href='/doc/2'>b</a> " +
+      "and <a class='x' href=\"/doc/3\">c</a></p></div>" +
+      "<footer><a href=\"/doc/0\">decoy</a></footer></body></html>"
+    val main = Seq(html).toDF("h")
+      .select(HtmlOps.extractLinks(col("h")).as("l"))
+      .first().getSeq[String](0)
+    // double-quoted hrefs first (document order), then single-quoted
+    assert(main == Seq("/doc/1", "/doc/3", "/doc/2"))
+    val full = Seq(html).toDF("h")
+      .select(HtmlOps.extractLinks(col("h"), mainOnly = false).as("l"))
+      .first().getSeq[String](0)
+    assert(full.toSet == Set("/home", "/doc/0", "/doc/1", "/doc/2", "/doc/3"))
+  }
+
   test("cleanHtml: the funnel runs on extracted text and keeps input schema") {
     val docs = Seq(
       (1L, "<body><nav>Home About Contact</nav><p>the quick brown fox jumps over the lazy dog and that is that</p></body>"),
