@@ -111,22 +111,24 @@ object FrameStore {
     * complete data dir reads as unpublished and the next caller
     * rebuilds. No wedge, no wrong rows; the cost is one rebuild.
     *
-    * Store-private FileSystem instances, one per (scheme, authority),
-    * built with `FileSystem.newInstance` so the conditional-create
-    * conf ACTUALLY APPLIES: Hadoop's global FS cache keys on
-    * (scheme, authority, UGI), so `getFileSystem` would silently hand
-    * back any s3a FS the session already opened for corpus reads —
-    * with its original conf, without the atomic-create upgrade. The
-    * instances live for the process (never closed), mirroring the
-    * lifetime of Hadoop's own cache. */
-  private val fsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+    * Store-private FileSystem instances, one per (session, scheme,
+    * authority), built with `FileSystem.newInstance` so the
+    * conditional-create conf ACTUALLY APPLIES: Hadoop's global FS
+    * cache keys on (scheme, authority, UGI), so `getFileSystem` would
+    * silently hand back any s3a FS the session already opened for
+    * corpus reads — with its original conf, without the atomic-create
+    * upgrade. Keyed THROUGH the session (SessionMemo) rather than
+    * globally, because each session's Hadoop conf (endpoints,
+    * credentials, custom fs.<scheme>.impl) must keep applying to its
+    * own store traffic; entries die with the session's context like
+    * every other memoized artifact. */
+  private val fsMemo = new graft.SessionMemo[String, FileSystem]
 
   private def fileSystemFor(s: SparkSession, root: String): FileSystem = {
     val uri = new HPath(root).toUri
     val cacheKey =
       s"${Option(uri.getScheme).getOrElse("")}://${Option(uri.getAuthority).getOrElse("")}"
-    fsCache.computeIfAbsent(cacheKey, { _ =>
+    fsMemo.getOrBuild(s, cacheKey) {
       val conf = s.sessionState.newHadoopConf()
       // both spellings: HADOOP-19256 shipped the gate as
       // fs.s3a.create.conditional.enabled; set the bare key too for
@@ -137,7 +139,7 @@ object FrameStore {
       conf.setIfUnset("fs.s3a.create.conditional.enabled", "true")
       conf.setIfUnset("fs.s3a.create.conditional", "true")
       FileSystem.newInstance(uri, conf)
-    })
+    }
   }
 
   private def readSmallFile(fs: FileSystem, p: HPath): String = {

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * map over the scan with zero shuffle.
   *
   * The chain, in order:
-  *  1. drop invisible content: comments, the whole `<head>` subtree
-  *     (title/meta are page metadata, not content), `<script>`,
-  *     `<style>` (non-greedy to the matching close tag; embedded `<` /
-  *     quoted markup inside script bodies is handled, same-tag
-  *     nesting — invalid HTML anyway — truncates at the first close);
+  *  1. drop invisible content: comments, `<script>`, `<style>`, then
+  *     the whole `<head>` subtree (title/meta are page metadata, not
+  *     content; HTML5's optional `</head>` is handled by injecting an
+  *     explicit close before `<body>`). Non-greedy to the matching
+  *     close tag; embedded `<` / quoted markup inside script bodies is
+  *     handled, same-tag nesting — invalid HTML anyway — truncates at
+  *     the first close;
   *  2. (main-content variant) drop page chrome wholesale: `<nav>`,
   *     `<header>`, `<footer>`, `<aside>` subtrees — the
   *     boilerplate-vs-main-content cut;
@@ -61,12 +63,24 @@ object HtmlOps {
     * footer boilerplate) never enter a link graph. */
   val dropSteps: Seq[Step] = Seq(
     Step("(?s)<!--.*?-->", " "),
+    // script/style drop FIRST: with their bodies gone, a "<body>"
+    // string literal inside a head script can no longer confuse the
+    // implicit-close injection below
+    dropTag("script", mainOnly = false),
+    dropTag("style", mainOnly = false),
+    // </head> is OPTIONAL in valid HTML5 (the head closes implicitly
+    // at <body>): inject an explicit close before <body> so the head
+    // drop below fires on such pages too. With </head> already
+    // present the injected duplicate sits after the real one and the
+    // generic tag strip deletes it; lookahead is not in the RE2
+    // subset, so the whitespace form re-emits a space inside the tag
+    // (harmless — the tag itself is later dropped or stripped).
+    Step("(?i)<body>", "</head><body>"),
+    Step("(?i)<body[ \\t\\r\\n]", "</head><body "),
     // the whole <head> subtree is invisible in a browser — title/meta
     // are page METADATA, not content; dropping it in BOTH variants
     // keeps titles out of dedup digests and quality scores
     dropTag("head", mainOnly = false),
-    dropTag("script", mainOnly = false),
-    dropTag("style", mainOnly = false),
     dropTag("nav", mainOnly = true),
     dropTag("header", mainOnly = true),
     dropTag("footer", mainOnly = true),
@@ -76,7 +90,11 @@ object HtmlOps {
   /** Phase 2 — markup → text: block segmentation, tag strip, entity
     * decode, whitespace canonicalization. */
   val textSteps: Seq[Step] = Seq(
-    Step("(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|form)[^>]*>", "\n"),
+    // same prefix guard as dropTag: the name must be followed by '>',
+    // '/>', or whitespace-then-attributes — else <p> would swallow
+    // <picture>/<param>/<path>, <li> would swallow <line>, <tr> would
+    // swallow <track>, turning inline/void tags into block boundaries
+    Step("(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|form)(?:[ \\t\\r\\n][^>]*)?/?>", "\n"),
     Step("<[^>]*>", ""),
     Step("&lt;", "<"),
     Step("&gt;", ">"),

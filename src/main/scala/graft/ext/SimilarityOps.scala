@@ -404,10 +404,15 @@ object SimilarityOps {
     // one count() job is the price of sizing the threshold.
     val mod = math.max(1L,
       math.ceil(corpus.count().toDouble / ivfFitSampleCap).toLong)
-    val fitSample = (if (mod == 1L) corpus
+    // below the cap the sample IS the caller's frame — do NOT
+    // persist/unpersist it: CacheManager has no refcounting, so the
+    // trailing unpersist would evict a cache entry the caller owns on
+    // that exact plan (pinned corpora, FrameMaintenance's vecs)
+    val sampled = mod > 1L
+    val fitSample = if (!sampled) corpus
       else corpus.filter(
-        PortableHash.base(col("cid").cast("string")) < PortableHash.P / mod))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          PortableHash.base(col("cid").cast("string")) < PortableHash.P / mod)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] = corpus
       .orderBy(PortableHash.base(col("cid").cast("string")), col("cid"))
       .limit(nlist)
@@ -433,7 +438,7 @@ object SimilarityOps {
         }
       }.toArray
     }
-    fitSample.unpersist()
+    if (sampled) fitSample.unpersist()
     IvfModel(centroids, ivfAssign(corpus, centroids))
   }
 

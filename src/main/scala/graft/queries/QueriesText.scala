@@ -1163,17 +1163,8 @@ private[graft] object QueriesText {
     Left("</footer></body></html>"),
   )
 
-  private def htmlWrapCol: Column =
-    concat(htmlWrapParts.map {
-      case Left(s) => lit(s)
-      case Right((c, _)) => c
-    }: _*)
-
-  private def htmlWrapSql: String =
-    htmlWrapParts.map {
-      case Left(s) => "'" + s.replace("'", "''") + "'"
-      case Right((_, e)) => e
-    }.mkString(" || ")
+  private def htmlWrapCol: Column = partsCol(htmlWrapParts)
+  private def htmlWrapSql: String = partsSql(htmlWrapParts)
 
   /** q210's page template: one literal/column part list drives BOTH the
     * Spark fixture concat and the oracle's `||` chain — the same
@@ -1201,15 +1192,21 @@ private[graft] object QueriesText {
       "<footer><p>&copy; 2026 corpus footer</p></footer></body></html>"),
   )
 
-  private def htmlFixtureCol: Column =
-    concat(htmlFixtureParts.map {
+  /** The shared fold: one part list -> the Spark concat Column and
+    * the oracle's || chain — written ONCE so quoting/escaping can
+    * never diverge between the two templates (q210, q211). */
+  private def partsCol(parts: Seq[Either[String, (Column, String)]]): Column =
+    concat(parts.map {
       case Left(s) => lit(s)
       case Right((c, _)) => c
     }: _*)
 
-  private def htmlFixtureSql: String =
-    htmlFixtureParts.map {
+  private def partsSql(parts: Seq[Either[String, (Column, String)]]): String =
+    parts.map {
       case Left(s) => "'" + s.replace("'", "''") + "'"
       case Right((_, e)) => e
     }.mkString(" || ")
+
+  private def htmlFixtureCol: Column = partsCol(htmlFixtureParts)
+  private def htmlFixtureSql: String = partsSql(htmlFixtureParts)
 }

@@ -32,24 +32,48 @@ object FileIngest {
     *    partition instead of silently clobbering the old run's
     *    `ingest_batch=0` data (and quarantine) as a bare batchId key
     *    would.
-    * The create uses the FS create-if-absent flag; a concurrent
-    * creator losing the race just reads the winner's id. */
+    * The marker is published by full-write-then-rename so its content
+    * is complete the instant it becomes visible; a concurrent creator
+    * losing the rename race reads the winner's id, and an empty
+    * marker is healed, never silently accepted as runId "". */
   private def runId(spark: SparkSession, checkpoint: String): String = {
     val path = new org.apache.hadoop.fs.Path(checkpoint, "graft-run-id")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) {
-      val fresh = java.util.UUID.randomUUID().toString.take(8)
-      try {
-        val out = fs.create(path, false)
-        try out.write(fresh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } catch { case _: java.io.IOException => () } // lost the race: read below
+    def readMarker(): Option[String] =
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val s = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        Some(s).filter(_.nonEmpty)
+      }
+    // content-complete-at-visibility: the id is written to a temp file
+    // FULLY, then renamed into place — a crash mid-write leaves only
+    // an orphan temp, never a half/empty marker silently read back as
+    // runId "" (which would collapse two runs into one partition
+    // namespace). An empty marker (old-scheme torn write) is treated
+    // as ABSENT and healed; losing the rename race just means reading
+    // the winner on the next loop. Bounded retries, then fail loudly —
+    // never proceed with an unvalidated run identity.
+    var attempt = 0
+    while (attempt < 10) {
+      readMarker() match {
+        case Some(id) => return id
+        case None =>
+          if (fs.exists(path)) fs.delete(path, false) // torn: heal
+          val fresh = java.util.UUID.randomUUID().toString.take(8)
+          val tmp = new org.apache.hadoop.fs.Path(
+            checkpoint, s"graft-run-id.tmp-$fresh")
+          val out = fs.create(tmp, true)
+          try out.write(fresh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (!fs.rename(tmp, path)) fs.delete(tmp, false) // lost the race
+      }
+      attempt += 1
     }
-    val in = fs.open(path)
-    try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    finally in.close()
+    sys.error(s"could not establish a run-id marker at $path after 10 attempts")
   }
 
   /** Watch `inDir` for CSVs of the given schema, apply the batch

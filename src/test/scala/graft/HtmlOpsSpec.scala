@@ -50,6 +50,24 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(extractMain(html) == "a b\nc")
   }
 
+  test("implicit </head>: HTML5 pages omitting the close still drop title/meta") {
+    val html = "<html><head><title>Breaking News</title>" +
+      "<meta name=\"d\" content=\"x\"><body><p>story</p></body></html>"
+    assert(extractMain(html) == "story")
+    // explicit close unaffected; a head script with a \"<body>\" string
+    // literal cannot confuse the injected close (scripts drop first)
+    val tricky = "<head><script>var s = \"<body>\";</script>" +
+      "<title>T</title></head><body><p>ok</p></body>"
+    assert(extractMain(tricky) == "ok")
+  }
+
+  test("block-tag prefix guard: <picture>/<param>/<line> are not block boundaries") {
+    val html = "<div><p>A <picture><img src=\"x\"></picture> B</p>" +
+      "<p>C <line x1='0'/> D<br/>E</p></div>"
+    // picture/line strip inline (no newline); br/ (self-closing) still breaks
+    assert(extractMain(html) == "A B\nC D\nE")
+  }
+
   test("extractLinks: both quote styles harvested, chrome links excluded") {
     val html = "<html><head><title>t</title></head><body>" +
       "<nav><a href=\"/home\">home</a></nav>" +
@@ -71,7 +89,7 @@ class HtmlOpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "<body><nav>Home About Contact</nav><p>the quick brown fox jumps over the lazy dog and that is that</p></body>"),
       (2L, "<body><nav>Home About Contact</nav><p>the quick brown fox jumps over the lazy dog and that is that</p></body>"),
-      (3L, "<body><p>zz</p></body>"), // fails the quality gate
+      (3L, "<body><p>zz</p></body>"), // no stopword hits in any language -> langId "und", language-gated
     ).toDF("doc_id", "html")
     val cleaned = CorpusPipeline.cleanHtml(docs, col("doc_id"), col("html"),
       lang = "en", minQuality = 0.0)
