@@ -1142,6 +1142,59 @@ private[graft] object QueriesText {
              |    ${HtmlOps.htmlChainSql("html", main = true)} AS text
              |  FROM hh),
              |${corpusFunnelSql("ext")}""".stripMargin)),
+
+    Q("q213_url_canonical_dedup",
+      (s, dir) => {
+        // URL canonicalization as the crawl-corpus dedup key
+        // (graft.ext.UrlOps): each doc gets a deterministic messy URL
+        // exercising every rule at once — uppercase scheme/host, www
+        // prefix, default :80 port, doubled path slashes, trailing
+        // slash, MIXED-CASE path segment (must survive — paths are
+        // case-sensitive), param order varying by doc parity, utm_* /
+        // gclid tracking params, a fragment — and every 11th doc is an
+        // unparseable string that must pass through trimmed, never
+        // nulled. Docs sharing (source, doc_id mod 7) canonicalize to
+        // the SAME url across all those surface differences, and the
+        // gate hashes the full duplicate-class table (canonical form,
+        // class size, min-id survivor). The oracle rebuilds the same
+        // URLs and replays the same canonicalization arithmetic
+        // (UrlOps.canonicalizeUrlSql — identical regex bytes).
+        val d = tp(s, dir, "documents")
+        val url = when(pmod(col("doc_id"), lit(11)) === 0, lit("  not a url  "))
+          .otherwise(partsCol(urlFixtureParts))
+        d.select(col("doc_id"), UrlOps.canonicalizeUrl(url).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy("canonical_url")
+      },
+      Some(s"""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0 THEN '  not a url  '
+             |         ELSE ${partsSql(urlFixtureParts)} END AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, ${UrlOps.canonicalizeUrlSql("url")} AS canonical_url
+             |  FROM u)
+             |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(doc_id) AS first_doc
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+
+  /** q213's messy-URL template — one list, both engines (the q210/q211
+    * lockstep pattern). */
+  private lazy val urlFixtureParts: Seq[Either[String, (Column, String)]] = Seq(
+    Left("HTTP://WWW."),
+    Right((col("source"), "source")),
+    Left(".Example.COM:80//articles//Item-"),
+    Right((pmod(col("doc_id"), lit(7)).cast("string"), "(doc_id % 7)::VARCHAR")),
+    Left("/?"),
+    Right((when(pmod(col("doc_id"), lit(2)) === 1, lit("b=2&a=1"))
+        .otherwise(lit("a=1&b=2")),
+      "CASE WHEN doc_id % 2 = 1 THEN 'b=2&a=1' ELSE 'a=1&b=2' END")),
+    Left("&utm_source=rss&gclid=g"),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
+    Left("#sec-"),
+    Right((col("doc_id").cast("string"), "doc_id::VARCHAR")),
   )
 
   /** q211's page template: chrome varies per doc (doc_id in
