@@ -34,21 +34,29 @@ object CorpusPipeline {
       TextOps.qualityScore(text) >= minQuality)
 
   /** Fingerprint near-dup resolution over an (already exact-deduped)
-    * frame: fingerprint collisions → connected components → keep the
-    * min-id row. `exact` should be persisted by the caller (it feeds
-    * the fingerprint pass AND the final anti-join). */
+    * frame: keep the min-id row of each fingerprint class. The
+    * fingerprint is ONE value per doc, so the "collision graph" is a
+    * disjoint union of same-fp cliques and connected components ARE
+    * the fp groups — the survivor is a map-side-combined grouped min
+    * plus one semi join, NOT a pair join + union-find. (The earlier
+    * pair-join + resolveClusters form computed the same answer but
+    * paid a quadratic self-join inside large fp classes: at the ×1000
+    * probe, two 234-s union-find checkpoint rounds over 3.7 GB frames
+    * — for a groupBy. resolveClusters remains the right tool where a
+    * doc carries MANY keys — MinHash bands, SimHash blocks.)
+    * `exact` should be persisted by the caller (it feeds the
+    * fingerprint pass AND the final semi join). */
   private def fpResolve(exact: DataFrame, id: Column, text: Column): DataFrame = {
-    val fps = exact
+    // persisted: the class-count-sized survivor set caches the
+    // EXPENSIVE input pass (per-shingle md5 fingerprints over the
+    // corpus) the way the old fps.persist did — repeat executions
+    // plan-key onto it instead of re-hashing every shingle
+    val keep = exact
       .select(id.as("__cid"), TextOps.fingerprint(text, 5).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col("__cid")).as("__keep_id"))
+      .select(col("__keep_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = fps.select(col("__fp"), col("__cid").as("id_a"))
-      .join(fps.select(col("__fp"), col("__cid").as("id_b")), Seq("__fp"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val losers = DedupOps.resolveClusters(pairs)
-      .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("__loser_id"))
-    exact.join(losers, id === col("__loser_id"), "left_anti")
+    exact.join(keep, id === col("__keep_id"), "left_semi")
   }
 
   /** The cleaned corpus: rows of `df` that survive all four stages. */
