@@ -14,6 +14,12 @@ Test / fork := true
 // streaming checkpoints) must not interleave
 Test / parallelExecution := false
 run / fork := true
+// Forked `run` output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every forked line with "[info] ", which breaks any
+// line-oriented JSON parse of the bench output (every BENCH_r*.json
+// driver artifact through r14 shows `parsed: null` with the one JSON
+// line rendered as `[info] {...}`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1281,8 +1281,12 @@ private[graft] object QueriesAnn {
         // a 100 TB serving config (q144 reports the single production
         // point; this is the dial around it). All four arms read the
         // SAME cached IVF fit (the q41/q70/q129/q134/q146/q164 index —
-        // fit once, probed four ways) and the same pinned exact top-k;
-        // each arm is a semi-join + two broadcast count rollups.
+        // fit once, probed four ways), the same pinned exact top-k,
+        // and ONE shared scored-candidate frame (SimilarityOps
+        // .ivfArmBoard — the probe join + cosines run once at the
+        // deepest depth, each arm slices by probe rank; probed_fp =
+        // 10000·np/nlist = 625·np at nlist 16, the literal the
+        // pre-board inline arms emitted).
         val emb = tp(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -1290,15 +1294,8 @@ private[graft] object QueriesAnn {
         val exact = SimilarityOps.bruteForceTopK(queries, corpus, 10)
           .select("qid", "cid").pin()
         val model = SimilarityOps.ivfFitCached(s"embeddings:$dir", corpus, 16)
-        def armOf(np: Int): DataFrame =
-          exact.join(SimilarityOps.ivfTopK(queries, model, 10, np)
-              .select("qid", "cid"), Seq("qid", "cid"), "left_semi")
-            .agg(count(lit(1)).as("hits"))
-            .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
-            .select(lit(np.toLong).as("nprobe"), col("hits"), col("possible"),
-              expr("(10000 * hits) div possible").as("recall_fp"),
-              lit(625L * np).as("probed_fp"))
-        Seq(1, 2, 4, 8).map(armOf).reduce(_ unionAll _).orderBy("nprobe")
+        SimilarityOps.ivfArmBoard(exact, queries, model, 10, Seq(1, 2, 4, 8))
+          .orderBy("nprobe")
       },
       // the full IVF fit re-derived once; probe ranks computed WITHOUT
       // the fixed rn<=4 cut so each arm slices its own depth
