@@ -43,25 +43,39 @@ object FrameMaintenance {
     * `(l, mergeGap)` selects the operating point — (8, 0) is the
     * fine-grained oracle family, (20, 4) the production default.
     * Returns (key, stored frame) for everything published under
-    * `newDir`. */
+    * `newDir`.
+    *
+    * `oldFrames` — the old-snapshot (occ, cnt, spans) family when the
+    * caller ALREADY holds it (a session's pinned shared frames, a
+    * just-read store): the roll then starts from those frames instead
+    * of re-deriving (or re-fetching) the old family. With no store
+    * configured, `FrameStore.getOrBuild` is the identity, so an
+    * absent `oldFrames` re-pays the full old-corpus gram pass + count
+    * shuffle + island merge on EVERY execution — q200 measured that
+    * rebuild as the bulk of its warm time. */
   def rollForwardExactSubstr(s: SparkSession, oldDir: String, newDir: String,
                              oldDocs: DataFrame, newDocs: DataFrame,
                              l: Int = 8, mergeGap: Int = 0,
-                             minOccurrences: Long = 2L)
+                             minOccurrences: Long = 2L,
+                             oldFrames: Option[(DataFrame, DataFrame, DataFrame)] = None)
       : Seq[(String, DataFrame)] = {
     val changes = ChangeCapture.diff(
         oldDocs.select("doc_id", "text"), newDocs.select("doc_id", "text"),
         "doc_id")
       .filter(col("change") =!= "unchanged")
-    // old-snapshot frames: read from the store, paying the full build
-    // ONCE if this corpus was never published (first migration)
-    val occOld = FrameStore.getOrBuild(s, oldDir, s"esocc$l")(
-      ExactSubstrOps.initState(oldDocs, col("doc_id"), col("text"), l).occ)
-    val cntOld = FrameStore.getOrBuild(s, oldDir, s"escnt$l")(
-      ExactSubstrOps.countsFromOcc(occOld))
-    val spansOld = FrameStore.getOrBuild(s, oldDir, s"esspans$l")(
-      ExactSubstrOps.mergedSpans(dupOf(occOld, cntOld, minOccurrences),
-        l, mergeGap))
+    // old-snapshot frames: as passed in, else read from the store,
+    // paying the full build ONCE if this corpus was never published
+    // (first migration)
+    val occOld = oldFrames.map(_._1).getOrElse(
+      FrameStore.getOrBuild(s, oldDir, s"esocc$l")(
+        ExactSubstrOps.initState(oldDocs, col("doc_id"), col("text"), l).occ))
+    val cntOld = oldFrames.map(_._2).getOrElse(
+      FrameStore.getOrBuild(s, oldDir, s"escnt$l")(
+        ExactSubstrOps.countsFromOcc(occOld)))
+    val spansOld = oldFrames.map(_._3).getOrElse(
+      FrameStore.getOrBuild(s, oldDir, s"esspans$l")(
+        ExactSubstrOps.mergedSpans(dupOf(occOld, cntOld, minOccurrences),
+          l, mergeGap)))
     val (stateNew, spansNew) = ExactSubstrOps.applySpanDelta(
       ExactSubstrOps.SubstrState(occOld, cntOld), spansOld, changes,
       l, minOccurrences, mergeGap)

@@ -44,17 +44,34 @@ import org.apache.spark.sql.functions._
   */
 object HtmlOps {
 
+  import graft.functions.HtmlScanExpressions.{
+    BlockNewlineOp, DropDelimsOp, DropTagOp, FoldOp, RegexOp, StripTagsOp}
+
   /** One extraction step: regex pattern (Java/RE2 common subset) and
     * its literal replacement. `mainOnly` steps run only in the
-    * main-content variant. */
+    * main-content variant. The pattern string is THE semantic contract
+    * (the oracle SQL generator emits it verbatim); `scan`, when set, is
+    * the linear-time scanner the SPARK side executes instead of the
+    * backtracking java.util.regex engine — semantics pinned equal by
+    * HtmlLinearScanSpec, motivation measured in
+    * BENCH_html_adversarial.json (the five backtracking-hostile shapes
+    * are O(candidates × length) on unclosed-tag documents: 418 s for
+    * ONE 1 MB script-bomb doc — a partition-pacing hazard at 100 TB;
+    * DuckDB's RE2 is linear, so only the Spark side changes). */
   final case class Step(pattern: String, replacement: String,
-                        mainOnly: Boolean = false)
+                        mainOnly: Boolean = false,
+                        scan: Option[FoldOp] = None) {
+    /** What the Spark fold executes: the linear scanner when one
+      * exists, the compiled pattern otherwise. */
+    def op: FoldOp = scan.getOrElse(RegexOp(pattern, replacement))
+  }
 
   // The opening tag matches `<t>` or `<t ...>` but never a LONGER tag
   // name sharing the prefix (`<head>` must not swallow `<header>`):
   // after the name, either `>` or whitespace-then-attributes.
   private def dropTag(t: String, mainOnly: Boolean) =
-    Step(s"(?is)<$t(?:[ \\t\\r\\n][^>]*)?>.*?</$t[ \\t\\r\\n]*>", " ", mainOnly)
+    Step(s"(?is)<$t(?:[ \\t\\r\\n][^>]*)?>.*?</$t[ \\t\\r\\n]*>", " ", mainOnly,
+      scan = Some(DropTagOp(t)))
 
   /** Phase 1 — SUBTREE DROPS, markup-preserving: invisible content
     * (comments, head, script, style) and, in the main variant, the
@@ -62,7 +79,7 @@ object HtmlOps {
     * link extraction after just this phase so chrome links (nav menus,
     * footer boilerplate) never enter a link graph. */
   val dropSteps: Seq[Step] = Seq(
-    Step("(?s)<!--.*?-->", " "),
+    Step("(?s)<!--.*?-->", " ", scan = Some(DropDelimsOp("<!--", "-->"))),
     // script/style drop FIRST: with their bodies gone, a "<body>"
     // string literal inside a head script can no longer confuse the
     // implicit-close injection below
@@ -94,8 +111,12 @@ object HtmlOps {
     // '/>', or whitespace-then-attributes — else <p> would swallow
     // <picture>/<param>/<path>, <li> would swallow <line>, <tr> would
     // swallow <track>, turning inline/void tags into block boundaries
-    Step("(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|form)(?:[ \\t\\r\\n][^>]*)?/?>", "\n"),
-    Step("<[^>]*>", ""),
+    Step("(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|thead|tbody|tr|td|th|br|hr|section|article|blockquote|pre|form)(?:[ \\t\\r\\n][^>]*)?/?>", "\n",
+      scan = Some(BlockNewlineOp(Seq("p", "div", "h1", "h2", "h3", "h4",
+        "h5", "h6", "li", "ul", "ol", "table", "thead", "tbody", "tr",
+        "td", "th", "br", "hr", "section", "article", "blockquote",
+        "pre", "form")))),
+    Step("<[^>]*>", "", scan = Some(StripTagsOp)),
     Step("&lt;", "<"),
     Step("&gt;", ">"),
     Step("&quot;", "\""),
@@ -114,11 +135,16 @@ object HtmlOps {
     * column fold and the oracle SQL fold both walk this list. */
   val chain: Seq[Step] = dropSteps ++ textSteps
 
+  /** The Spark-side fold: ONE codegen'd [[graft.functions
+    * .HtmlScanExpressions.HtmlFold]] node running every applicable
+    * step — linear scanners for the five backtracking-hostile shapes,
+    * compiled-regex replaceAll (identical to what a `regexp_replace`
+    * node runs) for the rest. One string materialization per step
+    * inside the runner, vs one UTF8String↔String round trip per
+    * chain node before. */
   private def foldSteps(steps: Seq[Step], html: Column, main: Boolean): Column =
-    steps.foldLeft(html) { (acc, s) =>
-      if (s.mainOnly && !main) acc
-      else regexp_replace(acc, s.pattern, s.replacement)
-    }
+    graft.functions.HtmlScanExpressions.htmlFold(html,
+      steps.filterNot(s => s.mainOnly && !main).map(_.op))
 
   private def fold(html: Column, main: Boolean): Column =
     foldSteps(chain, html, main)
@@ -143,11 +169,14 @@ object HtmlOps {
   val hrefDq = "(?is)<a[ \\t\\r\\n][^>]*href=\"([^\"]*)\""
   val hrefSq = "(?is)<a[ \\t\\r\\n][^>]*href='([^']*)'"
 
-  def extractLinks(html: Column, mainOnly: Boolean = true): Column = {
-    val src = foldSteps(dropSteps, html, mainOnly)
-    concat(regexp_extract_all(src, lit(hrefDq), lit(1)),
-      regexp_extract_all(src, lit(hrefSq), lit(1)))
-  }
+  def extractLinks(html: Column, mainOnly: Boolean = true): Column =
+    // anchor_hrefs ≡ concat(regexp_extract_all(hrefDq, 1),
+    // regexp_extract_all(hrefSq, 1)) — one linear node (the greedy
+    // [^>]* harvest is the fifth hostile shape; a_bomb in
+    // BENCH_html_adversarial.json), and the phase-1 fold evaluates
+    // once instead of once per quote style
+    graft.functions.HtmlScanExpressions.anchorHrefs(
+      foldSteps(dropSteps, html, mainOnly))
 
   private def stepsSql(steps: Seq[Step], inner: String, main: Boolean): String =
     steps.foldLeft(inner) { (acc, s) =>

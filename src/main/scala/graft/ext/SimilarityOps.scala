@@ -293,6 +293,38 @@ object SimilarityOps {
         cosineWithNorms(col("qvec"), col("cvec"), col("qnorm"), col("cnorm"))),
       score, k)
 
+  /** [[tuneLshTables]]'s shared scored frame: every same-bucket
+    * (qid, cid) pair across `tables` hyperplane families, with its
+    * cosine and the LOWEST table index that produced it —
+    * (qid, cid, tmin, cosine). The cosine is evaluated per table HIT
+    * and the (qid, cid) dedup aggregates (min tmin, min cosine): the
+    * duplicate evaluations are rare (a pair colliding in several
+    * tables) and identical-valued (pure function of the vectors, so
+    * the min IS the value), and the dedup exchange then carries four
+    * narrow columns instead of the two embedding payloads
+    * `dropDuplicates` after a payload-carrying union would. */
+  private def lshScoredWithTable(queries: DataFrame, corpus: DataFrame,
+                                 dim: Int, bits: Int,
+                                 tables: Int): DataFrame = {
+    def bucketed(df: DataFrame, vec: String, norm: String, prefix: String) =
+      (0 until tables).foldLeft(df) {
+        (d, t) => d.withColumn(s"$prefix$t", signBucket(col(vec), dim, bits, 7L + t))
+      }.withColumn(norm, l2Norm(col(vec)))
+    val qb = broadcast(bucketed(queries, "qvec", "qnorm", "qbucket_"))
+    val cb0 = bucketed(corpus, "cvec", "cnorm", "cbucket_")
+    val cb = if (tables == 1) cb0
+      else cb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (0 until tables).map { t =>
+      cb.join(qb, col(s"cbucket_$t") === col(s"qbucket_$t"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), lit(t).as("tmin"),
+          cosineWithNorms(col("qvec"), col("cvec"),
+            col("qnorm"), col("cnorm")).as("cosine"))
+    }.reduce(_ unionByName _)
+      .groupBy("qid", "cid")
+      .agg(min("tmin").as("tmin"), min("cosine").as("cosine"))
+  }
+
   private def lshCandImpl(queries: DataFrame, corpus: DataFrame,
                           dim: Int, bits: Int, tables: Int,
                           quantize: Boolean): DataFrame = {
@@ -764,9 +796,26 @@ object SimilarityOps {
                     candidates: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     val exact = bruteForceTopK(sampleQueries, corpus, k).select("qid", "cid")
       .pin() // sample-sized, but repeated calibrations must be drain()-able
+    // ONE scored candidate frame at the DEEPEST table count, each row
+    // stamped with the LOWEST table index that produced it: arm t's
+    // candidate set is exactly the `tmin < t` slice (the per-table
+    // candidate sets nest by construction — same families, same seeds),
+    // so the corpus bucketing + pair cosines run once instead of once
+    // per arm (the per-arm form re-derived tables 0..t-1 for every t:
+    // Σ t = 2× the work for the default q198 dial). `tmin` = min table
+    // index over a pair's collisions ≡ membership in the t-table union
+    // for every t ≥ tmin+1; scoring after the (qid, cid) dedup is the
+    // same value lshImpl computes (cosine is a pure function of the
+    // vectors). The per-arm top-k is |Q|·k rows, broadcast into the
+    // recall semi join like the IVF board.
+    val maxT = candidates.max
+    val scored = lshScoredWithTable(sampleQueries, corpus, dim, bits, maxT)
+      .pin() // candidate-sized; drain()-tracked
     val arms = candidates.map { t =>
-      exact.join(lshTopK(sampleQueries, corpus, k, dim, bits, tables = t)
-            .select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+      exact.join(
+          broadcast(rankTopK(scored.filter(col("tmin") < t), "cosine", k)
+            .select("qid", "cid")),
+          Seq("qid", "cid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
         .select(lit(t.toLong).as("tables"), col("hits"), col("possible"),

@@ -1944,9 +1944,15 @@ private[graft] object QueriesDedup {
               concat(col("text"), lit(" v2 v2"))).otherwise(col("text")))
           .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 3)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        // old-snapshot family = the session-shared pinned 8-gram frames
+        // (the exact derivations rollForward would otherwise re-run per
+        // execution: same l, mergeGap, minOccurrences, same corpus) —
+        // the deployment shape too: the old side is READ, never re-built
+        val st8 = exactSubstrState8(s, dir)
         val rolled = graft.etl.FrameMaintenance.rollForwardExactSubstr(
           s, s"q200old:$dir", s"q200new:$dir", docs, mutated,
-          l = 8, mergeGap = 0).toMap
+          l = 8, mergeGap = 0,
+          oldFrames = Some((st8.occ, st8.cnt, exactSubstrSpans8(s, dir)))).toMap
         ExactSubstrOps.profileFromSpans(rolled("esspans8"))
           .orderBy(col("coverage_fp").desc, col("doc_id"))
           .limit(50)
