@@ -75,15 +75,24 @@ object Probe {
           .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.5)
       case _ => SparkEntry.queries(name)(spark, sfDir)
     }
-    val t0 = System.nanoTime()
-    val n = build().count()
-    val total = (System.nanoTime() - t0) / 1e9
-    // give the listener bus a moment to drain before reading
-    Thread.sleep(2000)
-    println(f"query=$name rows=$n total=$total%.1fs")
-    println(f"${"stage"}%-6s${"wall_ms"}%9s${"tasks"}%7s${"input_mb"}%10s${"shuf_r_mb"}%11s${"shuf_w_mb"}%11s  name")
-    stages.sortBy(-_._3).take(25).foreach { case (id, nm, w, t, in, sr, sw) =>
-      println(f"$id%-6d$w%9d$t%7d${in / 1e6}%10.1f${sr / 1e6}%11.1f${sw / 1e6}%11.1f  $nm")
+    // SPARK_GRAFT_PROBE_RUNS=N re-runs the query and prints a stage
+    // table per run: run 1 is the bench's "cold" (pin materialization
+    // included), later runs are the warm shape the bench's min-of-N
+    // actually reports — the two attribute very differently for every
+    // query that pins a shared frame.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "1").toInt
+    for (r <- 1 to runs) {
+      stages.clear()
+      val t0 = System.nanoTime()
+      val n = build().count()
+      val total = (System.nanoTime() - t0) / 1e9
+      // give the listener bus a moment to drain before reading
+      Thread.sleep(2000)
+      println(f"query=$name run=$r rows=$n total=$total%.1fs")
+      println(f"${"stage"}%-6s${"wall_ms"}%9s${"tasks"}%7s${"input_mb"}%10s${"shuf_r_mb"}%11s${"shuf_w_mb"}%11s  name")
+      stages.sortBy(-_._3).take(25).foreach { case (id, nm, w, t, in, sr, sw) =>
+        println(f"$id%-6d$w%9d$t%7d${in / 1e6}%10.1f${sr / 1e6}%11.1f${sw / 1e6}%11.1f  $nm")
+      }
     }
     spark.stop()
   }

@@ -42,6 +42,15 @@ object ClassifierOps {
   def fitHardSigmoidLR(features: DataFrame, xCols: Seq[String], yCol: String,
                        iters: Int = 3, lr: Double = 1.0): Array[Double] = {
     require(iters >= 1 && xCols.nonEmpty)
+    // Deliberately a driver loop (one small collect per iteration):
+    // the weights enter each gradient pass as LITERALS, which codegen
+    // constant-folds into the aggregation — measured faster than the
+    // single-plan chained form, whose per-iteration
+    // crossJoin(broadcast(w)) pays a per-row join for values that are
+    // constants (interleaved A/B at sf0.1: q140 1.23–1.28 s driver
+    // loop vs 1.35–1.44 s chained). The grouped variant below is the
+    // opposite case: its weights genuinely vary per row's group, the
+    // broadcast join exists in both forms, so there the chain wins.
     var w = Array.fill(xCols.size + 1)(0.0)
     for (_ <- 1 to iters) {
       val z = xCols.zipWithIndex
@@ -66,47 +75,46 @@ object ClassifierOps {
     * GROUP (per-domain quality models — the "one fastText per source"
     * pattern), all trained simultaneously. Each iteration is ONE
     * broadcast join (the weights frame is model-sized: |groups|×(d+1)
-    * doubles) plus ONE grouped aggregation; the driver holds only the
-    * weights map between iterations (IVF-centroid precedent), so the
-    * per-iteration plan stays FLAT — no recursive plan growth, the
-    * iterative-loop trap documented in STATUS round 6. 10k groups cost
-    * the same number of passes as one.
+    * doubles) plus ONE grouped aggregation, chained lazily into a
+    * single linear plan — each iteration references the previous
+    * weights frame exactly once, so plan growth is linear in `iters`,
+    * not the doubling of the iterative-loop trap documented in STATUS
+    * round 6. 10k groups cost the same number of passes as one.
     *
     * Returns (group, w0..wd) with w0 the bias. Groups are read from
     * `features` itself; a group's model sees only its own rows. */
   def fitGroupedHardSigmoidLR(features: DataFrame, groupCol: String,
                               xCols: Seq[String], yCol: String,
                               iters: Int = 4, lr: Double = 2.0): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
     require(iters >= 1 && xCols.nonEmpty)
-    val spark = features.sparkSession
     val d = xCols.size
-    val schema = StructType(StructField(groupCol, StringType) +:
-      (0 to d).map(i => StructField(s"_w$i", DoubleType)))
-    def weightsDf(w: Map[String, Array[Double]]): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          w.toSeq.sortBy(_._1).map { case (g, ws) => Row.fromSeq(g +: ws.toSeq) }, 1),
-        schema)
-    var w: Map[String, Array[Double]] =
-      features.select(groupCol).distinct().collect()
-        .map(r => r.getString(0) -> Array.fill(d + 1)(0.0)).toMap
+    // Single-plan unrolled fit (was one collect per iteration plus a
+    // distinct+collect for the zero init — t+1 driver round trips; the
+    // whole fit is now ONE lazy frame the caller executes). Each
+    // iteration's weights ride through its gradient aggregation as
+    // first(_w*) — constant within a group after the broadcast join —
+    // so the chain references the previous frame exactly once (linear
+    // plan growth, not the kCore doubling trap). Every group always
+    // has rows in `features` (the init scans the same frame), so the
+    // inner join drops nothing and the update set matches the
+    // collect-loop exactly; the arithmetic (avg gradients, w - lr*g,
+    // IEEE doubles) is unchanged.
+    var w: DataFrame = features.select(col(groupCol)).distinct()
+      .select(col(groupCol) +: (0 to d).map(i => lit(0.0).as(s"_w$i")): _*)
     for (_ <- 1 to iters) {
       val z = (0 until d).foldLeft(col("_w0")) { (acc, i) =>
         acc + col(xCols(i)) * col(s"_w${i + 1}")
       }
       val resid = hardSigmoid(z) - col(yCol)
-      val grads = features.join(broadcast(weightsDf(w)), groupCol)
+      w = features.join(broadcast(w), groupCol)
         .groupBy(groupCol)
-        .agg(avg(resid).as("_g0"),
-          (0 until d).map(i => avg(resid * col(xCols(i))).as(s"_g${i + 1}")): _*)
-        .collect()
-      w = w ++ grads.map { r =>
-        val g = r.getString(0)
-        g -> (0 to d).map(i => w(g)(i) - lr * r.getDouble(i + 1)).toArray
-      }
+        .agg(
+          (first(col("_w0")) - lit(lr) * avg(resid)).as("_w0"),
+          (0 until d).map { i =>
+            (first(col(s"_w${i + 1}")) - lit(lr) * avg(resid * col(xCols(i))))
+              .as(s"_w${i + 1}")
+          }: _*)
     }
-    weightsDf(w)
+    w
   }
 }

@@ -176,12 +176,19 @@ private[graft] object QueriesModel {
             (PortableHash.long60(col("term")) % B).as("bkt"))
           .agg(count(lit(1)).as("cnt"))
           .pin()
-        val raw = c.groupBy("bkt").agg(sum("cnt").as("r_b"))
-        val tgt = c.filter(col("lang") === "en")
-          .groupBy("bkt").agg(sum("cnt").as("t_b"))
-        val totals = raw.agg(sum("r_b").as("rt"))
-          .crossJoin(tgt.agg(sum("t_b").as("tt")))
-        val w = raw.join(tgt, Seq("bkt"), "left")
+        // ONE distribution rollup instead of two: r_b and t_b come out
+        // of the same bucket aggregation (t_b as a conditional sum —
+        // null exactly when the old raw⟕tgt left join missed, i.e. a
+        // bucket with no en rows), so the cached c feeds one scan
+        // instead of two per reference and the raw⟕tgt shuffle join
+        // disappears (guide §2.4). dist is bucket-sized (≤B rows),
+        // pinned so the totals rollup doesn't re-derive it from c.
+        val dist = c.groupBy("bkt").agg(
+          sum("cnt").as("r_b"),
+          sum(when(col("lang") === "en", col("cnt"))).as("t_b"))
+          .pin()
+        val totals = dist.agg(sum("r_b").as("rt"), sum("t_b").as("tt"))
+        val w = dist
           .na.fill(0L, Seq("t_b"))
           .crossJoin(broadcast(totals))
           .select(col("bkt"), expr(
@@ -335,8 +342,12 @@ private[graft] object QueriesModel {
               ((col(s"x${i + 1}") - col(s"m${i + 1}")) / col(s"s${i + 1}")).as(z)
             }: _*)
           .pin()
+        // pinned: the fit is a lazy 4-iteration chain since the
+        // single-plan rewrite, and wDf is referenced twice below
+        // (confusion join + final output join) — the pin keeps the
+        // chain to one execution, as the old collect-loop had
         val wDf = ClassifierOps.fitGroupedHardSigmoidLR(
-          f, "source", zCols, "y", iters = 4, lr = 2.0)
+          f, "source", zCols, "y", iters = 4, lr = 2.0).pin()
         val z = zCols.zipWithIndex.foldLeft(col("_w0")) { case (acc, (c, i)) =>
           acc + col(c) * col(s"_w${i + 1}")
         }

@@ -390,7 +390,10 @@ private[graft] object QueriesText {
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
           .pin()
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        // dl pinned: both the corpus stats and the scoring join read it,
+        // and unpinned each reference re-rolled the corpus-sized tf
+        // cache (guide §2.4 — one exchange, shared)
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).pin()
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
         val nD = col("n").cast(DoubleType)
@@ -459,9 +462,17 @@ private[graft] object QueriesText {
             col("p").getField("0").as("t1"), col("p").getField("1").as("t2"))
           .groupBy("doc_id", "t1", "t2").agg(count(lit(1)).as("k"))
           .pin()
+        // model table PINNED and self-contained (the q150 pre-join
+        // discipline): n_head rides on the bigram row via a window over
+        // t1 instead of a separate hd rollup + second join — unpinned,
+        // the old shape re-derived big three times from db (the w-build,
+        // the hd rollup, and the scoring join) and joined twice. One
+        // model build, one scoring join (guide §2.4).
         val big = db.groupBy("t1", "t2").agg(sum("k").as("n_ab"))
-        val hd = big.groupBy("t1").agg(sum("n_ab").as("n_head"))
-        db.join(big, Seq("t1", "t2")).join(hd, Seq("t1"))
+          .withColumn("n_head",
+            sum("n_ab").over(Window.partitionBy("t1")))
+          .pin()
+        db.join(big, Seq("t1", "t2"))
           .groupBy("doc_id")
           .agg(sum(expr("k * ((1000000 * n_head) div n_ab)")).as("s_fp"),
             sum("k").as("nb"))
@@ -658,8 +669,9 @@ private[graft] object QueriesText {
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
           .pin()
-        // System A: BM25 (the q130 derivation, unchanged)
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        // System A: BM25 (the q130 derivation, unchanged; dl pinned for
+        // the same two-reader reason as q130)
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).pin()
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
         val nD = col("n").cast(DoubleType)
