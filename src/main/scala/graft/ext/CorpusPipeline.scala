@@ -18,14 +18,17 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   /** Exact dedup keeping the MINIMUM id of each duplicate class —
-    * deterministic, unlike dropDuplicates' arbitrary survivor. One
-    * digest shuffle + a semi join. */
+    * deterministic, unlike dropDuplicates' arbitrary survivor. ONE
+    * digest-partitioned window pass: rank within the digest class and
+    * keep rank 1 (ids are unique, so min-id ≡ row_number 1 ordered by
+    * id). The previous agg + left-semi form read `df` twice and paid a
+    * SECOND corpus-row shuffle (by id, full text payload) for the
+    * join; the window moves the rows once, by digest (guide §2.4). */
   def exactDedupKeepMin(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val keep = df
-      .groupBy(md5(text).as("__digest"))
-      .agg(min(id).as("__keep_id"))
-      .select(col("__keep_id"))
-    df.join(keep, id === col("__keep_id"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(md5(text)).orderBy(id)))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   private def gate(df: DataFrame, text: Column,

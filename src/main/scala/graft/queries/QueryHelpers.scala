@@ -379,13 +379,25 @@ private[graft] object QueryHelpers {
       |  SELECT o_orderkey + 10000000, o_orderstatus, price_fp
       |  FROM base WHERE o_orderkey % 17 = 0)"""
 
-  /** Table load + repartition to cluster parallelism: the right plan
-    * when a narrow scan of few files feeds CPU-bound per-row work
-    * (regex/tokenize/hash) — a single parquet row group is one split, so
-    * without this the whole text pipeline runs on one core. The shuffled
-    * bytes are just the input rows, negligible next to the compute. */
-  def tp(s: SparkSession, dir: String, name: String): DataFrame =
-    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+  /** Table load + CONDITIONAL repartition to cluster parallelism: the
+    * right plan when a narrow scan of few files feeds CPU-bound per-row
+    * work (regex/tokenize/hash) — a single parquet row group is one
+    * split, so without the repartition the whole text pipeline runs on
+    * one core. The condition is the fix for the other end of the scale:
+    * at corpus sizes where the scan already plans >= cores splits, the
+    * old unconditional form was a full-corpus round-robin shuffle (plus
+    * its sort-before-repartition pass) that moved every row to decide
+    * nothing (guide §2.4). The scan's planned split count is a pure
+    * function of the file layout — memoized per (session, dir, table)
+    * so the 100+ call sites don't re-plan the probe. */
+  def tp(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, name)
+    val cores = s.sparkContext.defaultParallelism
+    val parts = scanParts.getOrBuild(s, (dir, name))(df.rdd.getNumPartitions)
+    if (parts < cores) df.repartition(cores) else df
+  }
+
+  private val scanParts = new graft.SessionMemo[(String, String), Int]
 
   /** Engine-portable rounding: floor(x*10^n + 0.5)/10^n computed with
     * the SAME fp ops the oracle SQL uses, so both engines produce
@@ -1194,11 +1206,16 @@ private[graft] object QueryHelpers {
       .groupBy("t1", "t2", "t3").agg(sum("k").as("n_abc"))
     val tri = (if (pruneSingletons) tri0.filter(col("n_abc") >= 2L) else tri0)
       .pin()
-    val h2 = tri.groupBy("t1", "t2").agg(sum("n_abc").as("n_ab"))
-    val triJ = tri.join(h2, Seq("t1", "t2"))
-    val big = tri.groupBy("t2", "t3").agg(sum("n_abc").as("n_bc"))
-    val bh = big.groupBy("t2").agg(sum("n_bc").as("n_b"))
-    val bigJ = big.join(bh, Seq("t2"))
+    // head counts ride on the model rows via windows (the q138
+    // discipline extended to both orders): n_ab over (t1,t2) on tri and
+    // n_b over t2 on big replace two separate rollup aggregations and
+    // their joins — the pinned tri now feeds 3 derivations instead of
+    // 5, and the model-side plan drops 2 exchanges + 2 joins. Values
+    // are identical (same integer sums, same row multiplicity).
+    val triJ = tri.withColumn("n_ab",
+      sum("n_abc").over(Window.partitionBy("t1", "t2")))
+    val bigJ = tri.groupBy("t2", "t3").agg(sum("n_abc").as("n_bc"))
+      .withColumn("n_b", sum("n_bc").over(Window.partitionBy("t2")))
     val uni = tri.groupBy("t3").agg(sum("n_abc").as("n_c"))
     val tot = tri.agg(sum("n_abc").as("n_tot"))
     val sc = db.filter(col("doc_id") % 2 === 1)
