@@ -374,12 +374,17 @@ private[graft] object QueriesAnn {
           .join(asg, "doc_id")
           .groupBy("cluster", "term").agg(count(lit(1)).as("cnt"))
           .pin()
-        val tot = ct.groupBy("cluster").agg(sum("cnt").as("tot_c"))
-        val cdf = ct.groupBy("term").agg(count(lit(1)).as("cdf"))
-        val ncf = tot.agg(count(lit(1)).as("nc"))
+        // cluster totals and cluster-frequency ride on the ct rows via
+        // windows (the q138/q150 discipline): two rollup aggregations +
+        // two joins gone, and the pinned ct feeds 2 derivations instead
+        // of 4 (tot was re-rolled for ncf too). Values identical —
+        // every (cluster, term) key exists in its own rollup, so the
+        // old inner joins dropped nothing.
+        val ncf = ct.select(col("cluster")).distinct().agg(count(lit(1)).as("nc"))
         val w = Window.partitionBy(col("cluster"))
           .orderBy(col("score_fp").desc, col("term"))
-        ct.join(tot, "cluster").join(cdf, "term")
+        ct.withColumn("tot_c", sum("cnt").over(Window.partitionBy("cluster")))
+          .withColumn("cdf", count(lit(1)).over(Window.partitionBy("term")))
           .crossJoin(broadcast(ncf))
           .withColumn("score_fp",
             expr("(10000 * cnt * nc) div (tot_c * cdf)"))

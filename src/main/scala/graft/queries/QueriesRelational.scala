@@ -1439,8 +1439,15 @@ private[graft] object QueriesRelational {
           .select(col("source"),
             explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
           .distinct()
+        // coalesce(1): the register frame is SKETCH-bounded (≤ m rows
+        // per source, m = 256 here) at any corpus size, so its final
+        // aggregation stage and every downstream register-algebra pass
+        // is 1-task by construction — the map-side (corpus-sized
+        // shingle pass) keeps full parallelism. Unpinned at 32
+        // partitions, each of the ~6 algebra rollups paid 32 task
+        // launches over ~1k rows.
         val regs = SketchOps.hllRegistersBy(sh, col("source"), col("sh"), b)
-          .withColumnRenamed("g", "source").pin()
+          .withColumnRenamed("g", "source").coalesce(1).pin()
         def harmonic(grouped: org.apache.spark.sql.RelationalGroupedDataset,
                      outName: String): DataFrame =
           grouped
